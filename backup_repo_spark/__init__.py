@@ -1,0 +1,23 @@
+"""backup_repo_spark — a PySpark-native analytics engine with the query and
+data-processing surface of Huawei-Spark/Backup-Repo (Astro, "Spark SQL on
+HBase"), re-expressed Spark-first per SURVEY.md.
+
+Importing this package populates the query registry (registry.QUERIES /
+registry.ORACLES) — the driver contract in ``__spark_entry__.py`` reads it.
+"""
+
+from backup_repo_spark import registry, session  # noqa: F401
+
+# Import every query module for its registration side effects.
+from backup_repo_spark.operators import (  # noqa: F401
+    aggregates,
+    joins,
+    projections,
+    setops,
+    sorts,
+    subqueries,
+    windows,
+)
+from backup_repo_spark.streaming import windows as streaming_windows  # noqa: F401
+
+__all__ = ["registry", "session"]

@@ -1,0 +1,265 @@
+"""Aggregation operators — SURVEY.md §2.B rows B20–B29.
+
+Reference parity: Astro delegated all aggregation to Spark SQL 1.4's
+Aggregate operator over its HBase scans; its one aggregation-specific
+contribution was coprocessor partial aggregation at the storage node
+(upstream ``SparkSqlRegionObserver.scala`` — unverified, SURVEY.md §2.A A5),
+whose semantics are exactly Spark's partial→final HashAggregate. Everything
+here is declarative DataFrame API → Catalyst plans two-phase hash aggregation
+with map-side combine automatically.
+
+Scale notes: group-by keys here are low-cardinality (flag/status, nation) —
+partial aggregation collapses each map partition to a handful of rows before
+the shuffle, so the shuffle volume is O(groups × partitions), independent of
+input rows. This is the plan shape that survives 100 TB.
+
+Cross-engine hazards handled (FIXTURES.md): double aggregates rounded in BOTH
+engine and oracle; timestamps compared only after day-level truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backup_repo_spark.registry import query
+from backup_repo_spark.session import load_table
+
+
+@query(
+    "agg_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20 flagship: TPC-H Q1-style filter → two-phase hash agg → sort.
+
+    Exercises the engine spine: parquet scan with the shipdate predicate
+    pushed to row-group stats, column pruning to 7 of 11 columns, partial
+    (map-side) aggregation, 2-key shuffle, final aggregation, global sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS du, count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21: distinct aggregation (two-phase: dedup shuffle, then agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("du"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query("agg_approx_distinct")  # no oracle: HLL estimate is impl-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22: approx_count_distinct (HyperLogLog++) — the 100 TB substitute for
+    exact distinct counts: constant memory per group, no dedup shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_du"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+           count(*) AS n, round(sum(l_quantity), 2) AS sq
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23: GROUPING SETS — one pass, Expand operator fans each row into its
+    grouping combinations before the (partial) aggregation."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+               count(*) AS n, round(sum(l_quantity), 2) AS sq
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24: ROLLUP hierarchy totals (status, status×prio, grand total)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio"),
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+           count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25: CUBE — all 2^k grouping combinations in one Expand pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS total_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           CAST(min(l_shipdate) AS DATE) AS first_ship,
+           CAST(max(l_shipdate) AS DATE) AS last_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26: global (grouping-key-free) aggregate — partial per partition,
+    single-row final."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.min("l_shipdate").cast("date").alias("first_ship"),
+        F.max("l_shipdate").cast("date").alias("last_ship"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT l_partkey, round(sum(l_quantity), 2) AS sq, count(*) AS n
+    FROM lineitem GROUP BY l_partkey HAVING sum(l_quantity) > 800
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27: HAVING — post-aggregation filter (Catalyst keeps it above the
+    final agg; the partial agg still combines map-side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sq"), F.count(F.lit(1)).alias("n"))
+        .filter(F.sum("l_quantity") > 800)
+        .select("l_partkey", "sq", "n")
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           max_by(l_orderkey, l_extendedprice) AS priciest_order,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28: collect_set (order-normalized via sort+join) and max_by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+            F.expr("max_by(l_orderkey, l_extendedprice)").alias("priciest_order"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(avg(l_extendedprice), 4) AS avg_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29: statistical aggregates — stddev/variance/corr/exact interpolated
+    median. At 100 TB swap `percentile` for `percentile_approx` (t-digest-ish
+    bounded memory); exact kept here because the oracle needs determinism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,302 @@
+"""Join operators — SURVEY.md §2.B rows B9–B19.
+
+Reference parity: Astro delegated joins entirely to Spark SQL 1.4 (broadcast
+vs shuffle chosen by ``autoBroadcastJoinThreshold``); its scan layer fed them.
+Here each join algorithm is pinned explicitly with hints where the algorithm
+IS the point (B9–B11); elsewhere AQE + broadcast thresholds choose.
+
+Scale notes (100 TB):
+- Dimension tables (region 5, nation 25, supplier, part, customer at dim-ish
+  cardinality) are broadcast — zero shuffle of the fact table for star joins.
+- Fact⋈fact (lineitem⋈orders) is a shuffle on the join key; AQE handles
+  skew-splitting. At 100 TB you'd bucket both tables on the key to make this
+  shuffle-free; `sources/layout.py` demonstrates the bucketed layout.
+- The as-of join is a union+window merge (single shuffle, no BNLJ) — the
+  formulation that scales to billions of rows, unlike a correlated-subquery
+  or nested-loop translation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from backup_repo_spark.registry import query
+from backup_repo_spark.session import load_events, load_table
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: broadcast-hash inner equi join — the dim side ships to every
+    executor; the fact side never shuffles for the join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_sortmerge",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: sort-merge join pinned via hint — the fact⋈fact algorithm of
+    choice at scale (spillable, skew-splittable by AQE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").hint("merge")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "join_shufflehash",
+    oracle="""
+    SELECT p_type, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_type ORDER BY p_type
+    """,
+)
+def join_shufflehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: shuffled-hash join pinned via hint (no sort; build side hashed
+    per partition — wins when one side is much smaller per key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").hint("shuffle_hash")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy("p_type")
+    )
+
+
+@query(
+    "join_outer",
+    oracle="""
+    SELECT coalesce(l.o_custkey, r.o_custkey) AS custkey,
+           coalesce(l.n_open, 0) AS n_open, coalesce(r.n_closed, 0) AS n_closed
+    FROM (SELECT o_custkey, count(*) AS n_open FROM orders
+          WHERE o_orderstatus = 'O' GROUP BY o_custkey) l
+    FULL OUTER JOIN
+         (SELECT o_custkey, count(*) AS n_closed FROM orders
+          WHERE o_orderstatus = 'F' GROUP BY o_custkey) r
+    ON l.o_custkey = r.o_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: full outer join with unmatched rows on both sides; NULL-producing
+    columns coalesced to sentinels (FIXTURES.md hazard #3)."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_open"))
+    right = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+        .withColumnRenamed("o_custkey", "r_custkey")
+    )
+    return left.join(right, left.o_custkey == right.r_custkey, "full_outer").select(
+        F.coalesce("o_custkey", "r_custkey").alias("custkey"),
+        F.coalesce("n_open", F.lit(0)).alias("n_open"),
+        F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13: left semi join (EXISTS) — emits each left row at most once."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_nationkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: left anti join (NOT EXISTS) — customers with no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_nationkey")
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT n1.n_regionkey AS region, count(*) AS pairs,
+           min(n1.n_name || '-' || n2.n_name) AS first_pair
+    FROM nation n1 JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    GROUP BY n1.n_regionkey ORDER BY region
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15: theta join — equi component + non-equi residual (n1.key < n2.key).
+    Catalyst plans the equi part as the join key and evaluates the residual
+    post-match, avoiding a full cartesian product."""
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    return (
+        n1.join(
+            n2,
+            (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+            & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+        )
+        .groupBy(F.col("n1.n_regionkey").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.min(F.concat_ws("-", "n1.n_name", "n2.n_name")).alias("first_pair"),
+        )
+        .orderBy("region")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, s.o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16: explicit cross join (both sides tiny — the only sane use)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    s = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+@query(
+    "join_star_5way",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17: TPC-H Q5-style 6-table star join. Dims (supplier/nation/region)
+    broadcast; the one unavoidable shuffle is lineitem⋈orders on orderkey.
+    AQE reorders/re-plans at runtime from real sizes."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), (F.col("l_suppkey") == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           coalesce(strftime(max(c.ts), '%Y-%m-%d %H:%M:%S'), 'none') AS last_click_s
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18: as-of join — for each purchase, the latest click of the same user
+    at-or-before its timestamp.
+
+    Spark-first formulation: union both sides, one window pass carrying the
+    last click timestamp forward (running ``last(..., ignorenulls)``) — a
+    single shuffle on user_id, O(n log n) within partitions. This is the
+    merge-style plan that scales; the oracle's join+max formulation is
+    quadratic and exists only for verification.
+    """
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click").withColumn("kind", F.lit(0))
+    purchases = ev.filter(F.col("event_type") == "purchase").withColumn("kind", F.lit(1))
+    # kind=0 sorts before kind=1 at equal ts, so a click at exactly the
+    # purchase ts is visible (<= semantics).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.coalesce(F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("none")).alias(
+            "last_click_s"
+        ),
+    )
+
+
+@query(
+    "join_interval",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 DAY
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19: interval/range self-join — pairs of events by the same user within
+    one day. Equi key (user_id) + range residual: Catalyst joins on user_id
+    and filters the band, so no cartesian blowup; at 100 TB you'd additionally
+    bucket by user_id and date to bound the band per partition."""
+    a = load_events(spark, sf_dir).select(
+        F.col("event_id").alias("id_a"), F.col("user_id"), F.col("ts").alias("ts_a")
+    )
+    b = load_events(spark, sf_dir).select(
+        F.col("event_id").alias("id_b"), F.col("user_id").alias("user_b"), F.col("ts").alias("ts_b")
+    )
+    return a.join(
+        b,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 DAY")),
+    ).select("id_a", "id_b", "user_id")

@@ -1,0 +1,185 @@
+"""Window functions — SURVEY.md §2.B rows B30–B35.
+
+Reference parity: window functions were part of the Spark SQL 1.4 surface
+Astro delegated to (confidence H, SURVEY.md §2.B). All declarative here;
+Catalyst plans a single sort-based Window operator per (partition, order)
+spec — we deliberately reuse one spec per query so multiple measures share
+one shuffle+sort.
+
+Scale notes: a window over ``partitionBy(k)`` shuffles on k once; frames are
+evaluated streaming within the sorted partition (no materialization of the
+whole partition for running frames). Skewed partition keys are the hazard —
+at 100 TB, a hot user_id melts one task; mitigation is pre-aggregation or
+key-salting before ranking (documented in plans/scale_notes.md).
+
+Determinism: every ORDER BY carries a unique tie-break column (event_id /
+o_orderkey) so row-addressed functions (row_number, lag, lead) agree between
+Spark (µs timestamps) and DuckDB (ns) — testdata ts values are exact µs,
+verified 2026-08-13.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from backup_repo_spark.registry import query
+from backup_repo_spark.session import load_events, load_table
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price,
+             row_number() OVER w AS rn,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             ntile(4) OVER w AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    ) t WHERE rn <= 50
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30: ranking functions over one shared window spec."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("price"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 50)
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           coalesce(lag(value)  OVER w, -1.0) AS prev_value,
+           coalesce(lead(value) OVER w, -1.0) AS next_value,
+           first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31: lag/lead/first_value along each user's event timeline; NULL edges
+    coalesced to a sentinel (FIXTURES.md hazard #3)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.coalesce(F.lag("value").over(w), F.lit(-1.0)).alias("prev_value"),
+        F.coalesce(F.lead("value").over(w), F.lit(-1.0)).alias("next_value"),
+        F.first("event_id").over(wf).alias("first_event"),
+    )
+
+
+@query(
+    "win_rows_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_sum,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS frame_n
+    FROM events
+    """,
+)
+def win_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32: ROWS frame — 3-event moving sum per user."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("moving_sum"),
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS peers_within_1k
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33: RANGE frame — value-based frame bounds (peer-inclusive, so sort
+    ties don't affect the result). Double-valued offsets aren't expressible
+    through the pyspark Window builder (long-typed API), so the frame is
+    declared as a SQL window expression."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr(
+            "count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice "
+            "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
+        ).alias("peers_within_1k"),
+    )
+
+
+@query(
+    "win_topn_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+             rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+      FROM orders) t
+    WHERE rnk <= 2
+    """,
+)
+def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34: top-N per group (rank + filter) — BASELINE.md q_window_rank.
+    rank() (not row_number) so ties produce identical row sets cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 2)
+    )
+
+
+@query(
+    "win_percent",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM lineitem
+    WHERE l_suppkey < 20
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+    """,
+)
+def win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35: percent_rank / cume_dist (functions of the value's rank in the
+    partition — deterministic under ties)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 20)
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

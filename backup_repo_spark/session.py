@@ -1,0 +1,101 @@
+"""SparkSession factory + table catalog.
+
+Reference parity: Astro's ``HBaseSQLContext`` (session entry point) and
+``HBaseCatalog`` (table↔storage mapping, cached in memory) — upstream
+``src/main/scala/org/apache/spark/sql/hbase/`` (unverified; reference
+snapshot empty, see SURVEY.md §0) — re-expressed as a configured
+SparkSession plus parquet temp-view registration.
+
+Scale notes (100 TB design, SURVEY.md §4.3):
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting means
+  the same code runs at sf0.001 and at 1000-executor scale without retuning.
+- ``autoBroadcastJoinThreshold`` raised so dimension tables (region, nation,
+  supplier, part — broadcast-size at any realistic sf) never shuffle.
+- Parquet filter pushdown + vectorized Arrow reader on (defaults kept
+  explicit so the intent is documented).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "backup-repo-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int = 32,
+) -> SparkSession:
+    """Build the engine's SparkSession with scale-ready defaults."""
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # events.parquet is TIMESTAMP(NANOS); Spark 4.x needs this to read it
+        # (FIXTURES.md gotcha #1). Also set defensively in load_events().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table; `events` gets the nanos→timestamp fix."""
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet with ``ts`` converted from raw INT64 nanos to a real
+    TimestampType (microsecond precision — Spark's native resolution).
+
+    ``ts DIV 1000`` (integer division) avoids the double-precision round-trip
+    a ``/`` would introduce at ~1.7e18 ns magnitudes.
+    """
+    # Defensive: the driver may hand us a session built without these confs.
+    # Both verified settable at runtime on Spark 4.1.2. UTC matters because
+    # the reconstructed ts is an instant: date_format/window rendering must
+    # agree with DuckDB's timezone-naive reading of the same file.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all ten tables as temp views (the engine's 'catalog').
+
+    Astro persisted its table↔HBase mapping in a metadata table; for a
+    parquet-native engine the parquet footers are the metadata and the
+    session catalog is the map.
+    """
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,64 @@
+"""Benchmark harness — runs the BASELINE.md headline queries through the
+engine and prints ONE JSON line (driver contract).
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Protocol mirrors BASELINE.md: best-of-3 wall time per query including result
+collection, session start excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from backup_repo_spark import registry  # noqa: E402
+from backup_repo_spark.session import get_spark  # noqa: E402
+
+# BASELINE.md metric name -> registry query key
+BENCH_QUERIES = {
+    "q_agg_lineitem": "agg_tpch_q1",
+    "q_join3_topk": "topk_revenue",
+    "q_join5_agg": "join_star_5way",
+    "q_window_rank": "win_topn_per_group",
+    "q_events_window": "stream_tumbling",
+    "q_distinct_users": "agg_distinct",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+    # Warm the JVM + file listing once so per-query numbers measure the query.
+    spark.range(1).collect()
+
+    results: dict[str, float] = {}
+    for metric, key in BENCH_QUERIES.items():
+        fn = registry.QUERIES[key]
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        results[metric] = round(best, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_best3",
+                "value": round(sum(results.values()), 3),
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
