@@ -9,15 +9,18 @@ registry.ORACLES) — the driver contract in ``__spark_entry__.py`` reads it.
 from backup_repo_spark import registry, session  # noqa: F401
 
 # Import every query module for its registration side effects.
+from backup_repo_spark.functions import packs  # noqa: F401
 from backup_repo_spark.operators import (  # noqa: F401
     aggregates,
     joins,
     projections,
+    scans,
     setops,
     sorts,
     subqueries,
     windows,
 )
+from backup_repo_spark.sources import layout  # noqa: F401
 from backup_repo_spark.streaming import windows as streaming_windows  # noqa: F401
 
 __all__ = ["registry", "session"]

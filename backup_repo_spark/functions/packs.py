@@ -1,0 +1,290 @@
+"""Scalar function packs — SURVEY.md §2.B rows B43–B50.
+
+Reference parity: Astro inherited Spark 1.4's scalar function surface
+(confidence H); ours is the Spark 4.x superset. One bundled query per family,
+each projecting many functions, all JVM-side (whole-stage codegen — no
+Python in any of these paths).
+
+Oracle notes: function NAMES differ between engines (format_string↔printf,
+size↔len, transform↔list_transform, …) but each projected column computes
+the same value. Transcendentals (exp/ln/log10/pow) are rounded to 6 — libm
+implementations may differ in the last ulp. Per-row arithmetic and string
+ops are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backup_repo_spark.registry import query
+from backup_repo_spark.session import load_table
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment)                          AS seg_up,
+           lower(c_name)                                AS name_lo,
+           length(c_name)                               AS name_len,
+           substr(c_name, 1, 8)                         AS name_pre,
+           c_name || '|' || c_mktsegment                AS joined,
+           lpad(CAST(c_custkey AS VARCHAR), 9, '0')     AS key_pad,
+           split_part(c_name, '#', 2)                   AS name_num,
+           regexp_extract(c_name, '([1-9][0-9]*)', 1)   AS first_num,
+           regexp_replace(c_name, '0+', '', 'g')        AS no_zeros,
+           instr(c_name, '1')                           AS pos_one,
+           printf('%s:%d', c_mktsegment, c_nationkey)   AS fmt,
+           reverse(c_mktsegment)                        AS seg_rev,
+           trim('  ' || c_mktsegment || ' ')            AS seg_trim
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B43: string function family (14 functions, one projection)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_up"),
+        F.lower("c_name").alias("name_lo"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_pre"),
+        F.concat(F.col("c_name"), F.lit("|"), F.col("c_mktsegment")).alias("joined"),
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("key_pad"),
+        F.expr("split_part(c_name, '#', 2)").alias("name_num"),
+        F.regexp_extract("c_name", "([1-9][0-9]*)", 1).alias("first_num"),
+        F.regexp_replace("c_name", "0+", "").alias("no_zeros"),
+        F.instr("c_name", "1").cast("bigint").alias("pos_one"),
+        F.format_string("%s:%d", "c_mktsegment", "c_nationkey").alias("fmt"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                        AS y,
+           month(o_orderdate)                                       AS m,
+           day(o_orderdate)                                         AS d,
+           quarter(o_orderdate)                                     AS q,
+           CAST(date_trunc('month', o_orderdate) AS DATE)           AS month_start,
+           CAST(o_orderdate AS DATE) + 30                           AS plus30,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+           last_day(CAST(o_orderdate AS DATE))                      AS month_end,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+           (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS months_since_95,
+           strftime(o_orderdate, '%Y-%m')                           AS ym
+    FROM orders
+    """,
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44: date/time family. All timezone-free computations (the column is
+    read as NTZ) so results agree regardless of session timezone."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    odate = od.cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(od).alias("y"),
+        F.month(od).alias("m"),
+        F.dayofmonth(od).alias("d"),
+        F.quarter(od).alias("q"),
+        F.date_trunc("month", od).cast("date").alias("month_start"),
+        F.date_add(odate, 30).alias("plus30"),
+        F.datediff(F.lit("2002-01-01").cast("date"), odate).cast("bigint").alias("days_to_2002"),
+        F.last_day(odate).alias("month_end"),
+        F.datediff(odate, F.lit("1970-01-01").cast("date")).cast("bigint").alias("day_num"),
+        ((F.year(od) - 1995) * 12 + F.month(od) - 1).cast("bigint").alias("months_since_95"),
+        F.date_format(od, "yyyy-MM").alias("ym"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25.0)                       AS dist25,
+           floor(l_extendedprice / 1000)                AS price_k,
+           ceil(l_quantity / 7)                         AS qty7,
+           round(pow(l_linenumber, 2), 6)               AS ln2,
+           round(sqrt(l_quantity), 6)                   AS sq,
+           round(exp(l_discount), 6)                    AS e_disc,
+           round(ln(l_extendedprice), 6)                AS ln_price,
+           round(log10(l_extendedprice), 6)             AS log_price,
+           sign(l_quantity - 25.0)                      AS sgn,
+           l_orderkey % 7                               AS mod7,
+           greatest(l_quantity, l_extendedprice / 1000) AS hi,
+           least(l_quantity, l_extendedprice / 1000)    AS lo
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B45: math family. Transcendentals rounded to 6 (libm ulp drift);
+    everything else is exact IEEE or integer arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p, d_, ln_ = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount"), F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(q - 25.0).alias("dist25"),
+        F.floor(p / 1000).cast("double").alias("price_k"),
+        F.ceil(q / 7).cast("double").alias("qty7"),
+        F.round(F.pow(ln_, 2), 6).alias("ln2"),
+        F.round(F.sqrt(q), 6).alias("sq"),
+        F.round(F.exp(d_), 6).alias("e_disc"),
+        F.round(F.log(p), 6).alias("ln_price"),
+        F.round(F.log10(p), 6).alias("log_price"),
+        F.signum(q - 25.0).alias("sgn"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+        F.greatest(q, p / 1000).alias("hi"),
+        F.least(q, p / 1000).alias("lo"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                                    AS n_tokens,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3,
+           CAST(list_contains(string_split(text, ' '), 'key') AS INT)      AS has_key,
+           array_to_string(list_transform(list_slice(string_split(text, ' '), 1, 3),
+                                          x -> upper(x)), ' ')             AS up3,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        x -> length(x))) AS BIGINT)        AS tok_chars,
+           len(list_distinct(string_split(text, ' ')))                     AS n_distinct,
+           array_to_string(list_sort(list_filter(list_distinct(string_split(text, ' ')),
+                                                 x -> length(x) > 4)), ',') AS long_toks
+    FROM documents
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B46: array family — split/size/slice/contains plus the lambda
+    higher-order functions (transform/filter/aggregate), all JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.array_contains(toks, "key").cast("int").alias("has_key"),
+        F.array_join(F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), " ").alias("up3"),
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+        .cast("bigint")
+        .alias("tok_chars"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.array_join(
+            F.sort_array(F.filter(F.array_distinct(toks), lambda x: F.length(x) > 4)), ","
+        ).alias("long_toks"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT)      AS k_val,
+           map_extract(MAP {'k': CAST(json_extract_string(props, '$.k') AS INT)}, 'k')[1]
+                                                               AS k_from_map,
+           struct_pack(et := event_type, k := CAST(json_extract_string(props, '$.k') AS INT)).et
+                                                               AS et_from_struct
+    FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B47: map/struct construction and field access."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    m = F.create_map(F.lit("k"), k)
+    s = F.struct(F.col("event_type").alias("et"), k.alias("k"))
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        F.element_at(m, "k").alias("k_from_map"),
+        s.getField("et").alias("et_from_struct"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')                    AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT)       AS k_int,
+           CAST(to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INT)))
+                AS VARCHAR)                                     AS j
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B48: JSON extraction + re-serialization over events.props."""
+    ev = load_table(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k_str.alias("k_str"),
+        k_str.cast("int").alias("k_int"),
+        F.to_json(F.struct(k_str.cast("int").alias("k"))).alias("j"),
+    )
+
+
+@query(
+    "fn_null",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS seg_or_none,
+           CAST(nullif(c_mktsegment, 'BUILDING') IS NULL AS INT) AS was_building,
+           CAST(isnan(CAST('NaN' AS DOUBLE)) AS INT)             AS nan_flag,
+           CASE WHEN isnan(CAST('NaN' AS DOUBLE)) THEN round(c_acctbal, 2)
+                ELSE 0.0 END                                     AS nanvl_bal
+    FROM customer
+    """,
+)
+def fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B49: null/NaN handling — coalesce/nullif/isnan/nanvl."""
+    c = load_table(spark, sf_dir, "customer")
+    seg_n = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    nan = F.lit(float("nan"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(seg_n, F.lit("(none)")).alias("seg_or_none"),
+        seg_n.isNull().cast("int").alias("was_building"),
+        F.isnan(nan).cast("int").alias("nan_flag"),
+        F.nanvl(nan, F.round("c_acctbal", 2)).alias("nanvl_bal"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name)            AS h_md5,
+           sha256(c_name)         AS h_sha
+    FROM customer
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B50 (portable half): md5/sha256 — algorithm-defined, cross-engine."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("h_md5"),
+        F.sha2("c_name", 256).alias("h_sha"),
+    )
+
+
+@query("fn_hash_spark")  # rows-only: Spark-specific hash algorithms
+def fn_hash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B50 (engine half): xxhash64 / murmur hash / crc32 /
+    monotonically_increasing_id — Spark-defined, no DuckDB equivalent."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("h_xx"),
+        F.hash("c_name", "c_custkey").alias("h_murmur"),
+        F.crc32("c_name").alias("h_crc"),
+        F.monotonically_increasing_id().alias("row_id"),
+    )

@@ -1,0 +1,176 @@
+"""Storage layout, ingest, DDL/DML — SURVEY.md §2.A rows A3, A6, A7, A8 and
+§2.B rows B2, B3.
+
+Reference parity: this module is the idiomatic restatement of Astro's
+write path — its bulk load encoded rowkeys, range-partitioned KVs to region
+boundaries via ``HBasePartitioner`` + ``repartitionAndSortWithinPartitions``,
+and wrote HFiles (upstream ``hbaseCommands.scala``/``HBasePartitioner.scala``
+— unverified). The Spark-native analog:
+
+    df.repartitionByRange(key).sortWithinPartitions(key)
+      .write.partitionBy(...).parquet(...)
+
+which yields the same two properties Astro's layout bought: (1) key-range →
+file pruning (partition directories + footer min/max ≈ region boundaries),
+(2) physical key order within files (rowkey sort order).
+
+Scale notes: at 100 TB the partition column must be low-cardinality
+(status/date-bucket, never raw keys), and repartitionByRange samples the key
+distribution so output files are even-sized regardless of skew.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from backup_repo_spark.registry import query
+from backup_repo_spark.session import load_table
+
+
+def _tmpdir(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"brs_{tag}_")
+
+
+@query(
+    "bulk_write_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def bulk_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/B3: bulk load — range-partition by the 'rowkey' (o_orderkey), sort
+    within partitions, write partitioned parquet, read it back and aggregate.
+    The oracle runs on the source table: the round-trip must be lossless."""
+    out = _tmpdir("bulk")
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "partition_pruning",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: Astro's critical-point rowkey-range pruning, reproduced by layout:
+    a scan of a status-partitioned table with a status predicate reads ONE
+    partition directory (explain() shows it as a PartitionFilter, asserted in
+    tests/test_plans.py)."""
+    out = _tmpdir("prune")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O")
+    return (
+        back.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "ingest_csv",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total,
+           CAST(min(o_orderdate) AS DATE) AS first_day
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: Astro's LOAD DATA analog — CSV out, CSV in with an explicit
+    StructType (no inference: declared schemas, like Astro's DDL-mapped
+    tables), aggregate must match the parquet source exactly."""
+    out = _tmpdir("csv")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").option("header", True).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min("o_orderdate").cast("date").alias("first_day"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "insert_select",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n FROM (
+      SELECT o_orderstatus FROM orders WHERE o_totalprice > 300000
+      UNION ALL
+      SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) u GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: INSERT INTO ... SELECT (Astro's Put-encoding DML) — two inserts
+    into a catalog parquet table, then aggregate; oracle is the equivalent
+    UNION ALL over the source."""
+    out = _tmpdir("ins")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_src")
+    spark.sql("DROP TABLE IF EXISTS brs_insert_tgt")
+    spark.sql(
+        f"CREATE TABLE brs_insert_tgt (o_orderstatus STRING) USING parquet LOCATION '{out}/t'"
+    )
+    spark.sql(
+        "INSERT INTO brs_insert_tgt SELECT o_orderstatus FROM orders_src WHERE o_totalprice > 300000"
+    )
+    spark.sql(
+        "INSERT INTO brs_insert_tgt "
+        "SELECT o_orderstatus FROM orders_src WHERE o_orderpriority = '1-URGENT'"
+    )
+    return spark.sql(
+        "SELECT o_orderstatus, count(*) AS n FROM brs_insert_tgt "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
+@query("ddl_roundtrip")  # rows-only: DESCRIBE output is engine-specific
+def ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: DDL surface — CREATE TABLE (declared schema, Astro's MAPPED BY
+    analog), INSERT, DESCRIBE, DROP; returns the described schema rows."""
+    out = _tmpdir("ddl")
+    spark.sql("DROP TABLE IF EXISTS brs_ddl_tbl")
+    spark.sql(
+        "CREATE TABLE brs_ddl_tbl (k BIGINT, name STRING, price DOUBLE) "
+        f"USING parquet LOCATION '{out}/t'"
+    )
+    spark.sql("INSERT INTO brs_ddl_tbl VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5)")
+    described = spark.sql("DESCRIBE TABLE brs_ddl_tbl").select("col_name", "data_type")
+    n = spark.sql("SELECT count(*) AS n FROM brs_ddl_tbl")
+    result = described.withColumn("n_rows", F.lit(n.collect()[0][0]))
+    # Materialize before dropping the table the plan reads from.
+    result = spark.createDataFrame(result.collect(), result.schema)
+    spark.sql("DROP TABLE IF EXISTS brs_ddl_tbl")
+    return result

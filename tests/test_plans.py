@@ -1,0 +1,82 @@
+"""Physical-plan assertions — the connector-parity proof (SURVEY.md §2.A/§4).
+
+Astro's value proposition was pushdown + pruning + partial aggregation at the
+storage layer. These tests assert our plans actually have those properties —
+a query that silently full-scans would still pass the value checks, so the
+plan IS part of the contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from backup_repo_spark import registry
+from backup_repo_spark.session import load_table
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = registry.QUERIES["filter_pushdown"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "o_totalprice" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_column_pruning_shrinks_read_schema(spark):
+    df = registry.QUERIES["column_pruning"](spark, SF_DIR)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" in read_schema and "l_discount" in read_schema
+    # none of the other 9 lineitem columns may be read
+    for col in ["l_orderkey", "l_extendedprice", "l_shipdate", "l_quantity"]:
+        assert col not in read_schema
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    out = str(tmp_path / "part")
+    load_table(spark, SF_DIR, "orders").write.partitionBy("o_orderstatus").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O")
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "o_orderstatus" in pf
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = registry.QUERIES["join_star_5way"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    df = registry.QUERIES["topk_revenue"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_is_two_phase_partial_final(spark):
+    df = registry.QUERIES["partial_agg"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_join_hints_respected(spark):
+    sm = plan_of(registry.QUERIES["join_sortmerge"](spark, SF_DIR))
+    assert "SortMergeJoin" in sm
+    sh = plan_of(registry.QUERIES["join_shufflehash"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in sh
+
+
+def test_whole_stage_codegen_active(spark):
+    df = registry.QUERIES["agg_tpch_q1"](spark, SF_DIR)
+    df.collect()  # AQE materializes the final (codegen'd) stages only on execution
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    ex = df._jdf.queryExecution().explainString(mode)
+    n = int(ex.split("Found ")[1].split(" WholeStageCodegen")[0])
+    assert n >= 1, ex[:300]
