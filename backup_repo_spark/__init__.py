@@ -10,6 +10,7 @@ from backup_repo_spark import registry, session  # noqa: F401
 
 # Import every query module for its registration side effects.
 from backup_repo_spark.functions import packs  # noqa: F401
+from backup_repo_spark.llm import dedup, multimodal, simsearch, textstats  # noqa: F401
 from backup_repo_spark.operators import (  # noqa: F401
     aggregates,
     joins,
@@ -21,6 +22,8 @@ from backup_repo_spark.operators import (  # noqa: F401
     windows,
 )
 from backup_repo_spark.sources import layout  # noqa: F401
+from backup_repo_spark.streaming import live as streaming_live  # noqa: F401
 from backup_repo_spark.streaming import windows as streaming_windows  # noqa: F401
+from backup_repo_spark.udx import surface as udx_surface  # noqa: F401
 
 __all__ = ["registry", "session"]

@@ -1,0 +1,207 @@
+"""Deduplication operators for training-data pipelines — SURVEY.md §2.C
+C9/C10 plus the driver-brief extensions (MinHash signatures, SimHash,
+n-gram Jaccard). Not in the reference (Astro predates this workload class);
+designed Spark-first for 100 TB corpora.
+
+Scale strategy per operator:
+- exact: hash-groupBy on md5(text) — shuffle carries 16-byte keys, not
+  documents. At 100 TB, group on (length(text), md5) to short-circuit.
+- minhash signature: per-doc map-only computation (no shuffle at all);
+  signatures then feed band-bucket joins.
+- LSH candidate pairs: pyspark.ml MinHashLSH approxSimilarityJoin — the
+  O(n·bands) alternative to the O(n²) pair space.
+- n-gram Jaccard: exact verification for candidate pairs; the shingle
+  self-join is quadratic per hot shingle, so at scale it runs AFTER an LSH
+  candidate filter, never on the full corpus (here the corpus is small and
+  the full join doubles as the oracle check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backup_repo_spark.registry import query
+from backup_repo_spark.session import load_table
+
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS th, min(doc_id) AS keeper, count(*) AS copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: exact dedup via content hash. keeper = min(doc_id) makes survivor
+    choice deterministic (dropDuplicates would keep an arbitrary row)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("th")).agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("copies")
+    )
+
+
+@query(
+    "llm_minhash_signature",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tk),
+    shingles AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM idx WHERE i <= len(toks) - 2
+    )
+    SELECT doc_id,
+           min(md5('s1-' || sh)) AS mh1,
+           min(md5('s2-' || sh)) AS mh2,
+           min(md5('s3-' || sh)) AS mh3,
+           min(md5('s4-' || sh)) AS mh4
+    FROM shingles GROUP BY doc_id
+    """,
+)
+def llm_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with md5-family hash functions — fully
+    deterministic and engine-independent (unlike ml.MinHashLSH's internal
+    hashes), so the oracle can verify the signature values themselves.
+    Map-only: shingle → 4 salted hashes → min. Zero shuffle before the
+    final per-doc aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    # 3-gram shingles via transform over token positions
+    sh = F.array_distinct(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        )
+    )
+    ex = d.select("doc_id", F.explode(sh).alias("sh"))
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"s{i}-"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(1, 5)
+        ]
+    )
+
+
+@query(
+    "llm_dedup_ngram",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tk),
+    shingles AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM idx WHERE i <= len(toks) - 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.35
+    """,
+)
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-shingle) Jaccard near-dup pairs at threshold 0.35.
+
+    The shingle equi-self-join computes |A∩B| without materializing the pair
+    space; at 100 TB this stage runs only on LSH candidate pairs (the
+    shingle join is quadratic in the hottest shingle's doc-frequency)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        )
+    )
+    shingles = d.select("doc_id", F.explode(sh).alias("sh"))
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .filter(jac >= 0.35)
+        .select("da", "db", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query("llm_dedup_minhash_lsh")  # rows-only: ml.MinHashLSH hash family is impl-specific
+def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: MinHash-LSH candidate pairs via pyspark.ml (seeded, deterministic
+    within Spark). Shingle → HashingTF sparse vector → MinHashLSH →
+    approxSimilarityJoin. This is the O(n·bands) scale path whose exact
+    verification is llm_dedup_ngram."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        )
+    )
+    docs = d.select("doc_id", sh.alias("shingles")).filter(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 14)
+    feat = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.65, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("da"),
+            F.col("datasetB.doc_id").alias("db"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_est"),
+        )
+    )
+
+
+@query("llm_dedup_simhash")  # rows-only: bit-majority fingerprint, Spark-side definition
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints: per-token 32-bit hash (crc32 of the
+    token — deterministic), bit-majority over tokens → fingerprint; docs
+    grouped by fingerprint. Map-only per doc; fingerprint equality (or low
+    Hamming distance) is the near-dup signal at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    hashes = F.transform(toks, lambda x: F.crc32(x))
+    # majority vote per bit position: sum(sign(bit)) > half
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
+            )
+            * 2
+            > F.size(toks),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        for b in range(16)
+    ]
+    fp = sum((bits[b] * F.lit(1 << b) for b in range(16)), start=F.lit(0))
+    return (
+        d.select("doc_id", fp.alias("simhash16"))
+        .groupBy("simhash16")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )

@@ -1,0 +1,117 @@
+"""Multimodal column handling — SURVEY.md §2.C C13 plus the driver-brief
+binary-decode pipeline. Media bytes are opaque ``binary`` columns with typed
+metadata; decode/feature-extract runs as Arrow-batched Pandas in
+``mapInPandas`` (the real 100 TB pattern: the Python stage sees columnar
+batches, never rows).
+
+The container has no image/audio libraries, so the decoder is a
+deterministic fake (documented below) — the Spark-side plumbing (binary
+schema, Arrow batch shape, partition-parallel decode) is real and
+oracle-verified because the fake is mirrorable in SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from backup_repo_spark.registry import query
+from backup_repo_spark.session import load_table
+
+
+@query(
+    "llm_multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, e.label, d.n_chars,
+           len(e.embedding) AS dim,
+           round(sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def llm_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13: text ⋈ embedding modality join with typed metadata projection.
+    Embedding side is broadcast at dim-table size; at corpus scale both
+    sides co-bucket on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(ed, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return d.join(F.broadcast(e), d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "label",
+        "n_chars",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(norm, 4).alias("norm"),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """FAKE image decoder (no image libs in this container — see module
+    docstring). Deterministically derives "dimensions" from the first bytes
+    of the payload; a real decoder (PIL/libvips) drops in here unchanged:
+    same signature, same Arrow batch flow.
+    """
+    for pdf in batches:
+        payload = pdf["img"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": payload.apply(lambda b: b[0]).astype("int32"),
+                "height": payload.apply(lambda b: b[1]).astype("int32"),
+                "channels": payload.apply(lambda b: b[2] % 4 + 1).astype("int32"),
+                "n_bytes": payload.apply(len).astype("int32"),
+            }
+        )
+
+
+_HEX = "0123456789abcdef"
+
+
+def _hexpair_sql(col: str, i: int) -> str:
+    """DuckDB: value of hex byte at 1-based string position i (oracle mirror
+    of `payload[k]` byte indexing in the decoder)."""
+    return (
+        f"(instr('{_HEX}', substr({col}, {i}, 1)) - 1) * 16"
+        f" + instr('{_HEX}', substr({col}, {i + 1}, 1)) - 1"
+    )
+
+
+@query(
+    "llm_multimodal_decode",
+    oracle=f"""
+    SELECT doc_id,
+           {_hexpair_sql("md5(text)", 1)} AS width,
+           {_hexpair_sql("md5(text)", 3)} AS height,
+           ({_hexpair_sql("md5(text)", 5)}) % 4 + 1 AS channels,
+           16 AS n_bytes
+    FROM documents
+    """,
+)
+def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline: synthesize a binary payload
+    (md5 digest bytes — deterministic fake "image"), then decode it with an
+    Arrow-batched ``mapInPandas`` stage extracting typed metadata. The
+    oracle recomputes the same bytes from the hex digest — verifying the
+    binary plumbing end-to-end, not just the row count."""
+    d = load_table(spark, sf_dir, "documents")
+    with_img = d.select("doc_id", F.unhex(F.md5("text")).alias("img"))
+    decoded = with_img.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
+    return decoded

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns — SURVEY.md §2.C C11 plus the
+ANN scale path from the driver brief. embeddings.embedding is
+array<float>, 64-dim (FIXTURES.md).
+
+Scale strategy: brute-force cosine is the exactness baseline (O(n) per
+query, fine when the query set is small and the corpus is broadcast-joinable
+per partition). The IVF-style variant buckets vectors by a deterministic
+coarse code (sign bits of leading dimensions) so a probe touches ~1/2^k of
+the corpus — the partition-pruning idea applied to vector space.
+
+Oracle note: DuckDB's list_cosine_similarity computes in float32 (measured
+~1e-6 off from float64) — the oracle instead recomputes in DOUBLE via
+zip-unnest so both engines do the same double-precision math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backup_repo_spark.registry import query
+from backup_repo_spark.session import load_table
+
+
+def _cosine(a, b):
+    """Double-precision cosine between two array<float> columns (JVM-side,
+    higher-order functions — no UDF)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+@query(
+    "llm_sim_search",
+    oracle="""
+    WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+    pairs AS (
+      SELECT v.vec_id,
+             CAST(unnest(v.embedding) AS DOUBLE) AS x,
+             CAST(unnest(q.e) AS DOUBLE) AS y
+      FROM embeddings v, q WHERE v.vec_id <> 0
+    ), scored AS (
+      SELECT vec_id,
+             sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+      FROM pairs GROUP BY vec_id
+    )
+    SELECT vec_id, round(cos, 6) AS cos_sim
+    FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: brute-force cosine top-k (k=10, query = vec_id 0) in double
+    precision, entirely with JVM higher-order functions — no Python in the
+    scoring loop. The 1-row query side is a broadcast cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cand = emb.filter(F.col("vec_id") != 0)
+    return (
+        cand.crossJoin(F.broadcast(qv))
+        .select("vec_id", _cosine(F.col("embedding"), F.col("qe")).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "llm_embed_neardup",
+    oracle="""
+    WITH v AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb, a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.label = b.label
+    ), pairs AS (
+      SELECT ida, idb,
+             CAST(unnest(ea) AS DOUBLE) AS x, CAST(unnest(eb) AS DOUBLE) AS y
+      FROM v
+    ), scored AS (
+      SELECT ida, idb, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+      FROM pairs GROUP BY ida, idb
+    )
+    SELECT ida, idb, round(cos, 6) AS cos_sim
+    FROM scored WHERE cos > 0.24
+    """,
+)
+def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (the blocking
+    key stands in for an LSH bucket: candidate pairs only form within a
+    block, collapsing the O(n²) pair space — same pattern as bucketed LSH at
+    100 TB)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("ida"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("idb"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    )
+    cos = _cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("ida") < F.col("idb")))
+        .select("ida", "idb", cos.alias("cos"))
+        .filter(F.col("cos") > 0.24)
+        .select("ida", "idb", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+@query("llm_sim_search_ivf")  # rows-only: ANN recall is approximate by design
+def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-style ANN: coarse code = sign bits of the first 4 dimensions
+    (16 deterministic buckets). The probe scans only the query's bucket —
+    ~1/16 of the corpus — then exact-scores within it. Returns top-10 of the
+    probed bucket (approximate: recall < 1 vs llm_sim_search by design)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    code = sum(
+        (
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(4)
+        ),
+        start=F.lit(0),
+    ).alias("bucket")
+    coded = emb.select("vec_id", "embedding", code)
+    qv = coded.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        coded.join(F.broadcast(qv), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "bucket", _cosine(F.col("embedding"), F.col("qe")).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+        .select("vec_id", "bucket", F.round("cos", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,162 @@
+"""Text analysis for training-data pipelines — SURVEY.md §2.C C12/C14 plus
+driver-brief extensions (language-ID heuristic, quality scoring, document
+fingerprinting). All JVM-side (split/explode/aggregate) — token work never
+leaves codegen.
+
+Scale notes: token-frequency is the canonical partial-agg win (map-side
+combine collapses each partition to |vocab| rows). Per-doc scores are
+map-only. Nothing here shuffles more than once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backup_repo_spark.registry import query
+from backup_repo_spark.session import load_table
+
+_STOPWORDS = ["a", "the", "of", "and", "to"]
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: corpus token frequency + document frequency, top-20."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "llm_quality_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT source, doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             n_chars * 1.0 / len(string_split(text, ' ')) AS chars_per_tok,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['a','the','of','and','to'], t))) * 1.0
+               / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents
+    )
+    SELECT source, count(*) AS n_kept,
+           round(avg(chars_per_tok), 4) AS avg_cpt,
+           round(avg(stop_ratio), 4) AS avg_stop
+    FROM scored
+    WHERE n_tokens >= 20 AND chars_per_tok >= 3.0 AND stop_ratio < 0.5
+    GROUP BY source ORDER BY source
+    """,
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14: quality-score pipeline — length, chars-per-token, stopword ratio
+    → composed filter → per-source survival stats. The score computation is
+    map-only; only the final per-source aggregate shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    cpt = F.col("n_chars") / n_tokens
+    stops = F.array([F.lit(s) for s in _STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stops, t))) / n_tokens
+    scored = d.select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        cpt.alias("chars_per_tok"),
+        stop_ratio.alias("stop_ratio"),
+    )
+    return (
+        scored.filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("chars_per_tok") >= 3.0)
+            & (F.col("stop_ratio") < 0.5)
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("chars_per_tok"), 4).alias("avg_cpt"),
+            F.round(F.avg("stop_ratio"), 4).alias("avg_stop"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "llm_lang_id",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['a','the','of','and','to'], t))) * 1.0
+               / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lang,
+             CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS lang_guess
+      FROM f
+    )
+    SELECT lang, lang_guess, count(*) AS n
+    FROM g GROUP BY lang, lang_guess ORDER BY lang, lang_guess
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English-stopword density → en/other guess,
+    cross-tabulated against the ground-truth lang column (a confusion
+    matrix). The n-gram-profile approach degenerates on this synthetic
+    single-vocabulary corpus, so the feature is stopword density — the
+    heuristic's Spark plumbing (token filter ratios, case routing) is the
+    operator under test."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stops = F.array([F.lit(s) for s in _STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stops, t))) / F.size(toks)
+    g = d.select(
+        "lang",
+        F.when(stop_ratio >= 0.08, "en").otherwise("other").alias("lang_guess"),
+    )
+    return (
+        g.groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tk),
+    shingles AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM idx WHERE i <= len(toks) - 2
+    )
+    SELECT doc_id, min(md5(sh)) AS fingerprint,
+           substr(min(md5(sh)), 1, 8) AS fp_short
+    FROM shingles GROUP BY doc_id
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: rolling 3-gram windows hashed (md5 — the
+    engine-independent stand-in for a rolling hash), min-selected per doc
+    (winnowing with w = doc length). Map-only per document."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)),
+    )
+    hashed = F.transform(sh, lambda s: F.md5(s))
+    fp = F.array_min(hashed)
+    return d.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("fp_short")
+    )

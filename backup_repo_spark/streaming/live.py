@@ -1,0 +1,180 @@
+"""Live Structured Streaming operators — SURVEY.md §2.C rows C5–C8.
+
+These run REAL streaming queries (readStream → transform → writeStream to a
+memory sink, Trigger.AvailableNow), then return the sink table as the result
+DataFrame. The reference has no streaming at all (Astro, 2015 — predates
+Structured Streaming); this is north-star extension surface.
+
+Scale notes: watermarks bound state-store size (events later than watermark
+are dropped, state older than watermark is evicted); at 100 TB/day the state
+store would be RocksDB-backed with checkpointing to object storage — here
+the in-memory HDFS-backed store with a temp checkpoint dir exercises the
+same code path. AvailableNow processes the backlog in bounded batches and
+terminates — the batch-parity mode that makes results comparable to a SQL
+oracle at all.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from backup_repo_spark.registry import query
+
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw INT64 nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a stream: file source with declared schema (file
+    streams require one), nanos→µs timestamp reconstruction as in the batch
+    loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # File-stream sources require a directory: stream the sf dir, glob-filtered
+    # to the events file.
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def _run_to_table(df: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion into a memory sink and
+    return the sink contents."""
+    name = f"brs_sink_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="brs_ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "stream_watermark",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+           count(*) AS n, round(sum(value), 2) AS sv
+    FROM events
+    GROUP BY 1
+    HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR
+           <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: watermarked tumbling aggregation as a LIVE streaming query in
+    append mode. Append emits a window only once the watermark
+    (max(ts) − 10 min) passes its end — so the final, never-closed window is
+    withheld. The oracle encodes exactly that finalization rule (HAVING
+    window_end <= max(ts) − 10 min), verifying the watermark semantics, not
+    just the arithmetic."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_s"), "n", "sv")
+    )
+    return _run_to_table(agg, "append")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: streaming deduplication on event_id within the watermark, then a
+    per-type count in the same query (complete mode). event_id is unique in
+    the testdata, so dedup is the identity — verified against the batch
+    count; the state-store dedup path still executes for every row."""
+    ev = _stream_events(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return _run_to_table(agg, "complete")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sv
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: stream ⋈ static dimension (the streaming-ETL enrichment shape;
+    the static side is broadcast per micro-batch)."""
+    ev = _stream_events(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv")
+    )
+    return _run_to_table(agg, "complete")
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: arbitrary stateful processing — applyInPandasWithState keeps a
+    (count, sum) state per user across micro-batches. AvailableNow bounds
+    the run; final state per user equals the batch aggregate (oracle)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    ev = _stream_events(spark, sf_dir)
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=_STATE_SCHEMA,
+        stateStructType="n BIGINT, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_table(result, "update")

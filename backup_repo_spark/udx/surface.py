@@ -1,0 +1,191 @@
+"""UDF / UDAF / UDTF surface — SURVEY.md §2.D rows D1–D6.
+
+Reference parity: Astro exposed Spark 1.4's (Scala) UDF registration;
+Python UDxs are our modernized equivalent. The performance ladder these
+queries demonstrate, worst → best (SURVEY.md §3.2 boundary-crossing notes):
+
+  row-at-a-time @udf  <  Arrow-batched @pandas_udf  <  built-in functions
+
+Every UDx here also has a built-in/SQL-expressible definition, which is what
+makes the DuckDB oracles possible — the POINT of each query is the execution
+path (serialization boundary, batch shape), not novel math.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udf
+
+from backup_repo_spark.registry import query
+from backup_repo_spark.session import load_table
+
+
+@query(
+    "udf_scalar",
+    oracle="""
+    SELECT doc_id, n_chars, CAST(n_chars // 100 AS BIGINT) AS size_bucket
+    FROM documents
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: row-at-a-time Python UDF (the slow path — one Python call per
+    row; kept off every hot path in this engine, present for surface
+    parity)."""
+
+    @udf(returnType=T.LongType())
+    def size_bucket(n_chars: int) -> int:
+        return n_chars // 100
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "n_chars", size_bucket("n_chars").alias("size_bucket"))
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_len
+    FROM documents
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: vectorized scalar pandas_udf — Arrow batches, ~10-100× the
+    row-at-a-time path (SNIPPETS.md pattern)."""
+
+    @pandas_udf(T.LongType())
+    def n_tokens(text: pd.Series) -> pd.Series:
+        return text.str.split(" ").str.len().astype("int64")
+
+    @pandas_udf(T.LongType())
+    def n_len(text: pd.Series) -> pd.Series:
+        return text.str.len().astype("int64")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", n_tokens("text").alias("n_tokens"), n_len("text").alias("n_len"))
+
+
+@query(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT event_type,
+           round(sum(value * (CAST(json_extract_string(props, '$.k') AS INT) + 1))
+                 / sum(CAST(json_extract_string(props, '$.k') AS INT) + 1), 4)
+             AS weighted_avg
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: grouped-aggregate pandas_udf (UDAF) — weighted mean per group;
+    each group's columns arrive as whole pandas Series."""
+
+    @pandas_udf(T.DoubleType())
+    def weighted_avg(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (F.get_json_object("props", "$.k").cast("int") + 1).alias("w")
+    return (
+        ev.select("event_type", "value", w)
+        .groupBy("event_type")
+        .agg(F.round(weighted_avg("value", "w"), 4).alias("weighted_avg"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+    FROM events
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: grouped-map applyInPandas — per-group z-score normalization, the
+    canonical per-entity-normalize stage of a feature pipeline."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "z": ((v - v.mean()) / v.std(ddof=1)).round(4),
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "event_type", "value").groupBy("event_type").applyInPandas(
+        zscore, schema=schema
+    )
+
+
+@query(
+    "udtf_expand",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: UDTF — one input row expands to N output rows (token, position).
+    Uses posexplode as the table-function mechanism (Python @udtf exists on
+    Spark 3.5+, but the lateral expansion itself is the operator; the
+    JVM-side form keeps it in codegen)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+    ).select("doc_id", "token", (F.col("pos0") + 1).cast("bigint").alias("pos"))
+
+
+@query(
+    "udf_map_in_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net,
+           CAST(l_quantity >= 25 AS INT) AS bulk_flag
+    FROM lineitem
+    """,
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: mapInPandas — whole-DataFrame Arrow-batch transform (the shape
+    every Python pipeline stage should take: columnar in, columnar out)."""
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("net", T.DoubleType()),
+            T.StructField("bulk_flag", T.IntegerType()),
+        ]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": pdf["l_orderkey"],
+                    "l_linenumber": pdf["l_linenumber"],
+                    "net": pdf["l_extendedprice"] * (1 - pdf["l_discount"]),
+                    "bulk_flag": (pdf["l_quantity"] >= 25).astype("int32"),
+                }
+            )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"
+    ).mapInPandas(stage, schema=schema)
