@@ -140,7 +140,7 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_dedup_minhash_lsh")  # rows-only: ml.MinHashLSH hash family is impl-specific
+@query("llm_dedup_minhash")  # rows-only: ml.MinHashLSH hash family is impl-specific
 def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: MinHash-LSH candidate pairs via pyspark.ml (seeded, deterministic
     within Spark). Shingle → HashingTF sparse vector → MinHashLSH →

@@ -66,11 +66,24 @@ def get_spark(
     return builder.getOrCreate()
 
 
+# (session id, sf_dir, table) -> DataFrame. DataFrames are immutable logical
+# plans, so caching them is safe; it skips repeated footer/file-listing reads
+# when many queries touch the same table (the registry calls load_table per
+# query invocation).
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; `events` gets the nanos→timestamp fix."""
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (id(spark), sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
