@@ -19,6 +19,7 @@ from backup_repo_spark.operators import (  # noqa: F401
     setops,
     sorts,
     subqueries,
+    tpch_more,
     windows,
 )
 from backup_repo_spark.sources import layout  # noqa: F401

@@ -174,3 +174,79 @@ def ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(result.collect(), result.schema)
     spark.sql("DROP TABLE IF EXISTS brs_ddl_tbl")
     return result
+
+
+@query(
+    "bulk_bucketed_join",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def bulk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the 100 TB fact⋈fact answer. Both tables
+    are written bucketed+sorted on the join key (Astro's region-aligned
+    layout, as Spark bucketing); the join then needs NO exchange on either
+    side (asserted in tests/test_plans.py). At 100 TB this converts the
+    biggest shuffle in the workload into a zero-network merge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    spark.sql("DROP TABLE IF EXISTS brs_li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS brs_o_bucketed")
+    # The in-memory catalog forgets managed tables across sessions but their
+    # warehouse directories persist — remove them or CREATE fails with
+    # LOCATION_ALREADY_EXISTS.
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in ("brs_li_bucketed", "brs_o_bucketed"):
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+    (
+        li.select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("brs_li_bucketed")
+    )
+    (
+        o.select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("brs_o_bucketed")
+    )
+    lb = spark.table("brs_li_bucketed")
+    ob = spark.table("brs_o_bucketed").hint("merge")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "inmem_source",
+    oracle="""
+    SELECT r.r_name, t.tier
+    FROM region r JOIN (VALUES (0, 'core'), (1, 'growth'), (2, 'growth'),
+                               (3, 'core'), (4, 'frontier')) AS t(rk, tier)
+      ON r.r_regionkey = t.rk
+    ORDER BY r.r_name
+    """,
+)
+def inmem_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: in-memory source — createDataFrame from driver rows (the lookup/
+    config-table pattern), broadcast-joined against a scan."""
+    tiers = spark.createDataFrame(
+        [(0, "core"), (1, "growth"), (2, "growth"), (3, "core"), (4, "frontier")],
+        schema="rk INT, tier STRING",
+    )
+    r = load_table(spark, sf_dir, "region")
+    return (
+        r.join(F.broadcast(tiers), r.r_regionkey == tiers.rk)
+        .select("r_name", "tier")
+        .orderBy("r_name")
+    )

@@ -50,6 +50,11 @@ EXTENSION_KEYS = [
     "llm_minhash_signature", "llm_dedup_simhash", "llm_dedup_ngram",
     "llm_embed_neardup", "llm_sim_search_ivf", "llm_lang_id",
     "llm_fingerprint", "llm_multimodal_decode", "fn_hash_spark",
+    # composed TPC-H-style analytics + type-system extensions
+    "tpch_q4_style", "tpch_q6_style", "tpch_q12_style", "tpch_q14_style",
+    "agg_decimal", "fn_interval",
+    # layout extensions
+    "bulk_bucketed_join", "inmem_source",
 ]
 
 

@@ -80,3 +80,13 @@ def test_whole_stage_codegen_active(spark):
     ex = df._jdf.queryExecution().explainString(mode)
     n = int(ex.split("Found ")[1].split(" WholeStageCodegen")[0])
     assert n >= 1, ex[:300]
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    df = registry.QUERIES["bulk_bucketed_join"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "SortMergeJoin" in plan
+    # Bucketed scans satisfy the join's distribution: the only exchanges
+    # allowed are ABOVE the join (final agg + sort), i.e. at most 2.
+    n_exchange = plan.count("+- Exchange") + plan.count("   Exchange")
+    assert n_exchange <= 2, f"bucketed join still shuffles: {n_exchange} exchanges\n{plan}"
