@@ -16,9 +16,12 @@ from backup_repo_spark.operators import (  # noqa: F401
     joins,
     projections,
     scans,
+    reshape,
     setops,
+    skew,
     sorts,
     subqueries,
+    timeseries,
     tpch_more,
     windows,
 )

@@ -1,0 +1,148 @@
+"""Reshape & sampling surface — pivot/unpivot, crosstab, deterministic
+sampling, lateral join.
+
+Reference parity: none of these exist in Astro (Spark 1.4 had no
+pivot/unpivot/lateral); they are part of the modern Spark SQL surface a user
+switching from the reference to this engine gets for free, and the driver
+brief's "complete relational surface" requires them.
+
+Scale notes (100 TB): pivot with an explicit value list compiles to one
+hash aggregate with N conditional columns — one shuffle, no per-value scans.
+Unpivot (melt) is a generator projection: zero shuffles, output is |values|×
+input rows, so at scale prefer unpivoting AFTER filtering/aggregation.
+Hash-based sampling pushes to the scan (deterministic, repartition-safe,
+re-runnable — unlike rand()-based sampling which resamples per task retry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backup_repo_spark.registry import query
+from backup_repo_spark.session import load_table
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): quantity by returnflag × linestatus. The explicit
+    value list ["O","F"] keeps it a single-pass aggregate (no extra job to
+    discover distinct values — important at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide→long): three measure columns into (measure, val)
+    rows. Pure projection+generate — no shuffle. Values are projected raw
+    (per-row doubles are bit-identical across engines; FIXTURES.md hazard 2
+    applies only to aggregates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+@query(
+    "stat_crosstab",
+    oracle="""
+    SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag_l_linestatus,
+           sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O,
+           sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via df.stat.crosstab — the DataFrameStatFunctions
+    surface (Spark's built-in EDA ops)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.stat.crosstab("l_returnflag", "l_linestatus")
+
+
+@query(
+    "sample_hash",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% hash sample (md5 first hex digit ∈ {0,1}).
+    Unlike df.sample()/TABLESAMPLE (rand-based: partitioning- and
+    retry-dependent), a key-hash sample is reproducible across engines,
+    cluster sizes, and task retries — the correct way to subsample 100 TB
+    for a sketch pipeline. md5 chosen because it is engine-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    sampled = o.filter(
+        F.expr("substr(md5(cast(o_orderkey as string)), 1, 1)").isin("0", "1")
+    )
+    return (
+        sampled.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("sample_stratified")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling via df.stat.sampleBy — different fraction per
+    stratum (the class-rebalancing pattern for training-data pipelines).
+    rand-based → rows-only oracle (sampled counts are partitioning-
+    dependent by design); the returned per-stratum counts bound the check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sampled = li.stat.sampleBy("l_returnflag", {"R": 0.2, "A": 0.1, "N": 0.05}, seed=42)
+    return (
+        sampled.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+_LATERAL = """
+    SELECT r.r_name, t.n_nations, t.top_nationkey
+    FROM region r,
+    LATERAL (
+      SELECT count(*) AS n_nations, max(n_nationkey) AS top_nationkey
+      FROM nation WHERE n_regionkey = r.r_regionkey
+    ) t
+    ORDER BY r.r_name
+"""
+
+
+@query("join_lateral", oracle=_LATERAL)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery in the FROM clause — per-outer-row
+    aggregate. Catalyst decorrelates it into an aggregate + join on the
+    correlation key (no per-row re-execution), so it scales like a join."""
+    for t in ("region", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL)

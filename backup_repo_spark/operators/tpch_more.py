@@ -181,3 +181,96 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (odate - F.expr("INTERVAL 7 DAY")).cast("date").alias("week_before"),
         (odate + F.expr("INTERVAL 1 YEAR")).cast("date").alias("next_year"),
     )
+
+
+def _sql(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataFrame:
+    from backup_repo_spark.session import load_table as _lt
+
+    for t in tables:
+        _lt(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+_Q13 = """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("tpch_q13_style", oracle=_Q13)
+def tpch_q13_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: customer order-count distribution — outer join preserving
+    zero-order customers, then a second aggregation over the first's output
+    (the classic two-level agg; count(col) vs count(*) NULL semantics)."""
+    return _sql(spark, sf_dir, _Q13, ["customer", "orders"])
+
+
+_Q15 = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s_suppkey
+"""
+
+
+@query("tpch_q15_style", oracle=_Q15)
+def tpch_q15_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: top supplier by quarter revenue — CTE reused by body and
+    scalar-max subquery. Revenue summed in DECIMAL so the max-equality
+    predicate is exact (a double sum would make `= max` partition-order
+    dependent)."""
+    return _sql(spark, sf_dir, _Q15, ["supplier", "lineitem"])
+
+
+_Q18 = """
+    SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price,
+           CAST(big.sum_qty AS DOUBLE) AS total_qty
+    FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 140) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_qty DESC, o.o_orderkey
+"""
+
+
+@query("tpch_q18_style", oracle=_Q18)
+def tpch_q18_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: large-volume orders — HAVING over an exact DECIMAL sum
+    (threshold comparisons on double sums are a cross-engine trap), joined
+    back to orders+customer."""
+    return _sql(spark, sf_dir, _Q18, ["lineitem", "orders", "customer"])
+
+
+_Q22 = """
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+            FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+"""
+
+
+@query("tpch_q22_style", oracle=_Q22)
+def tpch_q22_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: rich customers with no large orders — anti-join (NOT EXISTS) +
+    scalar-avg threshold. The average is exact-decimal-sum ÷ count cast to
+    double — bit-identical across engines, so the > comparison is stable."""
+    return _sql(spark, sf_dir, _Q22, ["customer", "orders"])

@@ -52,9 +52,17 @@ EXTENSION_KEYS = [
     "llm_fingerprint", "llm_multimodal_decode", "fn_hash_spark",
     # composed TPC-H-style analytics + type-system extensions
     "tpch_q4_style", "tpch_q6_style", "tpch_q12_style", "tpch_q14_style",
+    "tpch_q13_style", "tpch_q15_style", "tpch_q18_style", "tpch_q22_style",
     "agg_decimal", "fn_interval",
     # layout extensions
     "bulk_bucketed_join", "inmem_source",
+    # reshape / sampling / lateral
+    "agg_pivot", "reshape_unpivot", "stat_crosstab", "sample_hash",
+    "sample_stratified", "join_lateral",
+    # skew-resilient patterns
+    "join_skew_salted", "agg_skew_twophase",
+    # time-series
+    "ts_resample_gapfill", "ts_daily_ohlc",
 ]
 
 
