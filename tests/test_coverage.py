@@ -63,6 +63,8 @@ EXTENSION_KEYS = [
     "join_skew_salted", "agg_skew_twophase",
     # time-series
     "ts_resample_gapfill", "ts_daily_ohlc",
+    # custom Python DataSource connector (the Astro-connector analog)
+    "dsv2_scan_pushdown",
 ]
 
 

@@ -90,3 +90,27 @@ def test_bucketed_join_has_no_join_exchange(spark):
     # allowed are ABOVE the join (final agg + sort), i.e. at most 2.
     n_exchange = plan.count("+- Exchange") + plan.count("   Exchange")
     assert n_exchange <= 2, f"bucketed join still shuffles: {n_exchange} exchanges\n{plan}"
+
+
+def test_astro_datasource_prunes_row_groups(spark):
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from backup_repo_spark.sources.astro_datasource import (
+        AstroLayoutDataSource,
+        ensure_range_layout,
+    )
+
+    layout = ensure_range_layout(spark, SF_DIR, "lineitem", "l_orderkey")
+    ds = AstroLayoutDataSource({"path": layout})
+    reader = ds.reader(ds.schema())
+    total = len(reader.partitions())
+    residual = list(
+        reader.pushFilters(
+            [GreaterThanOrEqual(("l_orderkey",), 1000), LessThan(("l_orderkey",), 3000)]
+        )
+    )
+    pruned = len(reader.partitions())
+    assert residual == []  # both filters classified as source-handled
+    # 8 range files; a [1000, 3000) key slice overlaps at most 3 of them.
+    assert pruned < total, f"no pruning: {pruned}/{total}"
+    assert pruned <= 3
