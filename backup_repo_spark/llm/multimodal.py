@@ -115,3 +115,69 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_img = d.select("doc_id", F.unhex(F.md5("text")).alias("img"))
     decoded = with_img.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
     return decoded
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("lead_byte", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+_FRAME_SIZE = 5
+_FRAME_STRIDE = 2
+
+
+def _framesample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """FAKE video frame sampler (no media libs in this container): the
+    payload is treated as a sequence of fixed-size frames; every STRIDE-th
+    frame is emitted as its own output row (row-expanding mapInPandas — the
+    real frame-extraction plumbing shape). A real decoder (ffmpeg) drops in
+    here with the same signature and batch flow."""
+    for pdf in batches:
+        out_doc, out_idx, out_byte, out_n = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["video"]):
+            n_frames = len(payload) // _FRAME_SIZE
+            for i in range(0, n_frames, _FRAME_STRIDE):
+                out_doc.append(doc_id)
+                out_idx.append(i)
+                out_byte.append(payload[i * _FRAME_SIZE])
+                out_n.append(n_frames)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "lead_byte": pd.Series(out_byte, dtype="int32"),
+                "n_frames": pd.Series(out_n, dtype="int32"),
+            }
+        )
+
+
+@query(
+    "llm_multimodal_framesample",
+    oracle=f"""
+    WITH v AS (SELECT doc_id, md5(text) || md5(upper(text)) AS hx FROM documents),
+    idx AS (SELECT unnest(generate_series(0, 5, {_FRAME_STRIDE})) AS frame_idx)
+    SELECT v.doc_id, idx.frame_idx,
+           (instr('{_HEX}', substr(v.hx, idx.frame_idx * {_FRAME_SIZE} * 2 + 1, 1)) - 1) * 16
+             + instr('{_HEX}', substr(v.hx, idx.frame_idx * {_FRAME_SIZE} * 2 + 2, 1)) - 1
+             AS lead_byte,
+           6 AS n_frames
+    FROM v CROSS JOIN idx
+    WHERE idx.frame_idx < 6
+    """,
+)
+def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a binary "video" column: a 32-byte deterministic
+    payload (two md5 digests) is cut into 5-byte frames and every 2nd frame
+    is sampled into its own row via Arrow-batched mapInPandas. The oracle
+    recomputes each sampled frame's lead byte from the hex digest —
+    value-verifying the byte indexing, row expansion, and batch plumbing."""
+    d = load_table(spark, sf_dir, "documents")
+    with_video = d.select(
+        "doc_id",
+        F.concat(F.unhex(F.md5("text")), F.unhex(F.md5(F.upper("text")))).alias("video"),
+    )
+    return with_video.mapInPandas(_framesample_batches, schema=_FRAME_SCHEMA)

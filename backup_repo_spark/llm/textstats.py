@@ -160,3 +160,37 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("fp_short")
     )
+
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "llm_token_count",
+    oracle=f"""
+    SELECT lang, count(*) AS docs,
+           sum(len(string_split(text, ' '))) AS ws_tokens,
+           sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS bpe_tokens,
+           sum(n_chars) AS chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (driver brief): whitespace split and a
+    BPE-ish regex lexer (letter runs | digit runs | single punctuation) —
+    the pre-tokenizer shape real BPE vocabularies use. Both stay JVM-side
+    (split / regexp_extract_all — no Python in the hot path); per-language
+    corpus totals are the budget numbers an LLM data pipeline reports."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("ws_tokens"),
+            F.sum(F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))))
+            .cast("bigint")
+            .alias("bpe_tokens"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("lang")
+    )

@@ -146,3 +146,20 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("region", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL)
+
+
+@query("stat_freq_approx")
+def stat_freq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameStatFunctions surface: approxQuantile (Greenwald-Khanna
+    sketch — one pass, bounded memory, merges across partitions) and
+    freqItems (heavy hitters). Both are THE 100 TB substitutes for exact
+    sort-based quantiles / exact top-k. Sketch outputs are
+    approximation-bounded, not exactly reproducible cross-engine →
+    rows-only oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.stat.approxQuantile("l_extendedprice", [0.25, 0.5, 0.75], 0.01)
+    freq = li.stat.freqItems(["l_returnflag"], 0.2).collect()[0][0]
+    return spark.createDataFrame(
+        [(float(q[0]), float(q[1]), float(q[2]), sorted(freq))],
+        schema="q25 DOUBLE, q50 DOUBLE, q75 DOUBLE, frequent_flags ARRAY<STRING>",
+    )

@@ -105,3 +105,53 @@ def ts_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+_BAND_MIN = 30  # minutes
+
+
+@query(
+    "join_range_banded",
+    oracle="""
+    SELECT a.event_id AS err_id, count(*) AS n_clicks
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'error' AND b.event_type = 'click'
+     AND b.ts >= a.ts - INTERVAL 30 MINUTE AND b.ts <= a.ts
+    GROUP BY a.event_id ORDER BY a.event_id
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable interval join via time-bucketing: a naive range join is a
+    broadcast-nested-loop (O(n·m) comparisons — dead at 100 TB). Rewrite:
+    bucket both sides by 30-minute windows, replicate the probe side into
+    its own and the NEXT bucket (a 30-min look-back spans ≤2 buckets), then
+    EQUI-join on (user_id, bucket) — hash-partitionable, shuffle-based,
+    skew-handled by AQE — and apply the exact band as a residual filter.
+    The oracle is the naive range join: identical semantics, different
+    join strategy."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / (60 * _BAND_MIN)).cast("long")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("err_ts"),
+        bucket.alias("bkt"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+        # look-back of one band ⇒ a click is visible from its own bucket and
+        # the next one
+        F.explode(F.array(bucket, bucket + 1)).alias("cbkt"),
+    )
+    joined = errs.join(
+        clicks,
+        (F.col("u") == F.col("cu"))
+        & (F.col("bkt") == F.col("cbkt"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+    )
+    return (
+        joined.groupBy("err_id").agg(F.count(F.lit(1)).alias("n_clicks")).orderBy("err_id")
+    )

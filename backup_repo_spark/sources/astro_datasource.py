@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -52,6 +53,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -204,8 +206,69 @@ class AstroLayoutReader(DataSourceReader):
         return expr
 
 
+@dataclass
+class FileCommit(WriterCommitMessage):
+    """One staged file per write task (the bulkload 'HFile per region')."""
+
+    staged: str | None
+    rows: int
+
+
+class AstroLayoutArrowWriter(DataSourceArrowWriter):
+    """Write path (bulkload analog, A6): each task streams its Arrow batches
+    into a staged parquet file; the driver-side commit() atomically publishes
+    all staged files (rename + _SUCCESS), abort() discards them. On a real
+    cluster the staging dir would be an object-store prefix; the two-phase
+    task-write → driver-commit protocol is the same."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self._path = options["path"]
+        self._overwrite = overwrite
+        import uuid
+
+        self._staging = os.path.join(self._path, f"_staging-{uuid.uuid4().hex}")
+
+    def write(self, iterator) -> FileCommit:
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._staging, exist_ok=True)
+        out = os.path.join(self._staging, f"task-{uuid.uuid4().hex}.parquet")
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(out, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:  # empty task partition: nothing to publish
+            return FileCommit(None, 0)
+        writer.close()
+        return FileCommit(out, rows)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        if self._overwrite:
+            for f in _list_parquet_files(self._path):
+                os.remove(f)
+        staged = [m.staged for m in messages if m is not None and m.staged]
+        for i, src in enumerate(sorted(staged)):
+            os.replace(src, os.path.join(self._path, f"part-{i:05d}.parquet"))
+        shutil.rmtree(self._staging, ignore_errors=True)
+        with open(os.path.join(self._path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+
 class AstroLayoutDataSource(DataSource):
-    """``spark.read.format("astro_layout").option("path", p).load()``."""
+    """``spark.read.format("astro_layout").option("path", p).load()`` /
+    ``df.write.format("astro_layout").option("path", p).save()``."""
 
     @classmethod
     def name(cls) -> str:
@@ -221,6 +284,13 @@ class AstroLayoutDataSource(DataSource):
 
     def reader(self, schema: StructType) -> AstroLayoutReader:
         return AstroLayoutReader(dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> AstroLayoutArrowWriter:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("astro_layout requires .option('path', <dir>)")
+        os.makedirs(path, exist_ok=True)
+        return AstroLayoutArrowWriter(dict(self.options), overwrite)
 
 
 def register(spark: SparkSession) -> None:
@@ -279,4 +349,37 @@ def dsv2_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
         .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "dsv2_write_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey < 5000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def dsv2_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector write path: a filtered orders slice goes OUT through the
+    astro_layout Arrow writer (task-staged files, driver-side atomic commit)
+    and comes back IN through the pushdown reader; the aggregate must match
+    the original table. Write+read through the same custom source is the
+    DDL/bulkload/scan round-trip of the reference in one query."""
+    register(spark)
+    out = os.path.join(_REPO_ROOT, "spark-warehouse", "astro_write_roundtrip")
+    (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .repartition(4)
+        .write.format(FORMAT_NAME)
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    back = spark.read.format(FORMAT_NAME).option("path", out).load()
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
     )

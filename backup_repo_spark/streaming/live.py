@@ -178,3 +178,51 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_table(result, "update")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS err_id, b.event_id AS click_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'error' AND b.event_type = 'click'
+     AND b.ts >= a.ts - INTERVAL 30 MINUTE AND b.ts <= a.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ stream inner join with event-time range condition: each
+    error event pairs with same-user clicks in the preceding 30 minutes.
+    Both sides carry watermarks; the time-range bound lets Spark evict
+    buffered rows once the other side's watermark passes, keeping join
+    state finite — THE prerequisite for running this on an unbounded
+    stream. Oracle: identical batch self-join (band edges are exact-µs
+    timestamps, so the comparisons agree cross-engine)."""
+    errs = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = errs.join(
+        clicks,
+        (F.col("err_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "inner",
+    ).select("err_id", "click_id")
+    return _run_to_table(joined, "append")
