@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from backup_repo_spark.registry import query
+from backup_repo_spark.registry import ORACLES, QUERIES, query
 from backup_repo_spark.session import load_table
 
 
@@ -204,4 +204,77 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", fp.alias("simhash16"))
         .groupBy("simhash16")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+_NGRAM_PAIRS_SQL = ORACLES["llm_dedup_ngram"]
+
+_CLUSTER_SQL = f"""
+    WITH RECURSIVE
+    pairs AS ({_NGRAM_PAIRS_SQL}),
+    uedges AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
+    nodes AS (SELECT DISTINCT u FROM uedges),
+    reach(u, label) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT e.u, r.label FROM uedges e JOIN reach r ON e.v = r.u
+    ),
+    comp AS (SELECT u AS doc_id, min(label) AS component FROM reach GROUP BY u)
+    SELECT component, count(*) AS csize
+    FROM comp GROUP BY component ORDER BY component
+"""
+
+
+@query("llm_dedup_cluster", oracle=_CLUSTER_SQL)
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the n-gram-Jaccard pair
+    graph (llm_dedup_ngram edges), by iterative min-label propagation —
+    each round every node adopts the smallest label among itself and its
+    neighbors; fixpoint = one representative (min doc_id) per duplicate
+    cluster. This is the step that turns pairwise similarity into a keep-one
+    -per-cluster dedup decision.
+
+    Iterative-algorithm mechanics on Spark: the loop is driver-side but each
+    iteration is one distributed join+aggregate; localCheckpoint() truncates
+    the lineage every round (without it the plan doubles per iteration).
+    Rounds = graph diameter (tiny for near-dup clusters). The oracle is a
+    DuckDB recursive CTE computing min reachable label — same fixpoint.
+    """
+    pairs = QUERIES["llm_dedup_ngram"](spark, sf_dir).select("da", "db")
+    edges = (
+        pairs.union(pairs.select(F.col("db"), F.col("da")))
+        .toDF("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    while True:
+        neigh_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(edges.u)
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neigh_min, labels.node == neigh_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("component"))
+        .agg(F.count(F.lit(1)).alias("csize"))
+        .orderBy("component")
     )

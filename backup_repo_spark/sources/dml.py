@@ -1,0 +1,157 @@
+"""DML patterns on immutable columnar storage — upsert (MERGE-style),
+dynamic partition overwrite — plus ORC/JSON format round-trips.
+
+Reference parity: Astro's DML is HBase `Put` via INSERT (SURVEY.md §2.A A8)
+— cell-level upsert is free in a KV store. On immutable parquet the same
+semantics are copy-on-write: rewrite the affected files, never edit in
+place. The two queries here are the two granularities that matter:
+full-table upsert via outer join (small tables / full rewrites) and
+partition-scoped overwrite (the 100 TB pattern — only touched partitions
+are rewritten; at petabyte scale a lakehouse table format adds file-level
+MERGE on top of exactly this mechanism).
+
+Scale notes: dynamic partition overwrite rewrites only partitions present
+in the incoming DataFrame — an idempotent, re-runnable backfill primitive.
+The upsert's full-outer join co-shuffles target and updates on the key;
+with both sides bucketed on the key it would be exchange-free (see
+bulk_bucketed_join).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backup_repo_spark.registry import query
+from backup_repo_spark.session import load_table
+
+_REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def _wh(name: str) -> str:
+    return os.path.join(_REPO_ROOT, "spark-warehouse", name)
+
+
+@query(
+    "dml_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey < 1000
+    ),
+    upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 10.0 AS o_totalprice
+      FROM orders WHERE o_orderkey BETWEEN 500 AND 1499
+    )
+    SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+           coalesce(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           coalesce(u.o_totalprice, t.o_totalprice) AS o_totalprice
+    FROM target t FULL OUTER JOIN upd u ON t.o_orderkey = u.o_orderkey
+    ORDER BY o_orderkey
+    """,
+)
+def dml_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert on parquet: WHEN MATCHED update, WHEN NOT MATCHED
+    insert — expressed as a full-outer join preferring the update side,
+    with a physical write-back (copy-on-write) and re-read so the verified
+    rows come from storage, not from the plan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target_path = _wh("dml_upsert_target")
+    o.filter(F.col("o_orderkey") < 1000).write.mode("overwrite").parquet(target_path)
+    updates = o.filter(F.col("o_orderkey").between(500, 1499)).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+    )
+    target = spark.read.parquet(target_path)
+    merged = (
+        target.alias("t")
+        .join(updates.alias("u"), F.col("t.o_orderkey") == F.col("u.o_orderkey"), "full_outer")
+        .select(
+            F.coalesce("u.o_orderkey", "t.o_orderkey").alias("o_orderkey"),
+            F.coalesce("u.o_orderstatus", "t.o_orderstatus").alias("o_orderstatus"),
+            F.coalesce("u.o_totalprice", "t.o_totalprice").alias("o_totalprice"),
+        )
+    )
+    out = _wh("dml_upsert_merged")
+    merged.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).orderBy("o_orderkey")
+
+
+@query(
+    "dml_partition_overwrite",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(CASE WHEN o_orderstatus = 'F'
+                          THEN o_totalprice + 100.0 ELSE o_totalprice END), 2) AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def dml_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE of ONE partition (partitionOverwriteMode=dynamic):
+    the second write carries only o_orderstatus='F' rows (values shifted
+    +100) and replaces exactly that directory; 'O'/'P' partitions keep their
+    original files. The read-back aggregate proves both halves."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    out = _wh("dml_dynpart_orders")
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+    patched = o.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100.0
+    )
+    patched.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "ingest_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem WHERE l_orderkey < 5000
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (the second columnar format Spark ships;
+    same pushdown/pruning machinery as parquet)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+    out = _wh("ingest_orc_lineitem")
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "ingest_json_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n, sum(n_chars) AS chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def ingest_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema-inferred source round-trip (Astro's LOAD
+    DATA analog for semi-structured ingest; schema inference is the
+    CSV/JSON-only convenience — parquet/ORC are self-describing)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = _wh("ingest_json_documents")
+    d.write.mode("overwrite").json(out)
+    back = spark.read.json(out)  # schema inferred
+    return (
+        back.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+        .orderBy("lang")
+    )

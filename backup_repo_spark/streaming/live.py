@@ -226,3 +226,91 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("err_id", "click_id")
     return _run_to_table(joined, "append")
+
+
+# NOTE: transformWithStateInPandas (the successor API to applyInPandasWithState,
+# used in stream_stateful above) is NOT exposed as a query: its driver worker
+# requires the `protobuf` package, which this container does not ship and the
+# environment forbids installing. The applyInPandasWithState path covers the
+# arbitrary-stateful-processing semantics; swap to transformWithStateInPandas
+# where protobuf is available.
+
+
+@query(
+    "stream_file_sink",
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+    ORDER BY event_type, day
+    """,
+)
+def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → parquet FILE sink (exactly-once via the sink's commit
+    log): per-(type, day) enrichment rows stream into a parquet directory;
+    the verified result re-aggregates the landed files — proving the landed
+    data, not the in-flight stream. Append-safe projection (no open
+    windows), complete aggregation done batch-side on the landed rows."""
+    import tempfile
+
+    ev = _stream_events(spark, sf_dir)
+    proj = ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+    out = tempfile.mkdtemp(prefix="brs_filesink_")
+    ckpt = tempfile.mkdtemp(prefix="brs_ckpt_")
+    q = (
+        proj.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    landed = spark.read.parquet(out)
+    return (
+        landed.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "stream_foreach_batch",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch — the production sink escape hatch (per-micro-batch
+    custom writes with batch-id idempotence). Each micro-batch's partial
+    (count, sum) per type is appended to a parquet staging dir keyed by
+    batch id; the verified result merges the partials — decomposable-
+    aggregate re-aggregation, the same partial→final contract as a shuffle."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="brs_febatch_")
+    ckpt = tempfile.mkdtemp(prefix="brs_ckpt_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psv"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    ev = _stream_events(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(out)
+    return (
+        partials.groupBy("event_type")
+        .agg(F.sum("pn").alias("n"), F.round(F.sum("psv"), 2).alias("sv"))
+        .orderBy("event_type")
+    )

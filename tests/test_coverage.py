@@ -68,6 +68,10 @@ EXTENSION_KEYS = [
     # streaming + llm-pipeline batch 2
     "stream_stream_join", "llm_token_count", "llm_multimodal_framesample",
     "join_range_banded", "stat_freq_approx",
+    # dedup clustering, DML, format round-trips, streaming sinks
+    "llm_dedup_cluster", "dml_upsert", "dml_partition_overwrite",
+    "ingest_orc_roundtrip", "ingest_json_roundtrip",
+    "stream_file_sink", "stream_foreach_batch",
 ]
 
 
