@@ -288,3 +288,86 @@ def fn_hash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32("c_name").alias("h_crc"),
         F.monotonically_increasing_id().alias("row_id"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_linenumber & 5  AS b_and,
+           l_linenumber | 8  AS b_or,
+           xor(l_linenumber, 3) AS b_xor,
+           l_linenumber << 2 AS b_shl,
+           l_linenumber >> 1 AS b_shr,
+           bit_count(l_linenumber) AS b_cnt
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function pack (&, |, XOR, shifts, popcount) — flag-mask
+    manipulation surface."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_linenumber & 5").alias("b_and"),
+        F.expr("l_linenumber | 8").alias("b_or"),
+        F.expr("l_linenumber ^ 3").alias("b_xor"),
+        F.shiftleft("l_linenumber", 2).alias("b_shl"),
+        F.shiftright("l_linenumber", 1).alias("b_shr"),
+        F.bit_count("l_linenumber").cast("long").alias("b_cnt"),
+    )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY k_bucket ORDER BY k_bucket
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT type (Spark 4): parse_json into a variant column, typed path
+    extraction with variant_get — the schema-on-read semi-structured path
+    that replaces string-JSON round-trips. At scale variant uses a binary
+    encoding with shredded access, far cheaper than repeated get_json_object
+    string parsing."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"))
+    return (
+        v.select((F.expr("variant_get(v, '$.k', 'int')") % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k_bucket")
+    )
+
+
+_PARAM_SQL = """
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders
+    WHERE o_totalprice > {threshold} AND o_orderpriority = '{prio}'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "sql_parameterized",
+    oracle=_PARAM_SQL.format(threshold=250000.0, prio="1-URGENT"),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers) — the injection-safe
+    programmatic entry path: the plan is compiled with typed parameters, not
+    string-spliced literals. Oracle is the same query with the parameters
+    inlined."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n
+        FROM orders
+        WHERE o_totalprice > :threshold AND o_orderpriority = :prio
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        args={"threshold": 250000.0, "prio": "1-URGENT"},
+    )

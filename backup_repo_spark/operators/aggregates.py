@@ -263,3 +263,29 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 500000.0 THEN 21
+                ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1 END AS bucket,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket binning — the single-pass,
+    shuffle-one-row-per-bucket way to profile a 100 TB column (vs sorting).
+    Bucket boundaries are exact doubles, so binning agrees cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(20)).alias(
+                "bucket"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("bucket")
+    )

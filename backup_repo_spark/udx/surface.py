@@ -189,3 +189,51 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"
     ).mapInPandas(stage, schema=schema)
+
+
+@query(
+    "udf_cogroup",
+    oracle="""
+    SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price,
+           count(l.l_orderkey) AS n_lines,
+           coalesce(sum(l.l_quantity), 0.0) AS qty_total
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey < 2000
+    GROUP BY o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_orderkey
+    """,
+)
+def udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas transform: groupBy(key).cogroup(other).applyInPandas
+    — both sides shuffled on the key, each (orders-group, lineitem-group)
+    pair handed to ONE Python function as two aligned pandas frames (the
+    custom merge/asof/reconciliation shape). Arrow-batched; per-key memory
+    bounded by group size."""
+
+    def reconcile(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if len(odf) == 0:
+            return pd.DataFrame(
+                columns=["o_orderkey", "price", "n_lines", "qty_total"]
+            )
+        # l_quantity is integral (verified) → the sum is exact in double,
+        # no cross-engine rounding hazard for a Python-side aggregate.
+        return pd.DataFrame(
+            {
+                "o_orderkey": odf["o_orderkey"].iloc[:1],
+                "price": [round(float(odf["o_totalprice"].iloc[0]), 2)],
+                "n_lines": [len(ldf)],
+                "qty_total": [float(ldf["l_quantity"].sum())],
+            }
+        )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    out = o.groupBy("o_orderkey").cogroup(li.groupBy("l_orderkey")).applyInPandas(
+        reconcile,
+        schema="o_orderkey BIGINT, price DOUBLE, n_lines BIGINT, qty_total DOUBLE",
+    )
+    return out.orderBy("o_orderkey")

@@ -72,6 +72,9 @@ EXTENSION_KEYS = [
     "llm_dedup_cluster", "dml_upsert", "dml_partition_overwrite",
     "ingest_orc_roundtrip", "ingest_json_roundtrip",
     "stream_file_sink", "stream_foreach_batch",
+    # function/type surface batch 4
+    "fn_bitwise", "fn_variant", "sql_parameterized", "agg_histogram",
+    "udf_cogroup",
 ]
 
 
