@@ -25,6 +25,7 @@ from backup_repo_spark.operators import (  # noqa: F401
     tpch_more,
     windows,
 )
+from backup_repo_spark.plans import inspect as plans_inspect  # noqa: F401
 from backup_repo_spark.sources import astro_datasource, dml, layout  # noqa: F401
 from backup_repo_spark.streaming import live as streaming_live  # noqa: F401
 from backup_repo_spark.streaming import windows as streaming_windows  # noqa: F401

@@ -289,3 +289,25 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy("bucket")
     )
+
+
+@query("agg_hll_sketch")
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL surface (Spark 3.5+): per-group hll_sketch_agg
+    → binary sketches → hll_union_agg merges them → global estimate. The
+    sketches are mergeable state — the 100 TB distinct-count pattern where
+    per-partition/per-day sketches are stored and unioned later instead of
+    re-scanning raw data. Sketch bytes are library-versioned → rows-only
+    oracle; the estimate column is additionally bounded in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    return (
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("merged_estimate"),
+            F.sum("exact").alias("sum_exact_per_type"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+    )

@@ -26,3 +26,18 @@ def test_query_matches_oracle(name, spark, duck):
     duck_pdf = duck.execute(registry.ORACLES[name]).fetchdf()
     problems = hard_problems(compare(spark_pdf, duck_pdf))
     assert not problems, f"{name}: {problems}"
+
+
+def test_hll_sketch_estimate_accuracy(spark):
+    """rows-only query, but the estimate itself is boundable: HLL at default
+    lgK=12 has ~1.6% standard error; assert within 5% of exact."""
+    row = registry.QUERIES["agg_hll_sketch"](spark, SF_DIR).collect()[0]
+    from backup_repo_spark.session import load_table
+
+    exact = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert abs(row.merged_estimate - exact) <= max(3, 0.05 * exact), (
+        row.merged_estimate,
+        exact,
+    )

@@ -74,7 +74,7 @@ EXTENSION_KEYS = [
     "stream_file_sink", "stream_foreach_batch",
     # function/type surface batch 4
     "fn_bitwise", "fn_variant", "sql_parameterized", "agg_histogram",
-    "udf_cogroup",
+    "udf_cogroup", "agg_hll_sketch", "cache_reuse",
 ]
 
 
