@@ -371,3 +371,57 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"threshold": 250000.0, "prio": "1-URGENT"},
     )
+
+
+@query(
+    "fn_string_extra",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_name, 'red widget') AS lev,
+           translate(p_name, 'aeiou', '-----') AS devoweled,
+           substr(p_name, 1, 1) || 'X' || substr(p_name, 3) AS overlaid,
+           reverse(p_name) AS rev,
+           ascii(p_name) AS first_code,
+           repeat(substr(p_name, 1, 2), 2) AS rep2
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def fn_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string pack: edit distance (levenshtein — fuzzy-match dedup
+    primitive), translate, overlay, reverse, ascii, repeat. The overlay
+    oracle is spelled with substr concat (DuckDB has no overlay)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", F.lit("red widget")).alias("lev"),
+        F.translate("p_name", "aeiou", "-----").alias("devoweled"),
+        F.overlay("p_name", F.lit("X"), F.lit(2), F.lit(1)).alias("overlaid"),
+        F.reverse("p_name").alias("rev"),
+        F.ascii("p_name").alias("first_code"),
+        F.repeat(F.substring("p_name", 1, 2), 2).alias("rep2"),
+    )
+
+
+@query(
+    "fn_try",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE l_quantity / (l_linenumber - 1) END AS safe_div,
+           TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+           TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS line_as_int
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* family: NULL instead of error on div-by-zero and bad
+    casts — the semantics that let a 100 TB job survive dirty rows instead
+    of dying at 99%. DuckDB mirrors try_divide with an explicit CASE."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_quantity", F.col("l_linenumber") - 1).alias("safe_div"),
+        F.expr("try_cast(l_returnflag AS INT)").alias("flag_as_int"),
+        F.expr("try_cast(cast(l_linenumber AS STRING) AS INT)").alias("line_as_int"),
+    )

@@ -311,3 +311,82 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_groups"),
         )
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — listagg WITHIN GROUP (Spark 4) vs
+    DuckDB string_agg(... ORDER BY): deterministic ordered concat per
+    group."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+        """
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5)  AS p50,
+           quantile_cont(l_quantity, 0.9)  AS p90,
+           quantile_cont(l_extendedprice, 0.25) AS price_p25
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles (vs the approx sketch in agg_stats) —
+    both engines sort the same values and apply the same (1-f)·a + f·b
+    interpolation, so results are bit-comparable. At 100 TB prefer
+    percentile_approx; exact percentile is the small-group/final-report
+    form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+            F.percentile("l_quantity", F.lit(0.9)).alias("p90"),
+            F.percentile("l_extendedprice", F.lit(0.25)).alias("price_p25"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(corr(l_extendedprice, l_quantity), 6) AS pearson,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_slope/intercept/r2 + corr)
+    — one-pass distributed moments, rounded because the moment accumulation
+    order differs across engines in the last ulps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("pearson"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

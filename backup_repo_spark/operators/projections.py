@@ -120,3 +120,43 @@ def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy("o_orderstatus", "bucket")
     )
+
+
+@query(
+    "null_handling",
+    oracle="""
+    WITH holed AS (
+      SELECT o_orderkey,
+             nullif(o_orderstatus, 'P') AS status_n,
+             CASE WHEN o_totalprice > 400000 THEN NULL ELSE o_totalprice END AS price_n
+      FROM orders
+    )
+    SELECT o_orderkey,
+           coalesce(status_n, 'UNKNOWN') AS status_filled,
+           coalesce(price_n, -1.0) AS price_filled
+    FROM holed
+    WHERE status_n IS NOT NULL OR price_n IS NOT NULL
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameNaFunctions surface: NULLs are introduced (nullif / when),
+    then df.na.fill patches them per-column and df.na.drop(how='all',
+    subset=...) removes rows where every observed column is NULL — the
+    standard dirty-data hygiene pass. Oracle mirrors with coalesce +
+    IS NOT NULL."""
+    o = load_table(spark, sf_dir, "orders")
+    holed = o.select(
+        "o_orderkey",
+        F.nullif("o_orderstatus", F.lit("P")).alias("status_n"),
+        F.when(F.col("o_totalprice") > 400000, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_n"),
+    )
+    cleaned = holed.na.drop(how="all", subset=["status_n", "price_n"]).na.fill(
+        {"status_n": "UNKNOWN", "price_n": -1.0}
+    )
+    return cleaned.select(
+        "o_orderkey",
+        F.col("status_n").alias("status_filled"),
+        F.col("price_n").alias("price_filled"),
+    )

@@ -183,3 +183,33 @@ def win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "win_nth_ignorenulls",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           first_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END IGNORE NULLS)
+             OVER w AS first_f_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_nth_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over a full-partition frame + first_value(... IGNORE
+    NULLS) — the 'first non-null observation per entity' pattern (forward-
+    fill's core primitive). Same windowed-SQL text runs on both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               nth_value(o_totalprice, 2) OVER w AS second_price,
+               first_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)
+                 IGNORE NULLS OVER w AS first_f_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """
+    )

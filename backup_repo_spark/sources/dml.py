@@ -155,3 +155,24 @@ def ingest_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
         .orderBy("lang")
     )
+
+
+@query(
+    "ingest_xml_roundtrip",
+    oracle="""
+    SELECT source, count(*) AS n, sum(doc_id) AS id_sum
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def ingest_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip (native in Spark 4 — the third
+    semi-structured format alongside JSON/CSV)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = _wh("ingest_xml_documents")
+    d.write.mode("overwrite").format("xml").option("rowTag", "doc").save(out)
+    back = spark.read.format("xml").option("rowTag", "doc").load(out)
+    return (
+        back.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("source")
+    )

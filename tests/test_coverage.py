@@ -75,6 +75,11 @@ EXTENSION_KEYS = [
     # function/type surface batch 4
     "fn_bitwise", "fn_variant", "sql_parameterized", "agg_histogram",
     "udf_cogroup", "agg_hll_sketch", "cache_reuse",
+    # batch 5: extended functions, exact percentiles/regression, null
+    # hygiene, nth_value windows, XML
+    "fn_string_extra", "fn_try", "agg_listagg", "agg_percentile_exact",
+    "agg_regression", "null_handling", "win_nth_ignorenulls",
+    "ingest_xml_roundtrip",
 ]
 
 
