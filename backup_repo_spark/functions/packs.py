@@ -425,3 +425,38 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(l_returnflag AS INT)").alias("flag_as_int"),
         F.expr("try_cast(cast(l_linenumber AS STRING) AS INT)").alias("line_as_int"),
     )
+
+
+@query(
+    "fn_higher_order",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_transform(toks, x -> upper(x)) AS upper_toks,
+           list_filter(toks, x -> length(x) > 4) AS long_toks,
+           len(list_filter(toks, x -> x = 'scan')) > 0 AS has_scan,
+           len(list_filter(toks, x -> NOT length(x) >= 2)) = 0 AS all_ge2,
+           list_sum(list_transform(toks, x -> length(x))) AS total_len,
+           list_transform(toks, x -> x || '!') AS banged
+    FROM t
+    """,
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas: transform / filter / exists / forall /
+    aggregate (fold) / zip_with — all JVM-side codegen'd, the idiomatic way
+    to process array columns WITHOUT exploding (no row multiplication, no
+    shuffle). The oracle spells exists/forall/fold with DuckDB's
+    list_filter/list_sum equivalents."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.transform(toks, lambda x: F.upper(x)).alias("upper_toks"),
+        F.filter(toks, lambda x: F.length(x) > 4).alias("long_toks"),
+        F.exists(toks, lambda x: x == "scan").alias("has_scan"),
+        F.forall(toks, lambda x: F.length(x) >= 2).alias("all_ge2"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("total_len"),
+        F.zip_with(toks, toks, lambda x, y: F.concat(x, F.lit("!"))).alias("banged"),
+    )

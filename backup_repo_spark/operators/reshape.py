@@ -163,3 +163,52 @@ def stat_freq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(float(q[0]), float(q[1]), float(q[2]), sorted(freq))],
         schema="q25 DOUBLE, q50 DOUBLE, q75 DOUBLE, frequent_flags ARRAY<STRING>",
     )
+
+
+@query(
+    "sql_modern_syntax",
+    oracle="""
+    SELECT * EXCLUDE (avg_disc)
+    FROM (
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             round(sum(l_quantity), 2) AS qty, avg(l_discount) AS avg_disc
+      FROM lineitem GROUP BY ALL
+    ) ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_modern_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL conveniences: GROUP BY ALL (group on every non-aggregate
+    select item) and star-EXCEPT projection (Spark `* EXCEPT (...)` ≡
+    DuckDB `* EXCLUDE (...)`)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (avg_disc)
+        FROM (
+          SELECT l_returnflag, l_linestatus, count(*) AS n,
+                 round(sum(l_quantity), 2) AS qty, avg(l_discount) AS avg_disc
+          FROM lineitem GROUP BY ALL
+        ) ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "sql_cluster_by",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_mktsegment FROM customer
+    """,
+)
+def sql_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY + SORT BY — the SQL spelling of repartition(key) +
+    sortWithinPartitions (Astro's region-aligned layout as a query clause).
+    Global row SET is unchanged (the oracle is the plain projection; the
+    driver's value-hash is order-insensitive); what changes is physical
+    placement: rows co-located by nation and locally sorted."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey, c_custkey, c_mktsegment FROM customer
+        DISTRIBUTE BY c_nationkey SORT BY c_nationkey, c_custkey
+        """
+    )

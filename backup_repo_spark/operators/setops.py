@@ -80,3 +80,31 @@ def set_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary survivor row)."""
     o = load_table(spark, sf_dir, "orders")
     return o.select("o_custkey", "o_orderstatus").dropDuplicates()
+
+
+@query(
+    "set_union_byname",
+    oracle="""
+    SELECT r_regionkey AS k, r_name AS name, NULL AS extra
+    FROM region
+    UNION ALL
+    SELECT n_nationkey AS k, n_name AS name, n_regionkey AS extra
+    FROM nation WHERE n_nationkey < 5
+    """,
+)
+def set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns — schema-evolution-tolerant
+    union (columns matched by NAME, absent ones null-filled), vs positional
+    union. DuckDB's UNION ALL BY NAME is the same idea; the oracle spells
+    the null-fill explicitly."""
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
+    )
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5).select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("extra"),
+    )
+    return r.unionByName(n, allowMissingColumns=True).select(
+        "k", "name", F.col("extra").cast("int").alias("extra")
+    )

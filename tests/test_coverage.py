@@ -80,6 +80,9 @@ EXTENSION_KEYS = [
     "fn_string_extra", "fn_try", "agg_listagg", "agg_percentile_exact",
     "agg_regression", "null_handling", "win_nth_ignorenulls",
     "ingest_xml_roundtrip",
+    # batch 6: Spark-4 SQL surface + higher-order lambdas
+    "cte_recursive", "sql_modern_syntax", "sql_cluster_by",
+    "set_union_byname", "fn_higher_order",
 ]
 
 
