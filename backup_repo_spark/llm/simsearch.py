@@ -133,3 +133,44 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "bucket", F.round("cos", 6).alias("cos_sim"))
     )
+
+
+@query(
+    "llm_embed_centroid",
+    oracle="""
+    WITH comp AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+      FROM embeddings
+    ),
+    means AS (
+      SELECT label, pos, avg(val) AS c FROM comp GROUP BY label, pos
+    )
+    SELECT label,
+           round(sqrt(sum(c * c)), 4) AS centroid_norm,
+           round(max(CASE WHEN pos = 1 THEN c END), 4) AS c0
+    FROM means GROUP BY label ORDER BY label
+    """,
+)
+def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (element-wise mean over 64 dims) — the
+    training step of IVF/k-means partitioning (llm_sim_search_ivf probes
+    such cells). Expressed as posexplode → avg by (label, dim) → re-reduce:
+    two partial-aggregated shuffles, no Python. At 100 TB the same plan
+    computes centroids for billions of vectors; the alternative
+    (collect-and-numpy) dies at one machine's RAM."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "val")
+    )
+    means = comp.groupBy("label", (F.col("pos0") + 1).alias("pos")).agg(
+        F.avg("val").alias("c")
+    )
+    return (
+        means.groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias("centroid_norm"),
+            F.round(F.max(F.when(F.col("pos") == 1, F.col("c"))), 4).alias("c0"),
+        )
+        .orderBy("label")
+    )

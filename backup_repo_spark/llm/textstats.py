@@ -194,3 +194,54 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "llm_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    )
+    SELECT doc_id, token, round(tfidf, 4) AS tfidf
+    FROM ranked WHERE rn = 1
+    """,
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF (smoothed, sklearn-style idf = ln((N+1)/(df+1))+1) with
+    the top-scoring token per document — the keyword-extraction /
+    vocabulary-pruning primitive. Fully SQL-expressible, so unlike
+    ml.feature.HashingTF (hash-bucketed, impl-specific) every value is
+    oracle-verified. Two shuffles (tf by (doc,token), df by token); the
+    1-row N aggregate broadcasts."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf") * (F.log((n + 1.0) / (F.col("df") + 1.0)) + 1.0)).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "token", F.round("tfidf", 4).alias("tfidf"))
+    )

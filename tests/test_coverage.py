@@ -83,6 +83,8 @@ EXTENSION_KEYS = [
     # batch 6: Spark-4 SQL surface + higher-order lambdas
     "cte_recursive", "sql_modern_syntax", "sql_cluster_by",
     "set_union_byname", "fn_higher_order",
+    # batch 7: exact TF-IDF + IVF centroid training step
+    "llm_tfidf", "llm_embed_centroid",
 ]
 
 
