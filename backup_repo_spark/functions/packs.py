@@ -460,3 +460,46 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_len"),
         F.zip_with(toks, toks, lambda x, y: F.concat(x, F.lit("!"))).alias("banged"),
     )
+
+
+@query(
+    "fn_stack",
+    oracle="""
+    SELECT o_orderkey, 'total' AS measure, o_totalprice AS val FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'key2x', o_orderkey * 2.0 FROM orders
+    """,
+)
+def fn_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stack(n, ...) generator — the SQL spelling of unpivot (cf.
+    reshape_unpivot for the DataFrame API form). Pure generate, no
+    shuffle."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, measure, val
+        FROM orders
+        LATERAL VIEW stack(2, 'total', o_totalprice, 'key2x', CAST(o_orderkey AS DOUBLE) * 2.0)
+          AS measure, val
+        """
+    )
+
+
+@query(
+    "fn_explode_outer",
+    oracle="""
+    SELECT o_orderkey, unnest([1, 2]) AS v FROM orders WHERE o_orderkey % 10 != 0
+    UNION ALL
+    SELECT o_orderkey, NULL AS v FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer — generator that PRESERVES rows whose array is NULL
+    (plain explode drops them; the outer form is what keeps a record-count
+    invariant through an enrichment pipeline). Oracle spells the null-
+    preservation as an explicit UNION branch."""
+    o = load_table(spark, sf_dir, "orders")
+    arr = F.when(F.col("o_orderkey") % 10 != 0, F.array(F.lit(1), F.lit(2)))
+    return o.select("o_orderkey", arr.alias("arr")).select(
+        "o_orderkey", F.explode_outer("arr").alias("v")
+    )

@@ -250,3 +250,30 @@ def inmem_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r_name", "tier")
         .orderBy("r_name")
     )
+
+
+@query(
+    "ddl_view",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+    FROM orders WHERE o_totalprice > 100000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def ddl_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW DDL (A7 family): a named SQL view over a base view,
+    queried through the catalog — logical-only (no materialization), the
+    plan inlines the view body and pushdown still reaches the scan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW brs_big_orders AS
+        SELECT * FROM orders WHERE o_totalprice > 100000
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        FROM brs_big_orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )

@@ -85,6 +85,8 @@ EXTENSION_KEYS = [
     "set_union_byname", "fn_higher_order",
     # batch 7: exact TF-IDF + IVF centroid training step
     "llm_tfidf", "llm_embed_centroid",
+    # batch 8: generators + view DDL
+    "fn_stack", "fn_explode_outer", "ddl_view",
 ]
 
 

@@ -114,3 +114,14 @@ def test_astro_datasource_prunes_row_groups(spark):
     # 8 range files; a [1000, 3000) key slice overlaps at most 3 of them.
     assert pruned < total, f"no pruning: {pruned}/{total}"
     assert pruned <= 3
+
+
+def test_banded_range_join_is_not_nested_loop(spark):
+    df = registry.QUERIES["join_range_banded"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:400]
+    # the bucketed rewrite must join hash- or merge-based on (user, bucket)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan[:400]
+
