@@ -237,3 +237,38 @@ def udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="o_orderkey BIGINT, price DOUBLE, n_lines BIGINT, qty_total DOUBLE",
     )
     return out.orderBy("o_orderkey")
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id, CAST(n_chars * 2 AS BIGINT) AS dbl_chars,
+           upper(lang) AS lang_u
+    FROM documents
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy variant of mapInPandas: the Python stage
+    receives raw pyarrow RecordBatches (no pandas conversion, no index
+    bookkeeping) — the fastest Python boundary Spark offers, the right
+    choice when the Python side is itself Arrow-native (polars, duckdb,
+    custom C extensions)."""
+
+    def stage(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.multiply(batch.column("n_chars"), pa.scalar(2, pa.int64())),
+                    pc.utf8_upper(batch.column("lang")),
+                ],
+                names=["doc_id", "dbl_chars", "lang_u"],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    return d.mapInArrow(
+        stage, schema="doc_id BIGINT, dbl_chars BIGINT, lang_u STRING"
+    )

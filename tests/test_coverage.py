@@ -87,6 +87,8 @@ EXTENSION_KEYS = [
     "llm_tfidf", "llm_embed_centroid",
     # batch 8: generators + view DDL
     "fn_stack", "fn_explode_outer", "ddl_view",
+    # batch 9: Arrow-native map
+    "udf_map_in_arrow",
 ]
 
 

@@ -125,3 +125,14 @@ def test_banded_range_join_is_not_nested_loop(spark):
         "BroadcastHashJoin" in plan
     ), plan[:400]
 
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    # session sets shuffle.partitions=8 (conftest) but the post-execution
+    # adaptive plan should coalesce the tiny sf0.001 shuffle to fewer
+    # partitions — proof AQE is live, the property that lets the same code
+    # run untuned from sf0.001 to 100 TB.
+    df = registry.QUERIES["agg_tpch_q1"](spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in final and "coalesced" in final, final[:500]
