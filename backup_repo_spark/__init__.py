@@ -22,6 +22,7 @@ from backup_repo_spark.operators import (  # noqa: F401
     sorts,
     subqueries,
     timeseries,
+    tpch_full,
     tpch_more,
     windows,
 )

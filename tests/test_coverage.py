@@ -89,6 +89,10 @@ EXTENSION_KEYS = [
     "fn_stack", "fn_explode_outer", "ddl_view",
     # batch 9: Arrow-native map
     "udf_map_in_arrow",
+    # batch 10: the remaining TPC-H query shapes (22/22 family complete)
+    "tpch_q2_style", "tpch_q7_style", "tpch_q8_style", "tpch_q9_style",
+    "tpch_q10_style", "tpch_q11_style", "tpch_q16_style", "tpch_q17_style",
+    "tpch_q19_style", "tpch_q20_style", "tpch_q21_style",
 ]
 
 
