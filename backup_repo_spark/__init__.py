@@ -10,7 +10,13 @@ from backup_repo_spark import registry, session  # noqa: F401
 
 # Import every query module for its registration side effects.
 from backup_repo_spark.functions import packs  # noqa: F401
-from backup_repo_spark.llm import dedup, multimodal, simsearch, textstats  # noqa: F401
+from backup_repo_spark.llm import (  # noqa: F401
+    dedup,
+    multimodal,
+    pipeline,
+    simsearch,
+    textstats,
+)
 from backup_repo_spark.operators import (  # noqa: F401
     aggregates,
     joins,

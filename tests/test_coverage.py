@@ -93,6 +93,8 @@ EXTENSION_KEYS = [
     "tpch_q2_style", "tpch_q7_style", "tpch_q8_style", "tpch_q9_style",
     "tpch_q10_style", "tpch_q11_style", "tpch_q16_style", "tpch_q17_style",
     "tpch_q19_style", "tpch_q20_style", "tpch_q21_style",
+    # batch 11: training-data pipeline stages (chunk/split/redact/stopword)
+    "llm_doc_chunk", "llm_train_split", "llm_pii_redact", "llm_stopword_topk",
 ]
 
 
