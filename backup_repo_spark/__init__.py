@@ -33,7 +33,12 @@ from backup_repo_spark.operators import (  # noqa: F401
     windows,
 )
 from backup_repo_spark.plans import inspect as plans_inspect  # noqa: F401
-from backup_repo_spark.sources import astro_datasource, dml, layout  # noqa: F401
+from backup_repo_spark.sources import (  # noqa: F401
+    astro_datasource,
+    clustering,
+    dml,
+    layout,
+)
 from backup_repo_spark.streaming import live as streaming_live  # noqa: F401
 from backup_repo_spark.streaming import windows as streaming_windows  # noqa: F401
 from backup_repo_spark.udx import surface as udx_surface  # noqa: F401

@@ -95,6 +95,8 @@ EXTENSION_KEYS = [
     "tpch_q19_style", "tpch_q20_style", "tpch_q21_style",
     # batch 11: training-data pipeline stages (chunk/split/redact/stopword)
     "llm_doc_chunk", "llm_train_split", "llm_pii_redact", "llm_stopword_topk",
+    # batch 12: storage maintenance (z-order clustering, compaction, stats)
+    "layout_zorder", "layout_compaction", "stats_analyze",
 ]
 
 

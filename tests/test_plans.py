@@ -136,3 +136,61 @@ def test_aqe_coalesces_shuffle_partitions(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in final and "coalesced" in final, final[:500]
+
+
+def _files_overlapping(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
+    """(n_overlapping, n_total): parquet files under `path` whose footer
+    min/max for `col` intersects [lo, hi] — the files a stats-pruning scan
+    must read."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(f"{path}/*.parquet")
+    n = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index(col)
+        hit = False
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or st.min <= hi and st.max >= lo:
+                hit = True
+                break
+        n += hit
+    return n, len(files)
+
+
+def test_zorder_layout_prunes_2d_predicate(spark, tmp_path):
+    # Z-order vs linear (orderkey-sorted) layout: for a range predicate on
+    # px = l_partkey % 256 — NOT the linear sort key — the z-ordered files'
+    # min/max footers must exclude strictly more files. This is the 100 TB
+    # payoff of multi-dimensional clustering; rowkey (linear) order only
+    # prunes its leading key.
+    from backup_repo_spark.sources.clustering import write_zordered
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    lin, zo = str(tmp_path / "lin"), str(tmp_path / "zo")
+    (
+        li.withColumn("px", F.pmod(F.col("l_partkey"), F.lit(256)))
+        .repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(lin)
+    )
+    write_zordered(li, "l_partkey", "l_suppkey", zo, nfiles=16)
+    z_hit, z_all = _files_overlapping(zo, "px", 16, 47)
+    l_hit, l_all = _files_overlapping(lin, "px", 16, 47)
+    assert z_all == l_all == 16
+    assert l_hit == 16, "linear layout should not prune a non-leading key"
+    assert z_hit <= z_all // 2, f"z-order pruned too little: {z_hit}/{z_all}"
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    from backup_repo_spark.sources.clustering import compact
+
+    frag, comp = str(tmp_path / "frag"), str(tmp_path / "comp")
+    load_table(spark, SF_DIR, "orders").repartition(64).write.parquet(frag)
+    before, after = compact(spark, frag, comp)
+    assert before == 64
+    assert 1 <= after < before
+    assert spark.read.parquet(comp).count() == spark.read.parquet(frag).count()
