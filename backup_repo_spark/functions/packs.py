@@ -503,3 +503,42 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", arr.alias("arr")).select(
         "o_orderkey", F.explode_outer("arr").alias("v")
     )
+
+
+@query(
+    "fn_map_extra",
+    oracle="""
+    WITH src AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                 WHERE o_orderkey < 2000)
+    SELECT * FROM (
+      SELECT o_orderkey, 'p' AS key, CAST(6 AS BIGINT) AS val
+      FROM src WHERE o_totalprice > 100000
+      UNION ALL
+      SELECT o_orderkey, 'k', (o_custkey % 10) * 2
+      FROM src WHERE (o_custkey % 10) * 2 >= 6
+      UNION ALL
+      SELECT o_orderkey, 'c', 1 FROM src
+    ) ORDER BY o_orderkey, key
+    """,
+)
+def fn_map_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order map functions: transform_values, map_filter,
+    map_concat, then explode back to (key, value) rows. The oracle derives
+    the surviving entries from first principles (DuckDB's map surface is
+    thin), which also documents the semantics: double every value, keep
+    entries >= 6, union a constant entry. All JVM-side lambdas — no Python
+    boundary."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    m = F.create_map(
+        F.lit("p"),
+        (F.col("o_totalprice") > 100000).cast("long") * 3,
+        F.lit("k"),
+        F.col("o_custkey") % 10,
+    )
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    kept = F.map_filter(doubled, lambda _, v: v >= 6)
+    final = F.map_concat(kept, F.create_map(F.lit("c"), F.lit(1).cast("long")))
+    return (
+        o.select("o_orderkey", F.explode(final).alias("key", "val"))
+        .orderBy("o_orderkey", "key")
+    )

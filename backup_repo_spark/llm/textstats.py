@@ -245,3 +245,53 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "token", F.round("tfidf", 4).alias("tfidf"))
     )
+
+
+@query(
+    "llm_quality_score",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> list_contains(['a','the','of','and','to'], t))) AS BIGINT)
+               AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           round(n_uniq * 1.0 / n_tokens, 6) AS uniq_ratio,
+           round(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+           round(0.4 * (n_uniq * 1.0 / n_tokens)
+                 + 0.3 * (1 - n_stop * 1.0 / n_tokens)
+                 + 0.3 * least(n_tokens / 100.0, 1.0), 6) AS quality
+    FROM f ORDER BY doc_id
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring from ratio features — vocabulary
+    diversity (distinct/total tokens), stopword density, and a saturating
+    length credit — combined into one [0,1] score. The features a
+    training-data curation pass thresholds on. Map-only JVM arithmetic on
+    exact integer counts; doubles appear only in per-row ratios (IEEE
+    deterministic), so the oracle verifies full per-doc values."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nt = F.size(toks).cast("long")
+    nu = F.size(F.array_distinct(toks)).cast("long")
+    ns = F.size(F.filter(toks, lambda t: t.isin("a", "the", "of", "and", "to"))).cast(
+        "long"
+    )
+    uniq = nu * F.lit(1.0) / nt
+    stop = ns * F.lit(1.0) / nt
+    return d.select(
+        "doc_id",
+        "lang",
+        nt.alias("n_tokens"),
+        F.round(uniq, 6).alias("uniq_ratio"),
+        F.round(stop, 6).alias("stop_ratio"),
+        F.round(
+            0.4 * uniq + 0.3 * (1 - stop) + 0.3 * F.least(nt / 100.0, F.lit(1.0)),
+            6,
+        ).alias("quality"),
+    ).orderBy("doc_id")

@@ -300,3 +300,33 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts_b") > F.col("ts_a"))
         & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 DAY")),
     ).select("id_a", "id_b", "user_id")
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS k, count(*) AS n
+               FROM orders GROUP BY 1),
+         d AS (SELECT DISTINCT nullif(o_orderpriority, '3-MEDIUM') AS k FROM orders)
+    SELECT coalesce(d.k, 'missing') AS label, n
+    FROM c JOIN d ON c.k IS NOT DISTINCT FROM d.k
+    ORDER BY label
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing. One priority is nulled-out on both
+    sides; the 'missing' row in the output exists ONLY if the join is
+    null-safe. eqNullSafe keys still hash-partition (NULLs co-locate in
+    one partition), so the join stays a hash/merge join at scale — no
+    fallback to nested-loop."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "k", F.expr("nullif(o_orderpriority, '3-MEDIUM')")
+    )
+    counts = o.groupBy("k").agg(F.count(F.lit(1)).alias("n")).alias("c")
+    dim = o.select("k").distinct().alias("d")
+    return (
+        counts.join(dim, F.col("c.k").eqNullSafe(F.col("d.k")))
+        .select(F.coalesce(F.col("d.k"), F.lit("missing")).alias("label"), "n")
+        .orderBy("label")
+    )

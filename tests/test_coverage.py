@@ -97,6 +97,8 @@ EXTENSION_KEYS = [
     "llm_doc_chunk", "llm_train_split", "llm_pii_redact", "llm_stopword_topk",
     # batch 12: storage maintenance (z-order clustering, compaction, stats)
     "layout_zorder", "layout_compaction", "stats_analyze",
+    # batch 13: null-safe join, grouping flags, map lambdas, quality scoring
+    "join_null_safe", "agg_grouping_id", "fn_map_extra", "llm_quality_score",
 ]
 
 

@@ -194,3 +194,37 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     assert before == 64
     assert 1 <= after < before
     assert spark.read.parquet(comp).count() == spark.read.parquet(frag).count()
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    # Runtime row-level filtering: with a selective filter on the build
+    # side of a shuffle join, Spark injects a bloom_filter_agg on that side
+    # and a might_contain predicate into the probe-side SCAN — the runtime
+    # analog of Astro's storage-side predicate pushdown, and at 100 TB the
+    # difference between shuffling the whole fact table and a sliver of it.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(F.col("o_totalprice") > 400000)
+        df = (
+            li.hint("merge")
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = plan_of(df)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
