@@ -99,6 +99,8 @@ EXTENSION_KEYS = [
     "layout_zorder", "layout_compaction", "stats_analyze",
     # batch 13: null-safe join, grouping flags, map lambdas, quality scoring
     "join_null_safe", "agg_grouping_id", "fn_map_extra", "llm_quality_score",
+    # batch 14: event analytics (ordered funnel, cohort retention, fuzzy join)
+    "events_funnel", "events_retention", "join_fuzzy_blocked",
 ]
 
 
