@@ -21,6 +21,7 @@ from backup_repo_spark.operators import (  # noqa: F401
     aggregates,
     events_analytics,
     joins,
+    modern_sql,
     projections,
     scans,
     reshape,

@@ -174,3 +174,98 @@ def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "llm_ann_recall",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb FROM e
+          WHERE vec_id < 20),
+    pr AS (SELECT qid, e.vec_id, e.bucket, q.qb,
+                  CAST(unnest(e.embedding) AS DOUBLE) AS x,
+                  CAST(unnest(q.qe) AS DOUBLE) AS y
+           FROM e, q WHERE e.vec_id <> q.qid),
+    sc AS (SELECT qid, vec_id, bucket, qb,
+                  sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+           FROM pr GROUP BY qid, vec_id, bucket, qb),
+    ex AS (SELECT qid, vec_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS r
+           FROM sc),
+    ap AS (SELECT qid, vec_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS r
+           FROM sc WHERE bucket = qb),
+    hits AS (SELECT ex.qid, count(*) AS n_hit
+             FROM ex JOIN ap ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
+             WHERE ex.r <= 10 AND ap.r <= 10 GROUP BY ex.qid)
+    SELECT q.qid, coalesce(n_hit, 0) AS n_hit,
+           round(coalesce(n_hit, 0) / 10.0, 2) AS recall
+    FROM q LEFT JOIN hits ON q.qid = hits.qid
+    ORDER BY q.qid
+    """,
+)
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF sign-bucket probe vs exact brute force, for 20
+    query vectors — the accuracy measurement that must accompany any ANN
+    index. Both rankings are computed in one scored-pairs pass (broadcast
+    the 20 queries, window-rank per query), so the comparison itself is a
+    cheap self-join on (query, candidate). Both paths are deterministic,
+    so recall is value-verified cross-engine — not just sanity-checked."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            for i in range(4)
+        ),
+        start=F.lit(0),
+    ).alias("bucket")
+    e = emb.select("vec_id", "embedding", bucket)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", "bucket", "qb",
+            _cosine(F.col("embedding"), F.col("qe")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    exact = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 10)
+        .select("qid", "vec_id")
+    )
+    approx = (
+        scored.filter(F.col("bucket") == F.col("qb"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = exact.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        q.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / 10.0, 2).alias("recall"),
+        )
+        .orderBy("qid")
+    )

@@ -1,0 +1,141 @@
+"""Spark 4.x SQL-surface extensions: pipe syntax, dynamic SQL, collations,
+approximate top-k. Beyond the reference by construction (Astro froze at
+Spark 1.4 SQL — SURVEY.md §2.B scope note); included because "a user of the
+reference could switch" implies the modern SQL entry points too.
+
+All four are front-end features — the plans they produce are the same
+scans/aggregates as their classic-SQL equivalents (verified by the oracles),
+so nothing here changes the 100 TB story; approx_top_k is the exception in
+the other direction: a bounded-memory sketch that replaces an exact
+sort-by-count at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backup_repo_spark.registry import query
+from backup_repo_spark.session import load_events, load_table
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM lineitem
+    WHERE l_quantity > 45
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (|>): the same logical plan as the classic
+    SELECT/GROUP BY the oracle runs — table first, then WHERE, AGGREGATE,
+    ORDER BY as postfix stages. Catalyst unifies both syntaxes before
+    optimization, so pushdown/pruning are unchanged."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity > 45
+        |> AGGREGATE count(*) AS n,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        |> SELECT l_returnflag, n, rev
+        """
+    )
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders WHERE o_totalprice > 200000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL: EXECUTE IMMEDIATE with a named bind parameter — the
+    string is compiled at execution and the parameter is passed as data
+    (USING), never spliced into the text. The injection-safe way to
+    template 100 TB maintenance jobs."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderstatus, count(*) AS n
+           FROM orders WHERE o_totalprice > :threshold
+           GROUP BY o_orderstatus ORDER BY o_orderstatus'
+        USING 200000 AS threshold
+        """
+    )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT count(DISTINCT seg) AS n_case_sensitive,
+           count(DISTINCT lower(seg)) AS n_case_insensitive,
+           sum(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END) AS n_building_ci
+    FROM mixed
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 COLLATE): a mixed-case segment
+    column counted under binary vs UTF8_LCASE collation, plus a
+    case-insensitive equality filter. The collation version pushes the
+    case-folding into the comparison operator itself — no lower() wrapper
+    column for Catalyst to re-derive everywhere. Oracle mirrors with
+    explicit lower() (DuckDB has no column collations)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH mixed AS (
+          SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                      ELSE c_mktsegment END AS seg
+          FROM customer
+        )
+        SELECT count(DISTINCT seg) AS n_case_sensitive,
+               count(DISTINCT seg COLLATE UTF8_LCASE) AS n_case_insensitive,
+               sum(CASE WHEN seg COLLATE UTF8_LCASE = 'building' THEN 1 ELSE 0 END)
+                 AS n_building_ci
+        FROM mixed
+        """
+    )
+
+
+@query(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, event_type) AS INT) - 1
+             AS rnk,
+           event_type AS item, count(*) AS cnt
+    FROM events GROUP BY event_type
+    ORDER BY cnt DESC, item LIMIT 3
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k heavy hitters: a bounded-memory frequency sketch that
+    replaces sort-the-full-histogram at 100 TB (the sketch merges
+    map-side). At this cardinality (5 event types ≪ sketch capacity) the
+    sketch is provably exact, so the oracle can check values, not just
+    shape."""
+    ev = load_events(spark, sf_dir)
+    top = ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+    return (
+        top.select(F.posexplode("tk").alias("rnk", "entry"))
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("entry.item").alias("item"),
+            F.col("entry.count").alias("cnt"),
+        )
+        .orderBy("rnk")
+    )

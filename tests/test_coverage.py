@@ -101,6 +101,9 @@ EXTENSION_KEYS = [
     "join_null_safe", "agg_grouping_id", "fn_map_extra", "llm_quality_score",
     # batch 14: event analytics (ordered funnel, cohort retention, fuzzy join)
     "events_funnel", "events_retention", "join_fuzzy_blocked",
+    # batch 15: Spark-4 SQL front ends + ANN accuracy measurement
+    "sql_pipe_syntax", "sql_execute_immediate", "fn_collation",
+    "agg_approx_top_k", "llm_ann_recall",
 ]
 
 
