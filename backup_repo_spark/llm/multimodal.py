@@ -181,3 +181,124 @@ def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.unhex(F.md5("text")), F.unhex(F.md5(F.upper("text")))).alias("video"),
     )
     return with_video.mapInPandas(_framesample_batches, schema=_FRAME_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("out_bytes", T.IntegerType()),
+        T.StructField("out_hex", T.StringType()),
+    ]
+)
+
+# fake "image": 32-byte payload (md5 ‖ md5) viewed as 4 rows × 8 cols,
+# 1 byte/pixel; resize = 2× stride subsample → 2×4 output, 8 bytes
+_IMG_W, _IMG_H, _STRIDE2 = 8, 4, 2
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """FAKE resize (no image libs — module docstring): nearest-neighbor
+    2× downsample by byte striding over the row-major pixel buffer. A real
+    implementation (PIL.Image.resize) drops in unchanged — same signature,
+    same Arrow batch flow, same schema."""
+    def shrink(b: bytes) -> bytes:
+        return bytes(
+            b[r * _IMG_W + c]
+            for r in range(0, _IMG_H, _STRIDE2)
+            for c in range(0, _IMG_W, _STRIDE2)
+        )
+
+    for pdf in batches:
+        small = pdf["img"].apply(shrink)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "out_w": _IMG_W // _STRIDE2,
+                "out_h": _IMG_H // _STRIDE2,
+                "out_bytes": small.apply(len).astype("int32"),
+                "out_hex": small.apply(bytes.hex),
+            }
+        )
+
+
+# byte i (0-based) of the 32-byte payload lives at hex chars [2i+1, 2i+2]
+# of md5(text) ‖ md5(text); the resize keeps bytes {0,2,4,6, 16,18,20,22}
+_KEPT_BYTES = [r * _IMG_W + c for r in range(0, _IMG_H, _STRIDE2)
+               for c in range(0, _IMG_W, _STRIDE2)]
+_RESIZED_HEX = " || ".join(
+    f"substr(md5(text) || md5(text), {2 * i + 1}, 2)" for i in _KEPT_BYTES
+)
+
+
+@query(
+    "llm_multimodal_resize",
+    oracle=f"""
+    SELECT doc_id, 4 AS out_w, 2 AS out_h, 8 AS out_bytes,
+           {_RESIZED_HEX} AS out_hex
+    FROM documents
+    """,
+)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize pipeline stage: 32-byte synthetic pixel buffers
+    downsampled 2× by an Arrow-batched mapInPandas stage. The oracle
+    reassembles the exact surviving bytes from the hex digest — the
+    resized payload is verified byte-for-byte, proving the
+    binary plumbing (schema, batch shape, row-major indexing) and not just
+    counts. Map-only at 100 TB; payload bytes never cross a shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    img = F.unhex(F.concat(F.md5("text"), F.md5("text"))).alias("img")
+    return d.select("doc_id", img).mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+
+
+_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("min_byte", T.IntegerType()),
+        T.StructField("max_byte", T.IntegerType()),
+    ]
+)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """FAKE feature extractor: per-payload byte statistics stand in for a
+    CNN embedding head; numpy-vectorized per Arrow batch."""
+    import numpy as np
+
+    for pdf in batches:
+        arr = np.stack(pdf["img"].apply(lambda b: np.frombuffer(b, dtype=np.uint8)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "mean_byte": arr.mean(axis=1).round(4),
+                "min_byte": arr.min(axis=1).astype("int32"),
+                "max_byte": arr.max(axis=1).astype("int32"),
+            }
+        )
+
+
+_BYTES16 = ", ".join(_hexpair_sql("md5(text)", 2 * i + 1) for i in range(16))
+
+
+@query(
+    "llm_multimodal_features",
+    oracle=f"""
+    SELECT doc_id,
+           round(list_avg([{_BYTES16}]), 4) AS mean_byte,
+           list_min([{_BYTES16}]) AS min_byte,
+           list_max([{_BYTES16}]) AS max_byte
+    FROM documents
+    """,
+)
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads: per-image byte statistics
+    (mean/min/max) computed numpy-vectorized inside mapInPandas — the
+    shape of a real embedding/feature head (binary in, fixed-width typed
+    vector out). Values verified against the oracle's byte-level
+    recomputation. Mean is over 16 exact integers ÷ 16 — bit-identical
+    across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    with_img = d.select("doc_id", F.unhex(F.md5("text")).alias("img"))
+    return with_img.mapInPandas(_feature_batches, schema=_FEAT_SCHEMA)

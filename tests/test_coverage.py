@@ -104,6 +104,8 @@ EXTENSION_KEYS = [
     # batch 15: Spark-4 SQL front ends + ANN accuracy measurement
     "sql_pipe_syntax", "sql_execute_immediate", "fn_collation",
     "agg_approx_top_k", "llm_ann_recall",
+    # batch 16: multimodal resize + feature-extract (mapInPandas, byte-verified)
+    "llm_multimodal_resize", "llm_multimodal_features",
 ]
 
 
