@@ -112,3 +112,162 @@ def test_random_filter_agg_matches_duckdb(spark, duck, s):
 
     problems = hard_problems(compare(df.toPandas(), duck.execute(sql).fetchdf()))
     assert not problems, f"{sql}\n{problems}"
+
+
+# ---- join property ---------------------------------------------------------
+
+_O_PREDS = {
+    "price_gt": (
+        lambda v: F.col("o_totalprice") > v * 4000.0,
+        lambda v: f"o_totalprice > {v * 4000.0}",
+    ),
+    "status_eq": (
+        lambda v: F.col("o_orderstatus") == ["O", "F", "P"][v % 3],
+        lambda v: f"o_orderstatus = '{['O', 'F', 'P'][v % 3]}'",
+    ),
+    "prio_eq": (
+        lambda v: F.col("o_orderpriority")
+        == ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"][v % 5],
+        lambda v: "o_orderpriority = "
+        + f"'{['1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'][v % 5]}'",
+    ),
+}
+
+_C_PREDS = {
+    "seg_eq": (
+        lambda v: F.col("c_mktsegment")
+        == ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"][v % 5],
+        lambda v: "c_mktsegment = "
+        + f"'{['AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY'][v % 5]}'",
+    ),
+    "nation_lt": (
+        lambda v: F.col("c_nationkey") < v % 25,
+        lambda v: f"c_nationkey < {v % 25}",
+    ),
+    "bal_ge": (
+        lambda v: F.col("c_acctbal") >= v * 150.0,
+        lambda v: f"c_acctbal >= {v * 150.0}",
+    ),
+}
+
+_J_GROUPS = {"seg": "c_mktsegment", "status": "o_orderstatus", "none": None}
+
+join_spec = st.tuples(
+    st.sampled_from(sorted(_O_PREDS)),
+    st.sampled_from(sorted(_C_PREDS)),
+    st.integers(min_value=1, max_value=40),
+    st.sampled_from(sorted(_J_GROUPS)),
+    st.sampled_from(["inner", "left_semi", "left_anti"]),
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(join_spec)
+def test_random_join_matches_duckdb(spark, duck, s):
+    o_key, c_key, v, group_key, how = s
+    o_col, o_sql = _O_PREDS[o_key]
+    c_col, c_sql = _C_PREDS[c_key]
+    grp = _J_GROUPS[group_key]
+
+    o = load_table(spark, SF_DIR, "orders").filter(o_col(v))
+    c = load_table(spark, SF_DIR, "customer").filter(c_col(v))
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"], how)
+    sql_how = {"inner": "JOIN", "left_semi": "SEMI JOIN", "left_anti": "ANTI JOIN"}[how]
+    base = (
+        f"FROM (SELECT * FROM orders WHERE {o_sql(v)}) o "
+        f"{sql_how} (SELECT * FROM customer WHERE {c_sql(v)}) c "
+        f"ON o.o_custkey = c.c_custkey"
+    )
+    if grp and not (how != "inner" and grp.startswith("c_")):
+        df = joined.groupBy(grp).agg(F.count(F.lit(1)).alias("n"))
+        sql = f"SELECT {grp}, count(*) AS n {base} GROUP BY {grp}"
+    else:
+        df = joined.agg(F.count(F.lit(1)).alias("n"))
+        sql = f"SELECT count(*) AS n {base}"
+
+    problems = hard_problems(compare(df.toPandas(), duck.execute(sql).fetchdf()))
+    assert not problems, f"{sql}\n{problems}"
+
+
+# ---- window property -------------------------------------------------------
+
+_W_PARTS = {"status": "o_orderstatus", "prio": "o_orderpriority"}
+_W_ORDERS = {
+    "price_desc": ("o_totalprice", True),
+    "price_asc": ("o_totalprice", False),
+    "date_desc": ("o_orderdate", True),
+}
+
+window_spec = st.tuples(
+    st.sampled_from(sorted(_W_PARTS)),
+    st.sampled_from(sorted(_W_ORDERS)),
+    st.integers(min_value=1, max_value=5),
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(window_spec)
+def test_random_window_topk_matches_duckdb(spark, duck, s):
+    from pyspark.sql.window import Window
+
+    part_key, order_key, k = s
+    part = _W_PARTS[part_key]
+    ocol, desc = _W_ORDERS[order_key]
+
+    # o_orderkey tiebreak makes the ranking a total order in both engines
+    sort = [F.desc(ocol) if desc else F.asc(ocol), F.asc("o_orderkey")]
+    w = Window.partitionBy(part).orderBy(*sort)
+    df = (
+        load_table(spark, SF_DIR, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(part, "o_orderkey", "rn")
+    )
+    dir_sql = "DESC" if desc else "ASC"
+    sql = f"""
+        SELECT {part}, o_orderkey, rn FROM (
+          SELECT {part}, o_orderkey,
+                 row_number() OVER (PARTITION BY {part}
+                                    ORDER BY {ocol} {dir_sql}, o_orderkey) AS rn
+          FROM orders) WHERE rn <= {k}
+    """
+    problems = hard_problems(compare(df.toPandas(), duck.execute(sql).fetchdf()))
+    assert not problems, f"{sql}\n{problems}"
+
+
+# ---- set-op property -------------------------------------------------------
+
+setop_spec = st.tuples(
+    st.sampled_from(sorted(_O_PREDS)),
+    st.sampled_from(sorted(_O_PREDS)),
+    st.integers(min_value=1, max_value=40),
+    st.sampled_from(["except", "intersect", "union"]),
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(setop_spec)
+def test_random_setop_matches_duckdb(spark, duck, s):
+    k1, k2, v, op = s
+    p1_col, p1_sql = _O_PREDS[k1]
+    p2_col, p2_sql = _O_PREDS[k2]
+
+    proj = ["o_orderkey", "o_orderstatus"]
+    a = load_table(spark, SF_DIR, "orders").filter(p1_col(v)).select(*proj)
+    b = load_table(spark, SF_DIR, "orders").filter(p2_col(v)).select(*proj)
+    if op == "except":
+        df = a.exceptAll(b)
+        sop = "EXCEPT ALL"
+    elif op == "intersect":
+        df = a.intersectAll(b)
+        sop = "INTERSECT ALL"
+    else:
+        df = a.union(b).distinct()
+        sop = "UNION"
+    cols = ", ".join(proj)
+    sql = (
+        f"SELECT {cols} FROM orders WHERE {p1_sql(v)} {sop} "
+        f"SELECT {cols} FROM orders WHERE {p2_sql(v)}"
+    )
+    problems = hard_problems(compare(df.toPandas(), duck.execute(sql).fetchdf()))
+    assert not problems, f"{sql}\n{problems}"
