@@ -542,3 +542,68 @@ def fn_map_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderkey", F.explode(final).alias("key", "val"))
         .orderBy("o_orderkey", "key")
     )
+
+
+@query(
+    "fn_mask",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked_default,
+           regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_digits
+    FROM customer ORDER BY c_custkey LIMIT 100
+    """,
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data masking: mask() hides PII-shaped content class-by-class
+    (upper→X, lower→x, digit→n, punctuation kept). The second column masks
+    only digits via the keyword overrides. Oracle mirrors with regex
+    classes — verifying mask's exact character-class semantics."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.mask("c_name").alias("masked_default"),
+            F.mask(
+                "c_name",
+                upperChar=F.lit(None),
+                lowerChar=F.lit(None),
+                digitChar=F.lit("*"),
+            ).alias("masked_digits"),
+        )
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+_AES_KEY = "0000111122223333"
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT doc_id, text AS decrypted, true AS roundtrip_ok
+    FROM documents ORDER BY doc_id LIMIT 100
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column encryption round-trip: aes_decrypt(aes_encrypt(text)) must
+    reproduce the input bytes exactly (ECB keeps the pipeline deterministic;
+    production would use GCM, whose random IV precludes value oracles).
+    The at-rest-crypto pattern for sensitive columns; both sides JVM-native."""
+    d = load_table(spark, sf_dir, "documents")
+    enc = F.expr(f"aes_encrypt(text, '{_AES_KEY}', 'ECB')")
+    dec = F.expr(
+        f"CAST(aes_decrypt(aes_encrypt(text, '{_AES_KEY}', 'ECB'), "
+        f"'{_AES_KEY}', 'ECB') AS STRING)"
+    )
+    return (
+        d.select(
+            "doc_id",
+            dec.alias("decrypted"),
+            (dec == F.col("text")).alias("roundtrip_ok"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )

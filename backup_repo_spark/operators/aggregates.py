@@ -423,3 +423,32 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, rf, ls
         """
     )
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT o_orderstatus,
+           count_if(o_totalprice > 200000) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (count_if / bool_and / bool_or) — predicate
+    rollups in one pass instead of one filtered subquery per condition.
+    All three partial-aggregate (AND/OR/sum are associative+commutative),
+    so map-side combine applies at scale."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count_if(o_totalprice > 200000) AS n_big,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )

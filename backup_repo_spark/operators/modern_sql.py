@@ -139,3 +139,28 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders WHERE o_totalprice > 250000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (DECLARE / SET VAR): typed, session-scoped
+    state referenced directly in queries — the clean replacement for
+    string-formatting thresholds into SQL text. The variable is resolved
+    at plan time, so the filter still pushes down to the scan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR price_floor = 250000.0")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n
+        FROM orders WHERE o_totalprice > price_floor
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )

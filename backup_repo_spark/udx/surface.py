@@ -272,3 +272,43 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         stage, schema="doc_id BIGINT, dbl_chars BIGINT, lang_u STRING"
     )
+
+
+@query(
+    "udtf_polymorphic",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, toks[1] AS tok_0, toks[2] AS tok_1, toks[3] AS tok_2
+    FROM tk ORDER BY doc_id LIMIT 200
+    """,
+)
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 3.5+/4.x): the static ``analyze``
+    hook computes the OUTPUT SCHEMA from the call-site arguments — here
+    first_k(text, 3) materializes columns tok_0..tok_2 at plan time. The
+    schema-from-arguments contract is what lets one table function serve
+    any width without casting; rows flow Arrow-batched like any UDTF."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+
+    @udtf
+    class FirstK:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            out = T.StructType()
+            for i in range(k.value):
+                out = out.add(f"tok_{i}", T.StringType())
+            return AnalyzeResult(schema=out)
+
+        def eval(self, text: str, k: int):
+            toks = (text or "").split(" ")[:k]
+            yield tuple(toks + [None] * (k - len(toks)))
+
+    spark.udtf.register("first_k", FirstK)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok_0, t.tok_1, t.tok_2
+        FROM documents d, LATERAL first_k(d.text, 3) t
+        ORDER BY d.doc_id LIMIT 200
+        """
+    )

@@ -106,6 +106,9 @@ EXTENSION_KEYS = [
     "agg_approx_top_k", "llm_ann_recall",
     # batch 16: multimodal resize + feature-extract (mapInPandas, byte-verified)
     "llm_multimodal_resize", "llm_multimodal_features",
+    # batch 17: boolean aggs, masking, column crypto, session vars, poly UDTF
+    "agg_boolean", "fn_mask", "fn_aes_roundtrip", "sql_session_variables",
+    "udtf_polymorphic",
 ]
 
 
