@@ -199,3 +199,57 @@ def stats_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_rows")
         )
     )
+
+
+@query(
+    "codec_sortkey",
+    oracle="""
+    WITH enc AS (
+      SELECT o_orderkey, o_orderdate,
+             lpad(hex(CAST(epoch(o_orderdate) AS BIGINT)), 16, '0')
+               || lpad(hex(o_orderkey), 16, '0') AS rowkey
+      FROM orders
+    ),
+    ranked AS (
+      SELECT rowkey,
+             row_number() OVER (ORDER BY rowkey) AS r_encoded,
+             row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS r_raw
+      FROM enc
+    )
+    SELECT count(*) AS n_rows,
+           count_if(r_encoded <> r_raw) AS n_order_mismatch,
+           min(rowkey) AS first_key, max(rowkey) AS last_key
+    FROM ranked
+    """,
+)
+def codec_sortkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-order-preserving composite-key codec — the Spark restatement of
+    Astro's rowkey encoding (upstream BytesUtils.scala/HBaseKVHelper.scala,
+    unverified; SURVEY.md §2.A A10): (orderdate, orderkey) → fixed-width
+    big-endian hex so LEXICOGRAPHIC order of the encoded string equals the
+    composite column order. The query proves the property over every row
+    (rank under encoded order == rank under raw order, zero mismatches) —
+    this is what makes encoded keys usable as range-partition boundaries,
+    exactly as HBase rowkeys were. Non-negative domains only (sign bit
+    would need flipping, as Astro's codec did)."""
+    o = load_table(spark, sf_dir, "orders")
+    rowkey = F.concat(
+        F.lpad(F.hex(F.unix_timestamp("o_orderdate")), 16, "0"),
+        F.lpad(F.hex("o_orderkey"), 16, "0"),
+    ).alias("rowkey")
+    from pyspark.sql.window import Window
+
+    enc = o.select("o_orderkey", "o_orderdate", rowkey)
+    ranked = enc.select(
+        "rowkey",
+        F.row_number().over(Window.orderBy("rowkey")).alias("r_encoded"),
+        F.row_number()
+        .over(Window.orderBy("o_orderdate", "o_orderkey"))
+        .alias("r_raw"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("r_encoded") != F.col("r_raw")).alias("n_order_mismatch"),
+        F.min("rowkey").alias("first_key"),
+        F.max("rowkey").alias("last_key"),
+    )

@@ -109,6 +109,8 @@ EXTENSION_KEYS = [
     # batch 17: boolean aggs, masking, column crypto, session vars, poly UDTF
     "agg_boolean", "fn_mask", "fn_aes_roundtrip", "sql_session_variables",
     "udtf_polymorphic",
+    # batch 18: sort-order-preserving key codec (reference BytesUtils parity)
+    "codec_sortkey",
 ]
 
 

@@ -228,3 +228,19 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scan_parallelism_follows_max_partition_bytes(spark):
+    # spark.sql.files.maxPartitionBytes is the knob that sets scan-task
+    # granularity; at 100 TB it is the difference between 800 tasks and
+    # 800k tasks. Shrinking it must increase the number of scan partitions
+    # for the same file set.
+    saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        wide = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        narrow = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").rdd.getNumPartitions()
+        assert narrow > wide, (narrow, wide)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
