@@ -80,7 +80,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _TABLE_CACHE.get(key)
     if df is None:
         if name == "events":
-            df = load_events(spark, sf_dir)
+            df = _load_events_uncached(spark, sf_dir)
         else:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         _TABLE_CACHE[key] = df
@@ -88,6 +88,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached events table (see :func:`_load_events_uncached`)."""
+    return load_table(spark, sf_dir, "events")
+
+
+def _load_events_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet with ``ts`` converted from raw INT64 nanos to a real
     TimestampType (microsecond precision — Spark's native resolution).
 

@@ -33,7 +33,9 @@ BENCH_QUERIES = {
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    spark = get_spark("bench")
+    # BASELINE.md methodology: shuffle.partitions=8 at this tiny scale (AQE
+    # coalesce still governs real deployments; see session.py defaults).
+    spark = get_spark("bench", shuffle_partitions=8)
     # Warm the JVM + file listing once so per-query numbers measure the query.
     spark.range(1).collect()
 
@@ -42,6 +44,10 @@ def main() -> None:
         fn = registry.QUERIES[key]
         best = float("inf")
         for _ in range(3):
+            # Fresh DataFrame per run: re-collecting one DataFrame object lets
+            # AQE reuse materialized shuffle outputs, which would measure
+            # result-cache hits instead of execution. Rebuild so every run
+            # pays analysis + optimization + full execution + fetch.
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
