@@ -607,3 +607,121 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || doc_id AS path,
+           lang AS lang_param,
+           replace(substr(text, 1, 30), ' ', '+') AS enc,
+           substr(text, 1, 30) AS dec,
+           base64(encode(substr(text, 1, 20))) AS b64,
+           substr(text, 1, 20) AS b64_rt
+    FROM documents ORDER BY doc_id
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL + binary-codec pack: parse_url (HOST/PATH/keyed QUERY),
+    url_encode/url_decode round-trip, base64/unbase64 round-trip. The
+    provenance-handling primitives of a web-crawl curation pipeline (dedup
+    by host, partition by path, decode stored payloads). The oracle mirrors
+    parse_url by reconstructing the parts and form-encoding (space→'+')
+    over the documents' constrained charset."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_url")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               parse_url(u, 'HOST') AS host,
+               parse_url(u, 'PATH') AS path,
+               parse_url(u, 'QUERY', 'lang') AS lang_param,
+               url_encode(substr(text, 1, 30)) AS enc,
+               url_decode(url_encode(substr(text, 1, 30))) AS dec,
+               base64(CAST(substr(text, 1, 20) AS BINARY)) AS b64,
+               CAST(unbase64(base64(CAST(substr(text, 1, 20) AS BINARY)))
+                    AS STRING) AS b64_rt
+        FROM (SELECT doc_id, text,
+                     concat('https://', source, '.example.com/docs/', doc_id,
+                            '?lang=', lang) AS u
+              FROM documents_url)
+        ORDER BY doc_id
+        """
+    )
+
+
+@query(
+    "fn_timezone",
+    oracle="""
+    SELECT o_orderkey,
+           strftime((o_orderdate AT TIME ZONE 'UTC')
+                    AT TIME ZONE 'America/New_York', '%Y-%m-%d %H:%M') AS ny_wall,
+           strftime((o_orderdate AT TIME ZONE 'UTC')
+                    AT TIME ZONE 'Asia/Tokyo', '%Y-%m-%d %H:%M') AS tokyo_wall,
+           strftime((o_orderdate AT TIME ZONE 'Europe/Berlin')
+                    AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M') AS utc_of_berlin,
+           strftime(make_timestamp(2024, 3, 15, 10, 30, 0), '%Y-%m-%d %H:%M') AS made
+    FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey
+    """,
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone pack: from_utc_timestamp / to_utc_timestamp /
+    convert_timezone / make_timestamp, value-aligned with DuckDB's
+    AT TIME ZONE chains (both sides use the IANA tzdb). Wall-clock
+    reporting over a UTC-normalized lakehouse is the standard pattern —
+    store UTC, shift at the edge. Formatted to minutes so the comparison
+    checks the tz math, not sub-second representation."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.from_utc_timestamp("o_orderdate", "America/New_York"),
+            "yyyy-MM-dd HH:mm",
+        ).alias("ny_wall"),
+        F.date_format(
+            F.expr("convert_timezone('UTC', 'Asia/Tokyo', o_orderdate)"),
+            "yyyy-MM-dd HH:mm",
+        ).alias("tokyo_wall"),
+        F.date_format(
+            F.to_utc_timestamp("o_orderdate", "Europe/Berlin"), "yyyy-MM-dd HH:mm"
+        ).alias("utc_of_berlin"),
+        F.date_format(
+            F.expr("make_timestamp(2024, 3, 15, 10, 30, 0)"), "yyyy-MM-dd HH:mm"
+        ).alias("made"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_format",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 3000)
+    SELECT o_orderkey,
+           lpad(printf('%,d', cents // 100) || '.' ||
+                lpad(CAST(cents % 100 AS VARCHAR), 2, '0'), 14, ' ') AS price_s,
+           printf('%,d', o_orderkey * 1000) AS key_s,
+           CAST(CAST(1234.56 AS DECIMAL(6,2)) AS DOUBLE) AS parsed
+    FROM t ORDER BY o_orderkey
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Number formatting/parsing: to_char with a digit-grouping picture,
+    format_number, try_to_number (string→DECIMAL). Values go through
+    DECIMAL(12,2) before formatting so both engines round identically;
+    DuckDB can't group-format floats, so the oracle formats exact integer
+    cents (%,d on the whole part + zero-padded fraction) — same string,
+    no float formatting in the comparison path."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "to_char(CAST(o_totalprice AS DECIMAL(12,2)), '999,999,990.99')"
+        ).alias("price_s"),
+        F.expr("format_number(o_orderkey * 1000, 0)").alias("key_s"),
+        F.expr("CAST(try_to_number('1,234.56', '9,999.99') AS DOUBLE)").alias(
+            "parsed"
+        ),
+    ).orderBy("o_orderkey")

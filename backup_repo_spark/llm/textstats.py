@@ -295,3 +295,74 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quality"),
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_repetition_signals",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    c AS (SELECT doc_id, tok, count(*) AS cnt FROM e GROUP BY doc_id, tok),
+    top AS (SELECT doc_id, max(cnt) AS top_cnt FROM c GROUP BY doc_id),
+    b AS (SELECT doc_id,
+                 list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+          FROM t)
+    SELECT t.doc_id,
+           len(t.toks) AS n_toks,
+           top.top_cnt AS top_cnt,
+           top.top_cnt * 1.0 / len(t.toks) AS top_tok_frac,
+           1.0 - len(list_distinct(b.bigrams)) * 1.0 / len(b.bigrams)
+               AS dup_bigram_frac,
+           (top.top_cnt * 1.0 / len(t.toks) <= 0.2
+            AND 1.0 - len(list_distinct(b.bigrams)) * 1.0 / len(b.bigrams) <= 0.5)
+               AS keep
+    FROM t
+    JOIN top USING (doc_id)
+    JOIN b USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def llm_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: top-token
+    fraction (most frequent token's share) and duplicate-bigram fraction,
+    plus the keep/drop decision a curation pass makes from them. Two
+    scalable shapes deliberately mixed: top-token runs as explode →
+    two-level groupBy (shuffle-based, arbitrarily wide docs); bigram
+    duplication stays map-only via array lambdas (zip_with of shifted
+    slices + array_distinct — no shuffle at all). Fractions are projected
+    as raw IEEE divisions (bit-identical cross-engine, no rounding)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("toks"))
+    top = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_cnt"))
+    )
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    sig = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)) * F.lit(1.0) / F.size(bigrams)
+        ).alias("dup_bigram_frac"),
+    )
+    top_frac = F.col("top_cnt") * F.lit(1.0) / F.col("n_toks")
+    return (
+        sig.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_toks",
+            "top_cnt",
+            top_frac.alias("top_tok_frac"),
+            "dup_bigram_frac",
+            ((top_frac <= 0.2) & (F.col("dup_bigram_frac") <= 0.5)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

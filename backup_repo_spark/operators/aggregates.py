@@ -452,3 +452,31 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
         """
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS du
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via bitmap aggregates (Spark 3.5+):
+    bitmap_bucket_number/bitmap_bit_position shard the id space into 32k-bit
+    buckets, bitmap_construct_agg ORs positions per bucket, and
+    sum(bitmap_count) totals them. Unlike count(DISTINCT) this partial-
+    aggregates (bitmaps OR associatively), so map-side combine applies and
+    the shuffle carries fixed-size bitmaps instead of every distinct id —
+    the exact-answer analog of HLL for dense integer keys at 100 TB."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_bm")
+    return spark.sql(
+        """
+        SELECT event_type, sum(bitmap_count(bm)) AS du
+        FROM (
+          SELECT event_type, bitmap_bucket_number(user_id) AS bucket,
+                 bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          FROM events_bm GROUP BY 1, 2
+        ) GROUP BY event_type ORDER BY event_type
+        """
+    )

@@ -164,3 +164,74 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus ORDER BY o_orderstatus
         """
     )
+
+
+@query(
+    "sql_scalar_udf",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS disc_revenue
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (CREATE FUNCTION ... RETURN expr, Spark 4): a named,
+    catalog-managed expression — unlike Python UDFs it is inlined into the
+    plan at analysis time, so it costs nothing at runtime (stays inside
+    whole-stage codegen, no serialization boundary). The right default for
+    shared business logic at 100 TB; the oracle inlines the same expression
+    by hand."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1.0 - d)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS disc_revenue
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "observe_metrics",
+    oracle="""
+    SELECT count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.observe(): data-quality metrics piggybacked on a pass the job
+    already makes — accumulator-backed, zero extra scans/shuffles, exactly
+    what a 100 TB ingest pipeline uses to assert row counts and value
+    bounds without a second aggregation job. The observed metrics are
+    returned as a one-row DataFrame and value-checked against a real
+    aggregate of the same slice."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    obs = Observation("pipeline_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["cnt"], m["sum_qty"], m["min_price"], m["max_price"])],
+        "cnt BIGINT, sum_qty DOUBLE, min_price DOUBLE, max_price DOUBLE",
+    )

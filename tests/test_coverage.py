@@ -111,6 +111,10 @@ EXTENSION_KEYS = [
     "udtf_polymorphic",
     # batch 18: sort-order-preserving key codec (reference BytesUtils parity)
     "codec_sortkey",
+    # batch 19: SQL UDFs, observed metrics, bitmap distinct, URL/tz/format
+    # packs, repetition quality signals
+    "sql_scalar_udf", "observe_metrics", "agg_bitmap_distinct", "fn_url",
+    "fn_timezone", "fn_format", "llm_repetition_signals",
 ]
 
 
