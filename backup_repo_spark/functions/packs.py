@@ -725,3 +725,32 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             "parsed"
         ),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_str_to_map",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS status,
+           CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str_to_map: parse 'k:v,k:v' strings into a MAP and extract typed
+    fields — the cheap path for semi-structured tag columns that aren't
+    worth a JSON parse. The map is built from the row's own columns, so
+    the oracle is simply those columns: round-trip proven if extraction
+    equals origin."""
+    o = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, m['status'] AS status, CAST(m['prio'] AS INT) AS prio
+        FROM (SELECT o_orderkey,
+                     str_to_map(concat('status:', o_orderstatus,
+                                       ',prio:', substr(o_orderpriority, 1, 1)),
+                                ',', ':') AS m
+              FROM {o})
+        ORDER BY o_orderkey
+        """,
+        o=o,
+    )

@@ -193,3 +193,33 @@ def llm_stopword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "tok")
         .limit(20)
     )
+
+
+@query(
+    "llm_source_mixture",
+    oracle="""
+    WITH c AS (SELECT source, lang, count(*) AS n
+               FROM documents GROUP BY source, lang)
+    SELECT source, lang, n,
+           round(sqrt(n) / (SELECT sum(sqrt(n)) FROM c), 8) AS share
+    FROM c ORDER BY source, lang
+    """,
+)
+def llm_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weights: per (source, lang) document counts turned
+    into temperature-flattened sampling shares (alpha = 0.5, i.e. sqrt —
+    the standard upweighting of low-resource slices when composing a
+    training mix). sqrt is IEEE-correctly-rounded, so shares are
+    bit-comparable cross-engine (pow(n, 0.7) would not be). The global
+    normalizer is a window over the aggregated 100-row mixture table, not
+    the corpus — aggregation happens first, so the second pass is
+    driver-trivial at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT source, lang, count(*) AS n,
+               round(sqrt(count(*)) / sum(sqrt(count(*))) OVER (), 8) AS share
+        FROM {d} GROUP BY source, lang ORDER BY source, lang
+        """,
+        d=d,
+    )

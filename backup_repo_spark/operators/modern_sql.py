@@ -235,3 +235,26 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["cnt"], m["sum_qty"], m["min_price"], m["max_price"])],
         "cnt BIGINT, sum_qty DOUBLE, min_price DOUBLE, max_price DOUBLE",
     )
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause: table and column names supplied as bound
+    parameters instead of string-spliced SQL — injection-safe dynamic
+    queries (the per-tenant / per-partition-table pattern). Resolution
+    happens at analysis time, so the plan is identical to the static
+    query the oracle runs."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_idc")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:c) AS status, count(*) AS n
+        FROM IDENTIFIER(:t) GROUP BY IDENTIFIER(:c) ORDER BY status
+        """,
+        args={"c": "o_orderstatus", "t": "orders_idc"},
+    )

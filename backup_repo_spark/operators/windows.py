@@ -213,3 +213,41 @@ def win_nth_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         """
     )
+
+
+@query(
+    "win_range_interval",
+    oracle="""
+    SELECT user_id, strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS s,
+           count(*) OVER w AS n_1h,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS cents_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts)
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, s
+    """,
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user rolling 1-hour event count and value
+    sum, with the frame bounded by INTERVAL arithmetic on the ORDER BY
+    timestamp (not row offsets) — the sliding-window-per-entity shape of
+    sessionization and rate limiting. RANGE includes all peers of the
+    current timestamp, so results are deterministic under any intra-second
+    input order; the summed measure is exact integer cents so the rolling
+    sum is order-insensitive too. One shuffle on user_id, sort within
+    partitions — at 100 TB this is the keyed-window pattern that scales
+    linearly with events per user."""
+    load_events(spark, sf_dir).createOrReplaceTempView("events_wri")
+    return spark.sql(
+        """
+        SELECT user_id,
+               date_format(date_trunc('second', ts), 'yyyy-MM-dd HH:mm:ss') AS s,
+               count(*) OVER w AS n_1h,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER w AS cents_1h
+        FROM events_wri
+        WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts)
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, s
+        """
+    )

@@ -115,6 +115,10 @@ EXTENSION_KEYS = [
     # packs, repetition quality signals
     "sql_scalar_udf", "observe_metrics", "agg_bitmap_distinct", "fn_url",
     "fn_timezone", "fn_format", "llm_repetition_signals",
+    # batch 20: interval RANGE frames, mixture weights, int8 quantization,
+    # str_to_map, IDENTIFIER clause
+    "win_range_interval", "llm_source_mixture", "llm_embed_quantize",
+    "fn_str_to_map", "sql_identifier_clause",
 ]
 
 
