@@ -223,3 +223,54 @@ def llm_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         d=d,
     )
+
+
+@query(
+    "llm_contamination",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+               FROM documents),
+    sh AS (SELECT doc_id, h, unnest(CASE WHEN len(toks) >= 8
+             THEN list_transform(range(1, len(toks) - 6),
+                                 i -> array_to_string(toks[i:i+7], ' '))
+             ELSE [] END) AS shingle FROM t),
+    tr AS (SELECT DISTINCT shingle FROM sh WHERE h < 'cc'),
+    te AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE h >= 'e6')
+    SELECT d.doc_id, count(tr.shingle) AS n_shared,
+           count(tr.shingle) > 0 AS contaminated
+    FROM (SELECT doc_id FROM t WHERE h >= 'e6') d
+    LEFT JOIN te ON d.doc_id = te.doc_id
+    LEFT JOIN tr ON te.shingle = tr.shingle
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination check: for every TEST document (same
+    md5-hash split as llm_train_split), count distinct 8-token shingles it
+    shares with ANY train document. The canonical eval-leakage audit run
+    before training. Scales as shingle-join (shuffle on shingle hash),
+    never test×train cross product; the distinct train-shingle set is the
+    big side and stays distributed. Docs shorter than 8 tokens contribute
+    no shingles (guarded — Spark's sequence() would otherwise count
+    backwards)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_cont")
+    return spark.sql(
+        """
+        WITH t AS (SELECT doc_id, split(text, ' ') AS toks,
+                          substring(md5(CAST(doc_id AS STRING)), 1, 2) AS h
+                   FROM docs_cont),
+        sh AS (SELECT doc_id, h, explode(CASE WHEN size(toks) >= 8
+                 THEN transform(sequence(1, size(toks) - 7),
+                                i -> concat_ws(' ', slice(toks, i, 8)))
+                 ELSE array() END) AS shingle FROM t),
+        tr AS (SELECT DISTINCT shingle FROM sh WHERE h < 'cc'),
+        te AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE h >= 'e6')
+        SELECT d.doc_id, count(tr.shingle) AS n_shared,
+               count(tr.shingle) > 0 AS contaminated
+        FROM (SELECT doc_id FROM t WHERE h >= 'e6') d
+        LEFT JOIN te ON d.doc_id = te.doc_id
+        LEFT JOIN tr ON te.shingle = tr.shingle
+        GROUP BY d.doc_id ORDER BY d.doc_id
+        """
+    )

@@ -145,3 +145,106 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("blk")
     )
+
+
+@query(
+    "events_scd2",
+    oracle="""
+    SELECT user_id, event_type AS state,
+           strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS eff_from,
+           coalesce(strftime(date_trunc('second',
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)),
+               '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS eff_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+               AS is_current
+    FROM events ORDER BY user_id, eff_from
+    """,
+)
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: each user's event stream
+    becomes validity intervals [eff_from, eff_to) with an open-ended
+    current row — the standard dimension-history shape warehouses join
+    facts against. One window (lead over user_id, ts) = one shuffle;
+    event_id tie-breaks identical timestamps so the intervals are
+    deterministic under any partitioning. At 100 TB this is the incremental
+    MERGE pattern's full-rebuild analog — linear in events, no self-join."""
+    load_events(spark, sf_dir).createOrReplaceTempView("events_scd")
+    return spark.sql(
+        """
+        SELECT user_id, event_type AS state,
+               date_format(date_trunc('second', ts), 'yyyy-MM-dd HH:mm:ss')
+                   AS eff_from,
+               coalesce(date_format(date_trunc('second',
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)),
+                   'yyyy-MM-dd HH:mm:ss'), '9999-12-31 00:00:00') AS eff_to,
+               (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL) AS is_current
+        FROM events_scd ORDER BY user_id, eff_from
+        """
+    )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN event_type IN ('click','view') THEN event_id END
+                 AS touch_id,
+             CASE WHEN event_type IN ('click','view') THEN ts END AS touch_ts
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(touch_id IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+             last_value(touch_ts IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_touch_ts
+      FROM tagged)
+    SELECT event_id, user_id,
+           strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS purchase_s,
+           coalesce(CASE WHEN last_touch_ts >= ts - INTERVAL 7 DAY
+                         THEN last_touch END, -1) AS attributed_touch
+    FROM w WHERE event_type = 'purchase' ORDER BY event_id
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution with a 7-day lookback: every purchase is
+    attributed to the user's most recent click/view, or -1 if none within
+    the window. Implemented as ONE pass — last_value(... IGNORE NULLS)
+    over a trailing frame on the interleaved event stream — instead of the
+    naive purchases×touches as-of self-join; the window form shuffles each
+    event once on user_id, which is what survives a 100 TB clickstream.
+    event_id tie-breaks equal timestamps; the lookback cut is applied
+    after attribution, deterministically on both engines."""
+    load_events(spark, sf_dir).createOrReplaceTempView("events_attr")
+    return spark.sql(
+        """
+        WITH tagged AS (
+          SELECT event_id, user_id, ts, event_type,
+                 CASE WHEN event_type IN ('click','view') THEN event_id END
+                     AS touch_id,
+                 CASE WHEN event_type IN ('click','view') THEN ts END
+                     AS touch_ts
+          FROM events_attr),
+        w AS (
+          SELECT event_id, user_id, ts, event_type,
+                 last_value(touch_id) IGNORE NULLS OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS last_touch,
+                 last_value(touch_ts) IGNORE NULLS OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS last_touch_ts
+          FROM tagged)
+        SELECT event_id, user_id,
+               date_format(date_trunc('second', ts), 'yyyy-MM-dd HH:mm:ss')
+                   AS purchase_s,
+               coalesce(CASE WHEN last_touch_ts >= ts - INTERVAL 7 DAY
+                             THEN last_touch END, -1) AS attributed_touch
+        FROM w WHERE event_type = 'purchase' ORDER BY event_id
+        """
+    )

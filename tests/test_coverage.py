@@ -119,6 +119,8 @@ EXTENSION_KEYS = [
     # str_to_map, IDENTIFIER clause
     "win_range_interval", "llm_source_mixture", "llm_embed_quantize",
     "fn_str_to_map", "sql_identifier_clause",
+    # batch 21: SCD2 history build, last-touch attribution, decontamination
+    "events_scd2", "events_attribution", "llm_contamination",
 ]
 
 
