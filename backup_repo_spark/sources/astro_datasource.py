@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     StringStartsWith,
     WriterCommitMessage,
 )
@@ -266,9 +267,52 @@ class AstroLayoutArrowWriter(DataSourceArrowWriter):
         shutil.rmtree(self._staging, ignore_errors=True)
 
 
+class AstroStreamReader(SimpleDataSourceStreamReader):
+    """Streaming read path: replays a parquet file as deterministic
+    micro-batches of ``batch_rows`` rows. Offsets are plain row positions
+    ({"row": N}) — monotonic, checkpointable, and replayable:
+    ``readBetweenOffsets`` re-produces any committed range exactly, which
+    is what gives a restarted query exactly-once output. The streaming
+    analog of the batch reader's region scan: at scale the offset would be
+    a (file, row-group) cursor over an append-only table, same protocol."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path or not os.path.isfile(path):
+            raise ValueError("astro_layout stream requires .option('path', <file>)")
+        self._path = path
+        self._batch = int(options.get("batch_rows", "128"))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def _slice(self, start: int, end: int):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(self._path)
+        table = table.cast(_target_arrow_schema(table.schema))
+        chunk = table.slice(start, max(end - start, 0))
+        cols = [c.to_pylist() for c in chunk.columns]
+        return iter(list(zip(*cols))) if cols else iter([])
+
+    def read(self, start: dict):
+        import pyarrow.parquet as pq
+
+        total = pq.ParquetFile(self._path).metadata.num_rows
+        lo = start["row"]
+        hi = min(lo + self._batch, total)
+        if lo >= total:  # caught up: empty batch, offset unchanged
+            return iter([]), start
+        return self._slice(lo, hi), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._slice(start["row"], end["row"])
+
+
 class AstroLayoutDataSource(DataSource):
     """``spark.read.format("astro_layout").option("path", p).load()`` /
-    ``df.write.format("astro_layout").option("path", p).save()``."""
+    ``df.write.format("astro_layout").option("path", p).save()`` /
+    ``spark.readStream.format("astro_layout").option("path", f).load()``."""
 
     @classmethod
     def name(cls) -> str:
@@ -291,6 +335,9 @@ class AstroLayoutDataSource(DataSource):
             raise ValueError("astro_layout requires .option('path', <dir>)")
         os.makedirs(path, exist_ok=True)
         return AstroLayoutArrowWriter(dict(self.options), overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> AstroStreamReader:
+        return AstroStreamReader(dict(self.options))
 
 
 def register(spark: SparkSession) -> None:
@@ -383,3 +430,47 @@ def dsv2_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "dsv2_stream_read",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def dsv2_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan through the custom connector: the documents table
+    replayed as row-offset micro-batches by AstroStreamReader, aggregated
+    with a complete-mode memory sink, drained with processAllAvailable().
+    The result equals the batch aggregate (the oracle) — micro-batching is
+    an execution detail, not a semantics change. Exercises the full Python
+    streaming-source protocol: initialOffset → read → checkpoint commit,
+    with readBetweenOffsets providing replay for recovery."""
+    import tempfile
+    import uuid
+
+    register(spark)
+    stream = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("batch_rows", "128")
+        .load()
+    )
+    agg = stream.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    name = f"brs_dsv2_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="brs_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name).orderBy("lang")

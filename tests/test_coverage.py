@@ -121,6 +121,8 @@ EXTENSION_KEYS = [
     "fn_str_to_map", "sql_identifier_clause",
     # batch 21: SCD2 history build, last-touch attribution, decontamination
     "events_scd2", "events_attribution", "llm_contamination",
+    # batch 22: custom-connector streaming source (offset replay protocol)
+    "dsv2_stream_read",
 ]
 
 
