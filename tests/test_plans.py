@@ -244,3 +244,58 @@ def test_scan_parallelism_follows_max_partition_bytes(spark):
         assert narrow > wide, (narrow, wide)
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+
+
+def test_bitmap_distinct_partial_aggregates(spark):
+    """agg_bitmap_distinct's point is that bitmaps partial-aggregate (OR is
+    associative): the plan must aggregate BEFORE the exchange, unlike
+    count(DISTINCT) which must ship rows. Both aggregation levels appear as
+    ObjectHashAggregate (bitmap state is not codegen-able)."""
+    df = registry.QUERIES["agg_bitmap_distinct"](spark, SF_DIR)
+    plan = plan_of(df)
+    # the map-side (pre-shuffle) aggregate builds bitmap state: the
+    # detailed plan must show a partial_bitmap_construct_agg function
+    assert "partial_bitmap_construct_agg" in plan
+    # and it runs BELOW the first exchange (node details section lists the
+    # partial stage before its Exchange)
+    assert plan.find("partial_bitmap_construct_agg") < plan.rfind("Exchange")
+
+
+def test_attribution_single_shuffle_window(spark):
+    """events_attribution computes last-touch in ONE window pass: exactly
+    one shuffle on user_id feeds the Window operator — no self-join, no
+    second exchange for the purchase filter."""
+    df = registry.QUERIES["events_attribution"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Window" in plan
+    body = plan.split("== Physical Plan ==")[-1].split("===== Subqueries =====")[0]
+    # hashpartitioning on user_id appears once; the final ORDER BY adds a
+    # rangepartitioning exchange — but no second hash shuffle.
+    assert body.count("hashpartitioning") == 1, body
+
+
+def test_scd2_single_shuffle_window(spark):
+    df = registry.QUERIES["events_scd2"](spark, SF_DIR)
+    plan = plan_of(df)
+    body = plan.split("== Physical Plan ==")[-1].split("===== Subqueries =====")[0]
+    assert "Window" in plan
+    assert body.count("hashpartitioning") == 1, body
+
+
+def test_contamination_joins_on_shingle_no_cartesian(spark):
+    """llm_contamination must stay a shingle equi-join — a cartesian or
+    broadcast-nested-loop test×train product would explode at corpus
+    scale."""
+    df = registry.QUERIES["llm_contamination"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantize_is_map_only(spark):
+    """llm_embed_quantize is pure per-row array math: the plan must contain
+    no Exchange at all except the final sort's range partitioning."""
+    df = registry.QUERIES["llm_embed_quantize"](spark, SF_DIR)
+    plan = plan_of(df)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("hashpartitioning") == 0, body
