@@ -274,3 +274,127 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id ORDER BY d.doc_id
         """
     )
+
+
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@query(
+    "llm_collocations",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tk),
+    uni AS (SELECT toks[i] AS w FROM idx),
+    big AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM idx WHERE i <= len(toks) - 1),
+    uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+    tot AS (SELECT (SELECT count(*) FROM uni) AS n, (SELECT count(*) FROM big) AS m)
+    SELECT w1, w2, bc.c AS c_xy,
+           round(bc.c * tot.n * tot.n * 1.0 / (tot.m * u1.c * u2.c), 4) AS lift
+    FROM bc CROSS JOIN tot
+    JOIN uc u1 ON bc.w1 = u1.w
+    JOIN uc u2 ON bc.w2 = u2.w
+    WHERE bc.c >= 5
+    ORDER BY lift DESC, w1, w2 LIMIT 50
+    """,
+)
+def llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining: top-50 adjacent bigrams by PMI-lift
+    ``p(xy) / (p(x)p(y)) = c_xy * N^2 / (M * c_x * c_y)``.
+
+    Cross-engine determinism by construction: all counts are exact int64,
+    the products stay within int64 at this vocabulary (N~4e5 tokens at
+    sf0.1 -> N^2 ~ 1.6e11), and the single double division is IEEE-exactly
+    rounded, so both engines produce bit-identical lifts — no float-sum
+    ordering hazard anywhere. Scale shape: two partial-aggregable
+    token-counts plus one broadcast of the (tiny) unigram dictionary onto
+    the bigram counts; the corpus is read once, map-side exploded."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    uni = d.select(F.explode(toks).alias("w"))
+    big = d.select(
+        F.explode(
+            F.transform(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda x, i: F.struct(
+                    x.alias("w1"), F.element_at(toks, i + 2).alias("w2")
+                ),
+            )
+        ).alias("e")
+    ).select("e.w1", "e.w2")
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        big.agg(F.count(F.lit(1)).alias("m"))
+    )
+    lift = F.round(
+        F.col("bc.c") * F.col("n") * F.col("n") * 1.0
+        / (F.col("m") * F.col("u1.c") * F.col("u2.c")),
+        4,
+    )
+    return (
+        bc.alias("bc")
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(uc.alias("u1")), F.col("bc.w1") == F.col("u1.w"))
+        .join(F.broadcast(uc.alias("u2")), F.col("bc.w2") == F.col("u2.w"))
+        .filter(F.col("bc.c") >= 5)
+        .select("w1", "w2", F.col("bc.c").alias("c_xy"), lift.alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(50)
+    )
+
+
+@query(
+    "llm_seq_pack",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), off AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(sum(n_tok) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) - n_tok AS start_off
+      FROM tk
+    )
+    SELECT lang, CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM off GROUP BY lang, start_off // {_PACK_BUDGET}
+    """,
+)
+def llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: concatenate documents (per lang,
+    in doc_id order) into fixed {_PACK_BUDGET}-token sequences; a document
+    starting at running offset ``o`` lands in pack ``o DIV budget`` (docs
+    may straddle a boundary — standard concat-then-chunk packing with
+    cross-doc attention masking left to the trainer).
+
+    All-integer arithmetic -> bit-identical across engines. Scale shape:
+    one window cumsum per lang partition (sort-based, spillable) and one
+    hash aggregate; at 100 TB the partition key would be (lang, shard)
+    so no single lang serializes into one task."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    off = d.select("doc_id", "lang", n_tok.alias("n_tok")).withColumn(
+        "start_off", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    return (
+        off.withColumn("pack_id", F.expr(f"start_off DIV {_PACK_BUDGET}"))
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -123,6 +123,9 @@ EXTENSION_KEYS = [
     "events_scd2", "events_attribution", "llm_contamination",
     # batch 22: custom-connector streaming source (offset replay protocol)
     "dsv2_stream_read",
+    # batch 23: value-verified banded MinHash-LSH, PMI collocations,
+    # training-sequence packing
+    "llm_dedup_minhash_banded", "llm_collocations", "llm_seq_pack",
 ]
 
 
