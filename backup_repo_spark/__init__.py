@@ -20,6 +20,7 @@ from backup_repo_spark.llm import (  # noqa: F401
 from backup_repo_spark.operators import (  # noqa: F401
     aggregates,
     events_analytics,
+    graph,
     joins,
     modern_sql,
     projections,

@@ -754,3 +754,76 @@ def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         o=o,
     )
+
+
+@query(
+    "fn_array_extra",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey, p_size,
+             generate_series(1, p_size % 5 + 2) AS a,
+             [2, 4, 6] AS b
+      FROM part
+    )
+    SELECT p_partkey,
+           array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS union_s,
+           array_to_string(list_sort(list_intersect(a, b)), ',')             AS inter_s,
+           array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ',') AS except_s,
+           array_to_string(flatten([a, b]), ',')                             AS flat,
+           array_to_string(list_transform(generate_series(1, 3), x -> p_size % 3), ',') AS rep,
+           CAST(coalesce(list_position(a, 3), 0) AS BIGINT)                  AS pos3,
+           list_max(a) AS amax, list_min(a) AS amin,
+           CAST(len(list_intersect(a, b)) > 0 AS INT)                        AS overlaps
+    FROM t
+    """,
+)
+def fn_array_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-algebra family: union/intersect/except/flatten/repeat/
+    position/max/min/overlap. Set-valued results are projected SORTED and
+    string-joined — Spark's array_union/intersect/except guarantee only
+    first-occurrence order, which differs from DuckDB's, so comparing the
+    sorted rendering checks set semantics without over-constraining order.
+    All JVM-side (whole-stage codegen); map-only, zero shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    a = F.sequence(F.lit(1), F.col("p_size") % 5 + 2)
+    b = F.array(F.lit(2), F.lit(4), F.lit(6))
+    return p.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.array_union(a, b)), ",").alias("union_s"),
+        F.array_join(F.array_sort(F.array_intersect(a, b)), ",").alias("inter_s"),
+        F.array_join(F.array_sort(F.array_except(a, b)), ",").alias("except_s"),
+        F.array_join(F.flatten(F.array(a, b)), ",").alias("flat"),
+        F.array_join(F.array_repeat(F.col("p_size") % 3, 3), ",").alias("rep"),
+        F.array_position(a, 3).cast("bigint").alias("pos3"),
+        F.array_max(a).alias("amax"),
+        F.array_min(a).alias("amin"),
+        F.arrays_overlap(a, b).cast("int").alias("overlaps"),
+    )
+
+
+@query(
+    "fn_conv_base",
+    oracle="""
+    SELECT p_partkey,
+           hex(p_partkey)                         AS hex_key,
+           bin(p_partkey)                         AS bin_key,
+           ascii(substr(p_name, 1, 1))            AS first_ord,
+           chr(65 + p_size % 26)                  AS size_chr,
+           repeat(chr(65 + p_size % 26), 3)       AS size_chr3,
+           hex(p_name)                            AS hex_name
+    FROM part
+    """,
+)
+def fn_conv_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-conversion / character-code family: hex (ints and strings),
+    bin, ascii, chr, repeat — exact string outputs, no float hazard."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.hex("p_partkey").alias("hex_key"),
+        F.bin("p_partkey").alias("bin_key"),
+        F.ascii(F.substring("p_name", 1, 1)).alias("first_ord"),
+        F.chr(F.lit(65) + F.col("p_size") % 26).alias("size_chr"),
+        F.repeat(F.chr(F.lit(65) + F.col("p_size") % 26), 3).alias("size_chr3"),
+        F.hex("p_name").alias("hex_name"),
+    )

@@ -480,3 +480,36 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) GROUP BY event_type ORDER BY event_type
         """
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linenumber, count(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), m AS (
+      SELECT l_returnflag, max(c) AS mc FROM c GROUP BY 1
+    ), t AS (
+      SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY 1
+    )
+    SELECT c.l_returnflag,
+           CAST(min(c.l_linenumber) AS INT) AS mode_ln,
+           min(t.n_rows) AS n_rows
+    FROM c
+    JOIN m ON c.l_returnflag = m.l_returnflag AND c.c = m.mc
+    JOIN t ON c.l_returnflag = t.l_returnflag
+    GROUP BY c.l_returnflag
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: Spark 4's ``mode(col, true)`` (deterministic
+    flag -> lowest value among the most frequent); DuckDB's mode() breaks
+    ties arbitrarily, so the oracle computes argmax-count + min-value in
+    two phases — same contract, value-verified. Partial-aggregable on the
+    Spark side (mode's update/merge is a count-map)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("mode(l_linenumber, true)").cast("int").alias("mode_ln"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -248,3 +248,50 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM w WHERE event_type = 'purchase' ORDER BY event_id
         """
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ), d AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type)
+    ), md AS (
+      SELECT event_type, median(dev) AS mad FROM d GROUP BY 1
+    )
+    SELECT d.event_type, min(d.med) AS med, min(md.mad) AS mad,
+           count(*) AS n,
+           CAST(sum(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM d JOIN md USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: per event_type, median + median-absolute-
+    deviation, flagging |x - med| > 3*MAD. Exact interpolated percentile
+    (selection + one IEEE average) is bit-identical across engines —
+    unlike mean/stddev z-scores whose sums are partition-order dependent.
+    Two-pass shape: the per-type medians are a tiny broadcast back onto
+    the stream; at 100 TB swap percentile() for percentile_approx and the
+    plan is unchanged."""
+    ev = load_events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    d = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = d.groupBy("event_type").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )

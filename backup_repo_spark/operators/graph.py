@@ -1,0 +1,187 @@
+"""Iterative graph algorithms over DataFrames — BFS shortest hops and
+PageRank on the nation-to-nation trade graph derived from the star schema
+(customer nation -> supplier nation, weighted by lineitem count).
+
+Not in the reference (Astro exposes no graph surface); included because
+large-scale data pipelines need iterative DataFrame algorithms (connected
+components already ships as `llm_dedup_cluster`). Design notes:
+
+- Each iteration is one distributed join + aggregate; ``localCheckpoint()``
+  truncates lineage so the plan doesn't grow exponentially with iterations
+  (the classic iterative-Spark failure mode).
+- PageRank uses ALL-INTEGER arithmetic (micro-units, truncating division)
+  so results are bit-identical across engines and partitionings — float
+  PageRank is order-dependent under sum reassociation. The oracle unrolls
+  the 5 iterations as chained CTEs (recursive CTEs cannot aggregate per
+  iteration).
+- BFS is level-synchronous frontier expansion; the oracle is a recursive
+  CTE with UNION (dedup) semantics bounded by hop < 24, so cycles
+  terminate. The edge set is hash-sparsified (md5 prefix < '4', a 25%
+  deterministic sample) — the dense 25x25 trade graph would make every
+  node 1 hop away.
+- At 100 TB the edge-build is the heavy stage (a fact-dim join tree that
+  broadcasts the dims); the iteration itself shuffles only (node, value)
+  pairs — graph size, not data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backup_repo_spark.registry import query
+from backup_repo_spark.session import load_table
+
+# Shared edge-build SQL (DuckDB): weighted nation trade graph.
+_EDGES_SQL = """
+    base AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    )
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (src, dst, w) nation-trade edges. Dims broadcast onto the
+    fact table; one hash aggregate on the (src, dst) pair."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+@query(
+    "graph_bfs",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    sparse AS (
+      SELECT src, dst FROM base
+      WHERE src <> dst
+        AND substr(md5(CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR)), 1, 1) < '4'
+    ),
+    walk(node, hop) AS (
+      SELECT CAST(0 AS INTEGER), 0
+      UNION
+      SELECT CAST(e.dst AS INTEGER), w.hop + 1
+      FROM walk w JOIN sparse e ON e.src = w.node
+      WHERE w.hop < 24
+    )
+    SELECT node, CAST(min(hop) AS BIGINT) AS hops FROM walk GROUP BY node
+    """,
+)
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop counts from nation 0 over the hash-sparsified
+    trade graph. Level-synchronous frontier loop: frontier JOIN edges ->
+    unvisited -> next frontier; terminates when the frontier drains
+    (diameter <= 24 on 25 nodes)."""
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .filter(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("src").cast("string"),
+                        F.lit("-"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "4"
+        )
+        .select(F.col("src").cast("int").alias("src"), F.col("dst").cast("int").alias("dst"))
+        .localCheckpoint()
+    )
+    visited = spark.createDataFrame([(0, 0)], schema="node int, hop int")
+    frontier = visited
+    for _ in range(24):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select("node", F.col("hop").cast("long").alias("hops"))
+
+
+# Five unrolled PageRank iterations (recursive CTEs cannot re-aggregate, so
+# the oracle chains it1..it5 explicitly).
+_PR_ITER = """
+    it{k} AS (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM((r.rank * e.w) // e.wout) AS c
+        FROM edges e JOIN it{p} r ON e.src = r.node GROUP BY e.dst
+      ) s USING (node)
+    )
+"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    edges AS (
+      SELECT src, dst, w, CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS wout
+      FROM base
+    ),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+    {",".join(_PR_ITER.format(k=k, p=k - 1) for k in range(1, 6))}
+    SELECT CAST(node AS INTEGER) AS node, rank FROM it5
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 5 iterations) over the full trade
+    graph, in integer micro-units: contribution = (rank * w) DIV wout,
+    new rank = 150000 + (85 * sum) DIV 100. Truncating integer division in
+    both engines makes every iteration bit-identical — the oracle verifies
+    the VALUES, not just the shape, which float PageRank cannot offer."""
+    base = _trade_edges(spark, sf_dir)
+    wout = base.groupBy("src").agg(F.sum("w").alias("wout"))
+    edges = base.join(wout, "src").localCheckpoint()
+    nodes = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("node"))
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1000000).cast("long"))
+    for _ in range(5):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(F.col("dst").alias("node"), F.expr("(rank * w) DIV wout").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(150000) + F.expr("(85 * coalesce(c, 0)) DIV 100"))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("node").cast("int").alias("node"), "rank")

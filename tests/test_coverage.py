@@ -126,6 +126,10 @@ EXTENSION_KEYS = [
     # batch 23: value-verified banded MinHash-LSH, PMI collocations,
     # training-sequence packing
     "llm_dedup_minhash_banded", "llm_collocations", "llm_seq_pack",
+    # batch 24: iterative graph algorithms + array/base-conversion packs,
+    # deterministic mode, MAD anomaly detection
+    "graph_bfs", "graph_pagerank", "fn_array_extra", "fn_conv_base",
+    "agg_mode", "events_anomaly_mad",
 ]
 
 
