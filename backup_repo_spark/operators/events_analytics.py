@@ -295,3 +295,87 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), r AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS grp
+      FROM d
+    ), i AS (
+      SELECT user_id, grp, count(*) AS len FROM r GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_streaks, max(len) AS longest,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM i GROUP BY user_id
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user streaks of consecutive active DAYS.
+    The classic ``day - row_number()`` trick — consecutive days share a
+    constant group key, so streaks fall out of a plain hash aggregate
+    (no iterative logic). All-integer date arithmetic, bit-identical.
+    Scale: one window sort + two partial-aggregable groupBys, all
+    partitioned by user_id — no global ordering anywhere."""
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    d = ev.select("user_id", F.to_date(F.col("ts")).alias("day")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    r = d.withColumn("grp", F.date_sub(F.col("day"), rn))
+    i = r.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return i.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+@query(
+    "events_markov",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), c AS (
+      SELECT event_type AS cur, nxt, count(*) AS c
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), t AS (
+      SELECT cur, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY cur
+    )
+    SELECT c.cur, c.nxt, c.c AS transitions, c.c * 1.0 / t.tot AS p
+    FROM c JOIN t USING (cur)
+    """,
+)
+def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next_type | cur_type). Ordering ties broken by event_id (testdata ts
+    values are exact µs, so µs-vs-ns never reorders). Counts are exact
+    int64 and the probability is ONE IEEE division — bit-identical without
+    rounding. Scale: the lead() window partitions by user_id (parallel per
+    user); the 5x5 transition matrix aggregate is partial-aggregable."""
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    nxt = F.lead("event_type").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    s = ev.select("user_id", "event_type", nxt.alias("nxt")).filter(
+        F.col("nxt").isNotNull()
+    )
+    c = s.groupBy(F.col("event_type").alias("cur"), "nxt").agg(
+        F.count(F.lit(1)).alias("transitions")
+    )
+    t = c.groupBy("cur").agg(F.sum("transitions").alias("tot"))
+    return c.join(F.broadcast(t), "cur").select(
+        "cur", "nxt", "transitions",
+        (F.col("transitions") * 1.0 / F.col("tot")).alias("p"),
+    )

@@ -155,3 +155,112 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("err_id").agg(F.count(F.lit(1)).alias("n_clicks")).orderBy("err_id")
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(date_diff('hour', TIMESTAMP '2024-01-01',
+                            date_trunc('hour', ts)) AS INT) AS h
+      FROM events
+    ), cnt AS (
+      SELECT event_type, h, count(*) AS c FROM e GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(h) AS h0, max(h) AS h1 FROM e
+    ), grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                      (SELECT h1 FROM bounds))) AS h
+      ) g
+    ), j AS (
+      SELECT grid.event_type, grid.h, cnt.c
+      FROM grid LEFT JOIN cnt USING (event_type, h)
+    ), w AS (
+      SELECT event_type, h, c,
+        last_value(c IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        first_value(c IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM j
+    )
+    SELECT event_type, h,
+      CASE WHEN c IS NOT NULL THEN c * 1.0
+           WHEN pv IS NOT NULL AND nv IS NOT NULL
+             THEN pv + (nv - pv) * (h - ph) * 1.0 / (nh - ph)
+           ELSE coalesce(pv, nv) * 1.0 END AS filled,
+      CAST(c IS NULL AS INT) AS imputed
+    FROM w
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series imputation: hourly event counts per type on a dense
+    hour grid, missing hours LINEARLY INTERPOLATED between the nearest
+    present neighbors (edges carry the nearest value). The neighbor search
+    is two IGNORE-NULLS window passes — never a self-join. Integer counts
+    keep the interpolation arithmetic IEEE-exact cross-engine.
+
+    Scale: grid build is |types| x |hours| (tiny vs the fact table); the
+    two window passes partition by type. At 100 TB, partition the window
+    by (type, week) with a 1-hour overlap fringe to bound sort size."""
+    from pyspark.sql.window import Window
+
+    from backup_repo_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    e = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(timestampdiff(HOUR, timestamp'2024-01-01 00:00:00',"
+            " date_trunc('hour', ts)) AS INT)"
+        ).alias("h"),
+    )
+    cnt = e.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    bounds = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(bounds.select(F.explode(F.sequence("h0", "h1")).alias("h")))
+    )
+    j = grid.join(cnt, ["event_type", "h"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    c, h = F.col("c"), F.col("h")
+    w = (
+        j.withColumn("pv", F.last("c", ignorenulls=True).over(back))
+        .withColumn("ph", F.last(F.when(c.isNotNull(), h), ignorenulls=True).over(back))
+        .withColumn("nv", F.first("c", ignorenulls=True).over(fwd))
+        .withColumn("nh", F.first(F.when(c.isNotNull(), h), ignorenulls=True).over(fwd))
+    )
+    pv, ph, nv, nh = F.col("pv"), F.col("ph"), F.col("nv"), F.col("nh")
+    filled = (
+        F.when(c.isNotNull(), c * 1.0)
+        .when(
+            pv.isNotNull() & nv.isNotNull(),
+            pv + (nv - pv) * (h - ph) * F.lit(1.0) / (nh - ph),
+        )
+        .otherwise(F.coalesce(pv, nv) * 1.0)
+    )
+    return w.select(
+        "event_type", "h", filled.alias("filled"),
+        c.isNull().cast("int").alias("imputed"),
+    )

@@ -130,6 +130,9 @@ EXTENSION_KEYS = [
     # deterministic mode, MAD anomaly detection
     "graph_bfs", "graph_pagerank", "fn_array_extra", "fn_conv_base",
     "agg_mode", "events_anomaly_mad",
+    # batch 25: gaps-and-islands streaks, Markov transitions, linear
+    # time-series interpolation
+    "win_gaps_islands", "events_markov", "ts_interpolate_linear",
 ]
 
 
