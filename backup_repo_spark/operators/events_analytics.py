@@ -379,3 +379,52 @@ def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur", "nxt", "transitions",
         (F.col("transitions") * 1.0 / F.col("tot")).alias("p"),
     )
+
+
+@query(
+    "events_rfm",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             date_diff('day', CAST(date_trunc('day', max(ts)) AS DATE),
+                       DATE '2024-01-30') AS recency_days,
+             count(*) AS frequency,
+             round(sum(value), 2) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           ntile(5) OVER (ORDER BY recency_days, user_id)      AS r_quintile,
+           ntile(5) OVER (ORDER BY frequency DESC, user_id)    AS f_quintile,
+           ntile(5) OVER (ORDER BY monetary DESC, user_id)     AS m_quintile
+    FROM p
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring: recency (days since last purchase, vs the
+    2024-01-30 stream end), frequency, monetary, each bucketed into
+    quintiles. ntile() is made deterministic by the user_id tie-break
+    (without it, equal metrics straddle bucket boundaries arbitrarily).
+    Monetary is the only float aggregate — rounded per the cross-engine
+    sum policy. Global ntile implies a single-partition sort over the
+    (small) per-user rollup, not the raw stream; at 100 TB replace with
+    percentile-threshold joins to keep it fully parallel."""
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.lit("2024-01-30").cast("date"), F.to_date(F.max("ts"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    return p.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        F.ntile(5).over(Window.orderBy("recency_days", "user_id")).alias("r_quintile"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), "user_id")).alias("f_quintile"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "user_id")).alias("m_quintile"),
+    )

@@ -185,3 +185,86 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return ranks.select(F.col("node").cast("int").alias("node"), "rank")
+
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM base
+      WHERE src <> dst
+        AND substr(md5(CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR)), 1, 1) < '8'
+    ), deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY node
+    ), tri AS (
+      SELECT count(*) AS t
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), wed AS (
+      SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg
+    )
+    SELECT (SELECT count(*) FROM und) AS n_edges,
+           tri.t AS n_triangles, wed.w AS n_wedges,
+           3 * tri.t * 1.0 / wed.w AS clustering
+    FROM tri CROSS JOIN wed
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient on the undirected
+    hash-sparsified (50%) trade graph. Canonical a<b edge orientation
+    makes each triangle enumerate exactly once via two equi-joins (the
+    standard distributed algorithm — at web scale, high-degree vertices
+    get mirrored/split first). Wedges = sum d(d-1)/2 in exact integers;
+    the coefficient is one IEEE division."""
+    base = _trade_edges(spark, sf_dir)
+    und = (
+        base.filter(F.col("src") != F.col("dst"))
+        .filter(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("src").cast("string"),
+                        F.lit("-"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8"
+        )
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select("b"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    wed = deg.agg(F.expr("CAST(sum((d * (d - 1)) DIV 2) AS BIGINT)").alias("w"))
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_edges.crossJoin(tri)
+        .crossJoin(wed)
+        .select(
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            F.col("w").alias("n_wedges"),
+            (3 * F.col("t") * F.lit(1.0) / F.col("w")).alias("clustering"),
+        )
+    )

@@ -330,3 +330,61 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.coalesce(F.col("d.k"), F.lit("missing")).alias("label"), "n")
         .orderBy("label")
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    cand AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             abs(epoch_us(c.ts) - epoch_us(p.ts)) AS abs_us, c.ts AS cts
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 6::BIGINT * 3600000000
+    ), r AS (
+      SELECT purchase_id, click_id, abs_us,
+             row_number() OVER (
+               PARTITION BY purchase_id ORDER BY abs_us, cts, click_id) AS rn
+      FROM cand
+    )
+    SELECT purchase_id, click_id AS nearest_click, abs_us
+    FROM r WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided NEAREST as-of join: for each purchase event, the same
+    user's click event minimally distant in time within a +/-6 h tolerance
+    (ties -> earlier click, then event_id). Complements `join_asof`
+    (backward-only) with the bidirectional-tolerance variant.
+
+    Plan shape: the user-key equality makes this a hash/sort-merge join
+    with the time tolerance as a residual filter — never a nested-loop
+    pair scan — then one per-purchase window pass picks the winner. All
+    integer microsecond arithmetic (testdata ts values are exact us)."""
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    abs_us = F.abs(F.col("c_us") - F.col("p_us"))
+    cand = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (abs_us <= F.lit(6 * 3600000000)),
+    ).select("purchase_id", "click_id", abs_us.alias("abs_us"), "cts")
+    rn = F.row_number().over(
+        Window.partitionBy("purchase_id").orderBy("abs_us", "cts", "click_id")
+    )
+    return (
+        cand.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", F.col("click_id").alias("nearest_click"), "abs_us")
+    )

@@ -133,6 +133,8 @@ EXTENSION_KEYS = [
     # batch 25: gaps-and-islands streaks, Markov transitions, linear
     # time-series interpolation
     "win_gaps_islands", "events_markov", "ts_interpolate_linear",
+    # batch 26: triangle counting, nearest as-of join, RFM scoring
+    "graph_triangles", "join_asof_nearest", "events_rfm",
 ]
 
 
