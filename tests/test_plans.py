@@ -299,3 +299,63 @@ def test_quantize_is_map_only(spark):
     plan = plan_of(df)
     body = plan.split("== Physical Plan ==")[-1]
     assert body.count("hashpartitioning") == 0, body
+
+
+def test_lsh_candidate_join_is_hash_not_nested_loop(spark):
+    """Banded MinHash candidate generation must join on band keys — a
+    BroadcastNestedLoopJoin would mean the pair space is being scanned."""
+    df = registry.QUERIES["llm_dedup_minhash_banded"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # The only allowed nested-loop is none at all: band equality must drive
+    # every many-to-many join in this plan.
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nearest_asof_joins_on_user_key(spark):
+    """The ±tolerance nearest join must plan as an equi join on user with a
+    residual time filter, never a nested-loop over the pair space."""
+    df = registry.QUERIES["join_asof_nearest"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_collocations_broadcasts_dictionary(spark):
+    """Unigram dictionary + totals are broadcast onto bigram counts — the
+    bigram side must not shuffle for those joins."""
+    df = registry.QUERIES["llm_collocations"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_seq_pack_single_window_sort(spark):
+    """Sequence packing = one window cumsum + one hash aggregate; exactly
+    one per-partition sort (the lang/doc_id window ordering)."""
+    df = registry.QUERIES["llm_seq_pack"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("Window") >= 1
+    # No global Sort (orderBy) — only the window's partition-local sort.
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_interpolation_has_no_self_join(spark):
+    """Neighbor lookup must be window passes, not a grid×grid self-join:
+    the only joins allowed are the grid build (cross of two tiny sides)
+    and the grid←counts left join."""
+    df = registry.QUERIES["ts_interpolate_linear"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("SortMergeJoin") <= 1
+    assert "Window" in plan
+
+
+def test_markov_window_partitioned_by_user(spark):
+    """The lead() pass must partition by user_id (parallel), not run as a
+    global single-partition window."""
+    df = registry.QUERIES["events_markov"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Window" in plan
+    # Inspect the "(n) Window" detail block (the tree section carries no
+    # partition spec), where Arguments lists the partitionBy columns.
+    win_detail = plan.split(") Window")[1][:600]
+    assert "user_id" in win_detail
