@@ -251,3 +251,35 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id, s
         """
     )
+
+
+@query(
+    "win_moving_median",
+    oracle="""
+    SELECT user_id, event_id, value,
+           quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mov_med
+    FROM events
+    """,
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving MEDIAN over a 5-row trailing frame per user — an aggregate
+    (not ranking) function over a window frame, the robust-smoothing
+    counterpart of a moving average. Exact interpolated percentile is
+    selection + one IEEE midpoint, so values are bit-identical across
+    engines (a moving avg would hit float-sum ordering instead).
+    Partitioned by user_id — parallel; frame ORDER tie-broken by
+    event_id."""
+    from backup_repo_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "user_id", "event_id", "value",
+        F.expr("percentile(value, 0.5)").over(w).alias("mov_med"),
+    )

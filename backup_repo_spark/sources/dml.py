@@ -176,3 +176,46 @@ def ingest_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum"))
         .orderBy("source")
     )
+
+
+@query(
+    "ingest_schema_evolution",
+    oracle="""
+    SELECT lang,
+           count(*) AS n,
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pre_evolution,
+           CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS chars
+    FROM (
+      SELECT doc_id, lang, NULL::BIGINT AS n_chars
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    ) GROUP BY lang ORDER BY lang
+    """,
+)
+def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet dataset: generation 1 is written
+    WITHOUT the n_chars column, generation 2 adds it; the read merges
+    footer schemas (``mergeSchema``) and old rows surface NULL for the
+    added column — the standard additive-column evolution contract a
+    long-lived 100 TB dataset needs (never rewrite history to add a
+    column). The oracle replays the same two-generation union."""
+    d = load_table(spark, sf_dir, "documents")
+    out = _wh("ingest_schema_evo")
+    gen1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    gen2 = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars")
+    gen1.write.mode("overwrite").parquet(out)
+    gen2.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_chars").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_pre_evolution"),
+            F.sum(F.coalesce("n_chars", F.lit(0))).cast("bigint").alias("chars"),
+        )
+        .orderBy("lang")
+    )

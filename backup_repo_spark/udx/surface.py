@@ -312,3 +312,32 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id LIMIT 200
         """
     )
+
+
+@query(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT event_id, (value - 100.0) / 7.0 AS zval
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form vectorized UDF (``Iterator[pd.Series] ->
+    Iterator[pd.Series]``): same Arrow batching as a scalar pandas_udf,
+    but the iterator shape lets expensive one-time setup (model load,
+    dictionary mmap) happen ONCE PER PARTITION instead of once per batch
+    — the pattern every ML-scoring stage at 100 TB should use. The
+    arithmetic is two IEEE ops, value-identical to the SQL oracle."""
+    from backup_repo_spark.session import load_events
+
+    @pandas_udf(T.DoubleType())
+    def zscore(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        center, scale = 100.0, 7.0  # per-partition setup happens here, once
+        for s in batches:
+            yield (s - center) / scale
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "view")
+        .select("event_id", zscore(F.col("value")).alias("zval"))
+    )

@@ -135,6 +135,8 @@ EXTENSION_KEYS = [
     "win_gaps_islands", "events_markov", "ts_interpolate_linear",
     # batch 26: triangle counting, nearest as-of join, RFM scoring
     "graph_triangles", "join_asof_nearest", "events_rfm",
+    # batch 27: parquet schema evolution, moving median, iterator pandas UDF
+    "ingest_schema_evolution", "win_moving_median", "udf_pandas_iter",
 ]
 
 
