@@ -366,3 +366,51 @@ def llm_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_ngram_entropy",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), c AS (
+      SELECT doc_id, w, count(*) AS c FROM tk GROUP BY 1, 2
+    ), n AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct
+      FROM c GROUP BY 1
+    )
+    SELECT c.doc_id, n.n_tokens, n.n_distinct,
+           round(log2(n.n_tokens) - sum(c.c * log2(c.c)) / n.n_tokens, 6)
+             AS entropy_bits
+    FROM c JOIN n USING (doc_id)
+    GROUP BY c.doc_id, n.n_tokens, n.n_distinct
+    """,
+)
+def llm_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per document (bits/token) — the standard
+    diversity/repetitiveness quality signal (low entropy = boilerplate or
+    degenerate repetition; complements `llm_repetition_signals`' top-token
+    fractions with an information-theoretic score).
+
+    entropy = log2(n) - sum(c*log2(c))/n over exact integer counts; the
+    float sum is rounded to 6 dp per the cross-engine aggregate policy.
+    Shape: explode -> two partial-aggregable groupBys, no window, no
+    shuffle wider than (doc_id, token)."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    c = tk.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    return (
+        c.join(n, "doc_id")
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(
+            F.round(
+                F.log2("n_tokens")
+                - F.sum(F.col("c") * F.log2("c")) / F.col("n_tokens"),
+                6,
+            ).alias("entropy_bits")
+        )
+    )

@@ -513,3 +513,67 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("mode(l_linenumber, true)").cast("int").alias("mode_ln"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def _profile_sql(table: str, col: str) -> str:
+    """One column's exact profile as DuckDB SQL (see stats_profile)."""
+    return f"""
+    SELECT '{col}' AS col,
+           (SELECT count(*) FROM {table}) AS n,
+           (SELECT CAST(count(*) - count({col}) AS BIGINT) FROM {table}) AS n_null,
+           (SELECT count(DISTINCT {col}) FROM {table}) AS ndv,
+           min(val) AS top_value, min(c) AS top_count
+    FROM (
+      SELECT CAST({col} AS VARCHAR) AS val, count(*) AS c
+      FROM {table} GROUP BY 1
+      QUALIFY c = max(c) OVER ()
+    )
+    """
+
+
+@query(
+    "stats_profile",
+    oracle=" UNION ALL ".join(
+        [
+            _profile_sql("orders", "o_orderstatus"),
+            _profile_sql("orders", "o_orderpriority"),
+            _profile_sql("lineitem", "l_returnflag"),
+        ]
+    ),
+)
+def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact data profiling (the deterministic cousin of df.summary()):
+    per column — row count, null count, exact NDV, and the most frequent
+    value with min-value tie-break. Each profile is two partial-aggregable
+    passes; profiles for different columns run as one unioned job so the
+    table is scanned once per source table, not once per metric."""
+    from pyspark.sql.window import Window
+
+    def profile(df: DataFrame, col: str) -> DataFrame:
+        c = df.groupBy(F.col(col).cast("string").alias("val")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        top = (
+            c.withColumn("mc", F.max("c").over(Window.partitionBy()))
+            .filter(F.col("c") == F.col("mc"))
+            .agg(F.min("val").alias("top_value"), F.min("c").alias("top_count"))
+        )
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("ndv"),
+        )
+        return stats.crossJoin(top).select(
+            F.lit(col).alias("col"), "n", "n_null", "ndv", "top_value", "top_count"
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    from functools import reduce
+
+    parts = [
+        profile(o, "o_orderstatus"),
+        profile(o, "o_orderpriority"),
+        profile(li, "l_returnflag"),
+    ]
+    return reduce(lambda a, b: a.union(b), parts)

@@ -428,3 +428,44 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(Window.orderBy(F.desc("frequency"), "user_id")).alias("f_quintile"),
         F.ntile(5).over(Window.orderBy(F.desc("monetary"), "user_id")).alias("m_quintile"),
     )
+
+
+@query(
+    "events_path_analysis",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    ), p AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      FROM s WHERE e3 IS NOT NULL GROUP BY 1
+    )
+    SELECT path, n FROM p ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-path mining: top-10 3-step event sequences across users
+    (complements `events_funnel`, which tests ONE fixed pattern — this
+    discovers which patterns dominate). Two lead() offsets share a single
+    window sort; path counts are a partial-aggregable groupBy; the top-k
+    is TakeOrderedAndProject with a path tie-break. All integer counts."""
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        s.select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )

@@ -137,6 +137,8 @@ EXTENSION_KEYS = [
     "graph_triangles", "join_asof_nearest", "events_rfm",
     # batch 27: parquet schema evolution, moving median, iterator pandas UDF
     "ingest_schema_evolution", "win_moving_median", "udf_pandas_iter",
+    # batch 28: path mining, exact profiling, unigram entropy
+    "events_path_analysis", "stats_profile", "llm_ngram_entropy",
 ]
 
 
