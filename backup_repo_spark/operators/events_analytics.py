@@ -469,3 +469,52 @@ def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ), days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    wau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS wau
+      FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+    )
+    SELECT days.day, dau.dau, wau.wau, dau.dau * 1.0 / wau.wau AS stickiness
+    FROM days JOIN dau USING (day) JOIN wau USING (day)
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day. The rolling distinct
+    cannot be a window aggregate (count DISTINCT over frames isn't
+    supported anywhere) — the scalable shape is: dedup to (day, user)
+    first (shrinks the fact table to its distinct grain), then a
+    broadcast band-join of the tiny day spine onto it. Stickiness is one
+    IEEE division of exact counts."""
+    ev = load_events(spark, sf_dir)
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct().withColumnRenamed("day", "dday")
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        F.broadcast(days)
+        .join(
+            du,
+            (F.col("day") >= F.date_sub(F.col("dday"), 6))
+            & (F.col("day") <= F.col("dday")),
+        )
+        .groupBy("dday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.dday)
+        .select(
+            "day", "dau", "wau",
+            (F.col("dau") * 1.0 / F.col("wau")).alias("stickiness"),
+        )
+    )

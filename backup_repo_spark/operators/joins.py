@@ -388,3 +388,43 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("purchase_id", F.col("click_id").alias("nearest_click"), "abs_us")
     )
+
+
+@query(
+    "join_nonequi_bnlj",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('budget',   0.0,    933.0),
+      ('mid',      933.0,  966.0),
+      ('premium',  966.0,  100000.0))
+    SELECT band, count(*) AS n_parts,
+           CAST(sum(p_size) AS BIGINT) AS size_sum
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+)
+def join_nonequi_bnlj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi join (price-band bucketing): NO equality component,
+    so the only plan is BroadcastNestedLoopJoin — which is the CORRECT
+    plan exactly when one side is a handful of rows (each fact row scans
+    3 bands in-memory). The complementary case — band join against a
+    LARGE band table — ships as `join_range_banded` (bucketed equi-join
+    rewrite). Together they document the decision boundary."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 933.0), ("mid", 933.0, 966.0),
+         ("premium", 966.0, 100000.0)],
+        schema="band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("p_size").cast("bigint").alias("size_sum"),
+        )
+    )

@@ -258,3 +258,35 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"c": "o_orderstatus", "t": "orders_idc"},
     )
+
+
+@query(
+    "sql_values_clause",
+    oracle="""
+    WITH tiers(seg, tier) AS (VALUES
+      ('BUILDING', 'core'), ('AUTOMOBILE', 'core'),
+      ('MACHINERY', 'industrial'),
+      ('FURNITURE', 'consumer'), ('HOUSEHOLD', 'consumer'))
+    SELECT tier, count(*) AS n_customers
+    FROM customer JOIN tiers ON c_mktsegment = seg
+    GROUP BY ALL ORDER BY ALL
+    """,
+)
+def sql_values_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table constructor as a CTE (with column aliases)
+    joined against a real table, finished with GROUP BY ALL + ORDER BY
+    ALL — the literal-mapping-table idiom (no temp file, no
+    createDataFrame round-trip). The VALUES relation is constant-folded
+    and broadcast."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH tiers(seg, tier) AS (VALUES
+          ('BUILDING', 'core'), ('AUTOMOBILE', 'core'),
+          ('MACHINERY', 'industrial'),
+          ('FURNITURE', 'consumer'), ('HOUSEHOLD', 'consumer'))
+        SELECT tier, count(*) AS n_customers
+        FROM customer JOIN tiers ON c_mktsegment = seg
+        GROUP BY ALL ORDER BY ALL
+        """
+    )

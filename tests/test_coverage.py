@@ -139,6 +139,8 @@ EXTENSION_KEYS = [
     "ingest_schema_evolution", "win_moving_median", "udf_pandas_iter",
     # batch 28: path mining, exact profiling, unigram entropy
     "events_path_analysis", "stats_profile", "llm_ngram_entropy",
+    # batch 29: pure non-equi BNLJ, DAU/WAU stickiness, VALUES + ORDER BY ALL
+    "join_nonequi_bnlj", "events_dau_wau", "sql_values_clause",
 ]
 
 
