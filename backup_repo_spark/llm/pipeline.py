@@ -398,3 +398,46 @@ def llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "llm_dataset_card",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             md5(text) AS h
+      FROM documents
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           count(DISTINCT h) AS n_unique_docs,
+           min(n_tok) AS min_tokens, max(n_tok) AS max_tokens,
+           median(n_tok) AS median_tokens
+    FROM t
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DATASET CARD: the headline numbers a training-data release
+    publishes — doc/token counts, language & source coverage, exact-dup
+    rate (via content-hash NDV), token-length spread. One global aggregate
+    with multiple DISTINCTs (Catalyst expands to parallel partial aggs);
+    the only non-integer output is the exact interpolated median."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.md5("text").alias("h"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("h").alias("n_unique_docs"),
+        F.min("n_tok").alias("min_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+        F.expr("percentile(n_tok, 0.5)").alias("median_tokens"),
+    )

@@ -141,6 +141,8 @@ EXTENSION_KEYS = [
     "events_path_analysis", "stats_profile", "llm_ngram_entropy",
     # batch 29: pure non-equi BNLJ, DAU/WAU stickiness, VALUES + ORDER BY ALL
     "join_nonequi_bnlj", "events_dau_wau", "sql_values_clause",
+    # batch 30: dataset card capstone
+    "llm_dataset_card",
 ]
 
 
