@@ -314,3 +314,46 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pn").alias("n"), F.round(F.sum("psv"), 2).alias("sv"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_session_live",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       < INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS sv
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 as a LIVE streaming query: ``session_window`` over readStream in
+    complete mode — exercises the streaming session-state store (open
+    sessions merge/extend as batches arrive), not just the batch operator
+    (`stream_session`). Same lag-gap oracle: the streaming result must
+    equal the batch sessionization exactly once the finite stream drains."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sv"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sv",
+        )
+    )
+    return _run_to_table(agg, "complete")

@@ -143,6 +143,8 @@ EXTENSION_KEYS = [
     "join_nonequi_bnlj", "events_dau_wau", "sql_values_clause",
     # batch 30: dataset card capstone
     "llm_dataset_card",
+    # batch 31: live streaming session windows (state-store merge path)
+    "stream_session_live",
 ]
 
 
