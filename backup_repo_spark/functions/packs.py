@@ -827,3 +827,71 @@ def fn_conv_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.chr(F.lit(65) + F.col("p_size") % 26), 3).alias("size_chr3"),
         F.hex("p_name").alias("hex_name"),
     )
+
+
+@query(
+    "fn_datetime_extra",
+    oracle="""
+    SELECT o_orderkey,
+           quarter(CAST(o_orderdate AS DATE))    AS qtr,
+           weekofyear(CAST(o_orderdate AS DATE)) AS iso_week,
+           isodow(CAST(o_orderdate AS DATE))     AS iso_dow,
+           dayofyear(CAST(o_orderdate AS DATE))  AS doy,
+           make_date(CAST(year(o_orderdate) AS INT),
+                     CAST(month(o_orderdate) AS INT),
+                     CAST(day(o_orderdate) AS INT)) AS rebuilt
+    FROM orders
+    """,
+)
+def fn_datetime_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-field family beyond B44: quarter, ISO week, ISO weekday,
+    day-of-year, and a make_date() round-trip from extracted fields.
+    Weekday numbering is the classic cross-engine trap (Spark dayofweek is
+    1=Sunday, DuckDB's is 0=Sunday): the ISO convention (1=Monday) is the
+    one both can express — Spark as weekday()+1, DuckDB as isodow()."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).alias("qtr"),
+        F.weekofyear(d).alias("iso_week"),
+        (F.weekday(d) + 1).alias("iso_dow"),
+        F.dayofyear(d).alias("doy"),
+        F.make_date(F.year(d), F.month(d), F.dayofmonth(d)).alias("rebuilt"),
+    )
+
+
+@query(
+    "fn_regex_pack",
+    oracle="""
+    SELECT doc_id,
+           coalesce(array_to_string(regexp_extract_all(text, 'k[a-z]+'), ','), '') AS k_words,
+           CAST(len(regexp_extract_all(text, 'k[a-z]+')) AS INT)     AS k_count,
+           CAST(regexp_matches(text, 'scan') AS INT)                 AS has_scan,
+           regexp_extract(text, '[a-z]*row[a-z]*', 0)                AS first_row_word,
+           regexp_replace(text, '[aeiou]', '_', 'g')                 AS devoweled
+    FROM documents
+    """,
+)
+def fn_regex_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family beyond B43's extract/replace: extract-ALL (array),
+    match counting, boolean match, first-match substring, and global
+    replacement. Patterns are POSIX-class-free so Java regex and RE2
+    agree byte-for-byte. All JVM-side codegen — regex in the hot path
+    stays off the Python boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.array_join(F.expr("regexp_extract_all(text, 'k[a-z]+', 0)"), ",").alias(
+            "k_words"
+        ),
+        F.expr("regexp_count(text, 'k[a-z]+')").cast("int").alias("k_count"),
+        t.rlike("scan").cast("int").alias("has_scan"),
+        # DuckDB's regexp_extract yields '' on no match where Spark's
+        # regexp_substr yields NULL — coalesce to the DuckDB convention.
+        F.coalesce(
+            F.expr("regexp_substr(text, '[a-z]*row[a-z]*')"), F.lit("")
+        ).alias("first_row_word"),
+        F.regexp_replace(t, "[aeiou]", "_").alias("devoweled"),
+    )

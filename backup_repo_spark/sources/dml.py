@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from backup_repo_spark.registry import query
-from backup_repo_spark.session import load_table
+from backup_repo_spark.session import load_events, load_table
 
 _REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 
@@ -218,4 +218,41 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("n_chars", F.lit(0))).cast("bigint").alias("chars"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "dml_cdc_compact",
+    oracle="""
+    SELECT user_id, event_type, value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_s
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dml_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: the event stream as a change log keyed by
+    user_id — latest record wins (ts, then event_id for same-µs ties) —
+    producing the current-state snapshot. One window pass per key, the
+    merge-on-read half of the upsert story (`dml_upsert` is copy-on-
+    write). At 100 TB this is the compaction job a streaming lakehouse
+    runs per partition; the window never sees more than one key's rows."""
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+    )
+    return (
+        ev.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type", "value",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_s"),
+        )
     )

@@ -145,6 +145,8 @@ EXTENSION_KEYS = [
     "llm_dataset_card",
     # batch 31: live streaming session windows (state-store merge path)
     "stream_session_live",
+    # batch 32: calendar-field + regex packs, CDC log compaction
+    "fn_datetime_extra", "fn_regex_pack", "dml_cdc_compact",
 ]
 
 
