@@ -518,3 +518,54 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau") * 1.0 / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+@query(
+    "stat_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, min(b.p05) AS p05, min(b.p95) AS p95,
+           count(*) AS n,
+           CAST(sum(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low,
+           CAST(sum(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high,
+           round(sum(CASE WHEN e.value < b.p05 THEN b.p05
+                          WHEN e.value > b.p95 THEN b.p95
+                          ELSE e.value END), 2) AS winsorized_sum
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def stat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp each value into its type's exact [P5, P95]
+    band — the tail-robust preprocessing that keeps outliers from owning
+    a mean (complements `events_anomaly_mad`, which flags rather than
+    clamps). Exact interpolated percentiles broadcast back onto the
+    stream; bounds and clip-counts are bit-exact, the clamped sum follows
+    the round-2 aggregate policy."""
+    ev = load_events(spark, sf_dir)
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    v, lo, hi = F.col("value"), F.col("p05"), F.col("p95")
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("p05").alias("p05"),
+            F.min("p95").alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum((v < lo).cast("int")).cast("bigint").alias("n_low"),
+            F.sum((v > hi).cast("int")).cast("bigint").alias("n_high"),
+            F.round(F.sum(F.least(F.greatest(v, lo), hi)), 2).alias(
+                "winsorized_sum"
+            ),
+        )
+    )

@@ -147,6 +147,8 @@ EXTENSION_KEYS = [
     "stream_session_live",
     # batch 32: calendar-field + regex packs, CDC log compaction
     "fn_datetime_extra", "fn_regex_pack", "dml_cdc_compact",
+    # batch 33: winsorization
+    "stat_winsorize",
 ]
 
 
