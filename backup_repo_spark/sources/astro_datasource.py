@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -267,6 +268,46 @@ class AstroLayoutArrowWriter(DataSourceArrowWriter):
         shutil.rmtree(self._staging, ignore_errors=True)
 
 
+class AstroStreamWriter(DataSourceStreamWriter):
+    """Streaming sink half of the connector: each micro-batch task stages a
+    parquet file, then per-batch commit() publishes them under a
+    batch-stamped name — exactly-once lands via the idempotent rename plus
+    the engine's checkpointed batch tracking (a replayed batch republishes
+    the same batch id, overwriting rather than duplicating)."""
+
+    def __init__(self, options: dict) -> None:
+        self._path = options["path"]
+        self._staging = os.path.join(self._path, "_stream_staging")
+
+    def write(self, iterator) -> FileCommit:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return FileCommit(None, 0)
+        os.makedirs(self._staging, exist_ok=True)
+        cols = rows[0].__fields__
+        tbl = pa.table({c: [r[i] for r in rows] for i, c in enumerate(cols)})
+        out = os.path.join(self._staging, f"task-{uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, out)
+        return FileCommit(out, len(rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        staged = [m.staged for m in messages if m is not None and m.staged]
+        for i, src in enumerate(sorted(staged)):
+            os.replace(
+                src, os.path.join(self._path, f"batch-{batchId:05d}-{i:03d}.parquet")
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+
 class AstroStreamReader(SimpleDataSourceStreamReader):
     """Streaming read path: replays a parquet file as deterministic
     micro-batches of ``batch_rows`` rows. Offsets are plain row positions
@@ -338,6 +379,13 @@ class AstroLayoutDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> AstroStreamReader:
         return AstroStreamReader(dict(self.options))
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> AstroStreamWriter:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("astro_layout requires .option('path', <dir>)")
+        os.makedirs(path, exist_ok=True)
+        return AstroStreamWriter(dict(self.options))
 
 
 def register(spark: SparkSession) -> None:
@@ -474,3 +522,48 @@ def dsv2_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination()
     return spark.table(name).orderBy("lang")
+
+
+@query(
+    "dsv2_stream_write",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def dsv2_stream_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full streaming ROUND-TRIP through the custom connector: documents
+    replayed as micro-batches by AstroStreamReader, landed by
+    AstroStreamWriter (task-staged files, per-batch atomic publish), then
+    read back from the landed files — the aggregate must equal the batch
+    table. With dsv2_scan_pushdown / dsv2_write_roundtrip /
+    dsv2_stream_read this completes all four connector planes (batch+stream
+    x read+write), the full Astro-connector parity matrix."""
+    import shutil
+    import tempfile
+    import uuid
+
+    register(spark)
+    out = os.path.join(_REPO_ROOT, "spark-warehouse", "astro_stream_write")
+    shutil.rmtree(out, ignore_errors=True)
+    stream = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("batch_rows", "128")
+        .load()
+    )
+    q = (
+        stream.writeStream.format(FORMAT_NAME)
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="brs_ckpt_"))
+        .queryName(f"brs_dsv2_sw_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )

@@ -149,6 +149,8 @@ EXTENSION_KEYS = [
     "fn_datetime_extra", "fn_regex_pack", "dml_cdc_compact",
     # batch 33: winsorization
     "stat_winsorize",
+    # batch 34: custom-connector streaming sink (4th connector plane)
+    "dsv2_stream_write",
 ]
 
 
