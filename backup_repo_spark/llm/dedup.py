@@ -394,3 +394,126 @@ def llm_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("da", "db", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@query(
+    "llm_lsh_eval",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tk),
+    shingles AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM idx WHERE i <= len(toks) - 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), tp AS (
+      SELECT da, db
+      FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    ), sig AS (
+      SELECT doc_id,
+             min(md5('b1-' || sh)) AS h1, min(md5('b2-' || sh)) AS h2,
+             min(md5('b3-' || sh)) AS h3, min(md5('b4-' || sh)) AS h4,
+             min(md5('b5-' || sh)) AS h5, min(md5('b6-' || sh)) AS h6,
+             min(md5('b7-' || sh)) AS h7, min(md5('b8-' || sh)) AS h8
+      FROM shingles GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 1 AS band, h1 || h2 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 2, h3 || h4 FROM sig
+      UNION ALL SELECT doc_id, 3, h5 || h6 FROM sig
+      UNION ALL SELECT doc_id, 4, h7 || h8 FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), m AS (
+      SELECT (SELECT count(*) FROM tp) AS n_true,
+             (SELECT count(*) FROM cand) AS n_cand,
+             (SELECT count(*) FROM cand c
+              JOIN tp ON c.da = tp.da AND c.db = tp.db) AS n_hit
+    )
+    SELECT n_true, n_cand, n_hit,
+           n_hit * 1.0 / n_cand AS precision,
+           n_hit * 1.0 / n_true AS recall
+    FROM m
+    """,
+)
+def llm_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality audit (the dedup sibling of `llm_ann_recall`): exact
+    precision/recall of the 4x2 banded-MinHash candidate set against
+    ground-truth pairs (Jaccard >= 0.5 over 3-shingles). Every number is
+    engine-independent (md5 hash family + exact set arithmetic), so both
+    engines compute the SAME audit — the tuning loop for bands-vs-rows
+    runs entirely inside the engine before any 100 TB job is launched."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        )
+    )
+    shingles = d.select("doc_id", F.explode(sh_arr).alias("sh"))
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    tp = (
+        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("da", "db")
+    )
+    sig = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"b{i}-"), F.col("sh")))).alias(f"h{i}")
+            for i in range(1, 9)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.concat(F.col(f"h{2 * k - 1}"), F.col(f"h{2 * k}")).alias("bkey"),
+                    )
+                    for k in (1, 2, 3, 4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bkey")
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bkey") == F.col("bb.bkey"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("da"), F.col("bb.doc_id").alias("db"))
+        .distinct()
+    )
+    n_true = tp.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = cand.join(tp, ["da", "db"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_true", "n_cand", "n_hit",
+            (F.col("n_hit") * 1.0 / F.col("n_cand")).alias("precision"),
+            (F.col("n_hit") * 1.0 / F.col("n_true")).alias("recall"),
+        )
+    )

@@ -569,3 +569,102 @@ def stat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "win_value_runs",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type = lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 0 ELSE 1 END AS chg
+      FROM events
+    ), r AS (
+      SELECT user_id, event_type,
+             CAST(sum(chg) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      FROM s
+    ), l AS (
+      SELECT user_id, event_type, run_id, count(*) AS run_len
+      FROM r GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, max(run_len) AS max_run, count(*) AS n_runs
+    FROM l GROUP BY 1, 2
+    """,
+)
+def win_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-run detection (runs-and-streaks on VALUE CHANGE, the sibling
+    of `win_gaps_islands`' date arithmetic): consecutive same-type event
+    runs per user via lag-change flag -> cumulative run id -> run lengths.
+    Surfaces e.g. 'longest unbroken error streak' — a monitoring primitive.
+    One window sort feeds both passes; all-integer."""
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.col("event_type") == F.lag("event_type").over(w), 0
+    ).otherwise(1)
+    s = ev.select("user_id", "event_type", "ts", "event_id", chg.alias("chg"))
+    r = s.select(
+        "user_id", "event_type",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run_id"),
+    )
+    l = r.groupBy("user_id", "event_type", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return l.groupBy("user_id", "event_type").agg(
+        F.max("run_len").alias("max_run"), F.count(F.lit(1)).alias("n_runs")
+    )
+
+
+@query(
+    "events_concurrency",
+    oracle="""
+    WITH sp AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             min(ts) AS s, max(ts) AS e
+      FROM events GROUP BY 1, 2
+    ), pts AS (
+      SELECT day, s AS t, 1 AS d FROM sp
+      UNION ALL
+      SELECT day, e + INTERVAL 1 MICROSECOND, -1 FROM sp
+    ), c AS (
+      SELECT day,
+             CAST(sum(d) OVER (
+               PARTITION BY day ORDER BY t, d DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+      FROM pts
+    )
+    SELECT day, max(conc) AS peak_concurrency FROM c GROUP BY day
+    """,
+)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via SWEEP LINE: each user-day activity span emits
+    +1 at start and -1 just past end; the running sum over time-ordered
+    deltas is the live-span count, its max the daily peak. O(n log n) with
+    one window sort — the interval-overlap formulation that never builds
+    the O(n²) overlap pair join. Tie rule (+1 before -1 at equal t) makes
+    touching spans count as concurrent, encoded identically in both
+    engines via the d DESC sort key. µs-exact integer arithmetic."""
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    sp = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    pts = sp.select("day", F.col("s").alias("t"), F.lit(1).alias("d")).union(
+        sp.select(
+            "day", F.expr("e + INTERVAL 1 MICROSECOND").alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.desc("d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = pts.select("day", F.sum("d").over(w).alias("conc"))
+    return c.groupBy("day").agg(F.max("conc").alias("peak_concurrency"))

@@ -151,6 +151,8 @@ EXTENSION_KEYS = [
     "stat_winsorize",
     # batch 34: custom-connector streaming sink (4th connector plane)
     "dsv2_stream_write",
+    # batch 35: value runs, sweep-line concurrency, LSH quality audit
+    "win_value_runs", "events_concurrency", "llm_lsh_eval",
 ]
 
 
