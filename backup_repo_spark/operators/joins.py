@@ -428,3 +428,64 @@ def join_nonequi_bnlj(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_size").cast("bigint").alias("size_sum"),
         )
     )
+
+
+@query(
+    "mba_part_pairs",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS p1, b2.l_partkey AS p2, count(*) AS together
+      FROM b a JOIN b b2
+        ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+      GROUP BY 1, 2
+    ), freq AS (
+      SELECT l_partkey, count(*) AS n FROM b GROUP BY 1
+    ), tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b)
+    SELECT p1, p2, together,
+           together * tot.n_orders * 1.0 / (f1.n * f2.n) AS lift
+    FROM pairs CROSS JOIN tot
+    JOIN freq f1 ON p1 = f1.l_partkey
+    JOIN freq f2 ON p2 = f2.l_partkey
+    WHERE together >= 3
+    ORDER BY lift DESC, p1, p2 LIMIT 25
+    """,
+)
+def mba_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts co-ordered in the same order, with
+    lift = P(p1,p2) / (P(p1)P(p2)) over exact integer counts (one IEEE
+    division — bit-identical, same construction as `llm_collocations`).
+    The basket self-join is keyed on l_orderkey, so its cost is bounded by
+    the square of the largest basket (~7 lines), not the table; the
+    support>=3 filter prunes before the lift join. At 100 TB this is the
+    candidate-generation stage of association-rule mining, unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a, b2 = b.alias("a"), b.alias("b2")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.l_orderkey") == F.col("b2.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b2.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b2.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 3)
+    )
+    freq = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(freq.alias("f1")), F.col("p1") == F.col("f1.l_partkey"))
+        .join(F.broadcast(freq.alias("f2")), F.col("p2") == F.col("f2.l_partkey"))
+        .select(
+            "p1", "p2", "together",
+            (
+                F.col("together") * F.col("n_orders") * 1.0
+                / (F.col("f1.n") * F.col("f2.n"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "p1", "p2")
+        .limit(25)
+    )

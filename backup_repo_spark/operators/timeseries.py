@@ -264,3 +264,44 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "h", filled.alias("filled"),
         c.isNull().cast("int").alias("imputed"),
     )
+
+
+@query(
+    "ts_seasonal_naive",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr, count(*) AS c
+      FROM events GROUP BY 1
+    ), j AS (
+      SELECT a.hr, a.c AS actual, b.c AS pred
+      FROM h a JOIN h b ON b.hr = a.hr - INTERVAL 7 DAY
+    )
+    SELECT count(*) AS n_hours,
+           CAST(sum(abs(actual - pred)) AS BIGINT) AS abs_err_sum,
+           sum(abs(actual - pred)) * 1.0 / count(*) AS mae
+    FROM j
+    """,
+)
+def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST: predict each hour's event count
+    with the same hour one week earlier, score by MAE — the baseline every
+    forecasting pipeline must beat, computed inside the engine (hourly
+    rollup, self-join on the lagged key, integer error arithmetic + one
+    IEEE division). The rollup shrinks the fact table before the self-join
+    touches anything."""
+    from backup_repo_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a, b = h.alias("a"), h.alias("b")
+    j = a.join(
+        b, F.col("b.hr") == F.expr("a.hr - INTERVAL 7 DAY")
+    ).select(F.col("a.c").alias("actual"), F.col("b.c").alias("pred"))
+    err = F.abs(F.col("actual") - F.col("pred"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(err).cast("bigint").alias("abs_err_sum"),
+        (F.sum(err) * 1.0 / F.count(F.lit(1))).alias("mae"),
+    )

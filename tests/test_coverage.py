@@ -153,6 +153,8 @@ EXTENSION_KEYS = [
     "dsv2_stream_write",
     # batch 35: value runs, sweep-line concurrency, LSH quality audit
     "win_value_runs", "events_concurrency", "llm_lsh_eval",
+    # batch 36: seasonal-naive backtest, market-basket pair mining
+    "ts_seasonal_naive", "mba_part_pairs",
 ]
 
 
