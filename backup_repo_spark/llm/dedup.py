@@ -240,6 +240,18 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rounds = graph diameter (tiny for near-dup clusters). The oracle is a
     DuckDB recursive CTE computing min reachable label — same fixpoint.
     """
+    labels = _component_labels(spark, sf_dir)
+    return (
+        labels.groupBy(F.col("label").alias("component"))
+        .agg(F.count(F.lit(1)).alias("csize"))
+        .orderBy("component")
+    )
+
+
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, label) connected-component labels over the n-gram near-dup
+    pair graph — iterative min-label propagation, lineage-checkpointed per
+    round (see llm_dedup_cluster docstring for mechanics)."""
     pairs = QUERIES["llm_dedup_ngram"](spark, sf_dir).select("da", "db")
     edges = (
         pairs.union(pairs.select(F.col("db"), F.col("da")))
@@ -273,11 +285,7 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated
         if changed == 0:
             break
-    return (
-        labels.groupBy(F.col("label").alias("component"))
-        .agg(F.count(F.lit(1)).alias("csize"))
-        .orderBy("component")
-    )
+    return labels
 
 
 @query(
@@ -517,3 +525,60 @@ def llm_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hit") * 1.0 / F.col("n_true")).alias("recall"),
         )
     )
+
+
+_SURVIVOR_SQL = f"""
+    WITH RECURSIVE
+    pairs AS ({_NGRAM_PAIRS_SQL}),
+    uedges AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
+    nodes AS (SELECT DISTINCT u FROM uedges),
+    reach(u, label) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT e.u, r.label FROM uedges e JOIN reach r ON e.v = r.u
+    ),
+    comp AS (SELECT u AS doc_id, min(label) AS component FROM reach GROUP BY u),
+    score AS (
+      SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS q
+      FROM documents
+    ),
+    j AS (SELECT c.component, c.doc_id, s.q FROM comp c JOIN score s USING (doc_id)),
+    m AS (SELECT component, max(q) AS mq FROM j GROUP BY 1),
+    best AS (
+      SELECT j.component, min(j.doc_id) AS keeper, min(j.q) AS keeper_quality
+      FROM j JOIN m ON j.component = m.component AND j.q = m.mq
+      GROUP BY j.component
+    ),
+    sz AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1)
+    SELECT b.component, b.keeper, b.keeper_quality, sz.csize
+    FROM best b JOIN sz USING (component)
+"""
+
+
+@query("llm_dedup_survivorship", oracle=_SURVIVOR_SQL)
+def llm_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization: per near-dup cluster, KEEP THE BEST document —
+    highest vocabulary-diversity score, doc_id tie-break — instead of the
+    arbitrary min-id survivor. This is the survivorship-rule stage between
+    clustering (`llm_dedup_cluster`) and the final dedup write; the rule is
+    deterministic end to end, so the oracle verifies the chosen keepers,
+    not just cluster shapes. Scale: the component labels are graph-sized,
+    the quality score is map-only, the argmax is two partial-aggregable
+    passes."""
+    labels = _component_labels(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    score = d.select(
+        "doc_id", F.size(F.array_distinct(F.split("text", " "))).alias("q")
+    )
+    j = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    ).join(score, "doc_id")
+    m = j.groupBy("component").agg(F.max("q").alias("mq"))
+    best = (
+        j.join(m, "component")
+        .filter(F.col("q") == F.col("mq"))
+        .groupBy("component")
+        .agg(F.min("doc_id").alias("keeper"), F.min("q").alias("keeper_quality"))
+    )
+    sz = j.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return best.join(sz, "component")

@@ -155,6 +155,8 @@ EXTENSION_KEYS = [
     "win_value_runs", "events_concurrency", "llm_lsh_eval",
     # batch 36: seasonal-naive backtest, market-basket pair mining
     "ts_seasonal_naive", "mba_part_pairs",
+    # batch 37: near-dup survivorship (canonicalization)
+    "llm_dedup_survivorship",
 ]
 
 
