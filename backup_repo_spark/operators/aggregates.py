@@ -577,3 +577,39 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile(li, "l_returnflag"),
     ]
     return reduce(lambda a, b: a.union(b), parts)
+
+
+@query(
+    "stats_key_skew",
+    oracle="""
+    WITH g AS (SELECT user_id, count(*) AS sz FROM events GROUP BY user_id),
+    t AS (SELECT CAST(sum(sz) AS BIGINT) AS total, count(*) AS n_keys,
+                 max(sz) AS max_sz,
+                 quantile_cont(sz, 0.5) AS p50, quantile_cont(sz, 0.99) AS p99
+          FROM g)
+    SELECT n_keys, total, max_sz, p50, p99,
+           max_sz * 1.0 / total AS top_key_share,
+           p99 / p50 AS skew_ratio
+    FROM t
+    """,
+)
+def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key SKEW DIAGNOSTICS: the numbers that decide whether a join
+    or aggregation on this key needs salting / AQE skew handling — key
+    count, max partition-key size, p50/p99 of group sizes, top-key share.
+    Companion to `join_skew_salted` / `agg_skew_twophase`: run this first,
+    salt only when skew_ratio says so. Exact percentiles over integer
+    group sizes; one rollup pass + one tiny global aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("sz"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("sz").alias("total"),
+        F.max("sz").alias("max_sz"),
+        F.expr("percentile(sz, 0.5)").alias("p50"),
+        F.expr("percentile(sz, 0.99)").alias("p99"),
+        (F.max("sz") * 1.0 / F.sum("sz")).alias("top_key_share"),
+        (F.expr("percentile(sz, 0.99)") / F.expr("percentile(sz, 0.5)")).alias(
+            "skew_ratio"
+        ),
+    )

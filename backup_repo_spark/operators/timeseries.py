@@ -305,3 +305,33 @@ def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(err).cast("bigint").alias("abs_err_sum"),
         (F.sum(err) * 1.0 / F.count(F.lit(1))).alias("mae"),
     )
+
+
+@query(
+    "ts_seasonality_profile",
+    oracle="""
+    WITH c AS (
+      SELECT isodow(date_trunc('day', ts)) AS dow,
+             CAST(hour(ts) AS INT) AS hod, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT dow, hod, n, n * 1.0 / t.total AS share
+    FROM c CROSS JOIN t
+    """,
+)
+def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality fingerprint: event share per (ISO weekday, hour-of-day)
+    cell — the 7x24 profile that seeds anomaly baselines and the seasonal-
+    naive forecaster (`ts_seasonal_naive`). Integer counts + one division;
+    partial-aggregable with the 1-row total broadcast back."""
+    from backup_repo_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy(
+        (F.weekday(F.date_trunc("day", F.col("ts"))) + 1).alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "dow", "hod", "n", (F.col("n") * 1.0 / F.col("total")).alias("share")
+    )

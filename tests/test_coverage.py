@@ -157,6 +157,8 @@ EXTENSION_KEYS = [
     "ts_seasonal_naive", "mba_part_pairs",
     # batch 37: near-dup survivorship (canonicalization)
     "llm_dedup_survivorship",
+    # batch 38: shuffle-key skew diagnostics, seasonality profile
+    "stats_key_skew", "ts_seasonality_profile",
 ]
 
 
