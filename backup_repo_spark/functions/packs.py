@@ -895,3 +895,38 @@ def fn_regex_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first_row_word"),
         F.regexp_replace(t, "[aeiou]", "_").alias("devoweled"),
     )
+
+
+@query(
+    "fn_unicode",
+    oracle="""
+    WITH t(id, s) AS (VALUES
+      (1, 'plain ascii'), (2, 'héllo wörld'), (3, '中文数据引擎'),
+      (4, 'mixed 中文 ascii'), (5, 'naïve café'))
+    SELECT id, length(s) AS n_chars, CAST(strlen(s) AS INT) AS n_bytes,
+           CAST(strlen(s) * 8 AS INT) AS n_bits,
+           upper(s) AS up, reverse(s) AS rev,
+           substr(s, 1, 3) AS first3
+    FROM t
+    """,
+)
+def fn_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode string semantics: CHARACTER length vs BYTE length vs bit
+    length on multibyte text (the classic off-by-encoding bug class), plus
+    codepoint-aware upper/reverse/substr. Spark's length() counts chars
+    and octet_length() bytes — aligned with DuckDB's length()/strlen().
+    Inline VALUES input (sf-independent)."""
+    rows = [
+        (1, "plain ascii"), (2, "héllo wörld"), (3, "中文数据引擎"),
+        (4, "mixed 中文 ascii"), (5, "naïve café"),
+    ]
+    t = spark.createDataFrame(rows, schema="id int, s string")
+    return t.select(
+        "id",
+        F.length("s").alias("n_chars"),
+        F.octet_length("s").alias("n_bytes"),
+        F.bit_length("s").alias("n_bits"),
+        F.upper("s").alias("up"),
+        F.reverse("s").alias("rev"),
+        F.substring("s", 1, 3).alias("first3"),
+    )

@@ -582,3 +582,139 @@ def llm_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sz = j.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
     return best.join(sz, "component")
+
+
+@query(
+    "llm_incremental_dedup",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tk),
+    shingles AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM idx WHERE i <= len(toks) - 2
+    ), exact AS (
+      SELECT i.doc_id, min(b.doc_id) AS dup_of
+      FROM (SELECT doc_id, text FROM documents WHERE doc_id >= 400) i
+      JOIN (SELECT doc_id, text FROM documents WHERE doc_id < 400) b
+        ON md5(i.text) = md5(b.text)
+      GROUP BY i.doc_id
+    ), sig AS (
+      SELECT doc_id,
+             min(md5('b1-' || sh)) AS h1, min(md5('b2-' || sh)) AS h2,
+             min(md5('b3-' || sh)) AS h3, min(md5('b4-' || sh)) AS h4,
+             min(md5('b5-' || sh)) AS h5, min(md5('b6-' || sh)) AS h6,
+             min(md5('b7-' || sh)) AS h7, min(md5('b8-' || sh)) AS h8
+      FROM shingles GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 1 AS band, h1 || h2 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 2, h3 || h4 FROM sig
+      UNION ALL SELECT doc_id, 3, h5 || h6 FROM sig
+      UNION ALL SELECT doc_id, 4, h7 || h8 FROM sig
+    ), cand AS (
+      SELECT DISTINCT ib.doc_id AS di, bb.doc_id AS db
+      FROM bands ib JOIN bands bb
+        ON ib.band = bb.band AND ib.bkey = bb.bkey
+      WHERE ib.doc_id >= 400 AND bb.doc_id < 400
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), inter AS (
+      SELECT c.di, c.db, count(*) AS i
+      FROM cand c
+      JOIN shingles a ON a.doc_id = c.di
+      JOIN shingles b2 ON b2.doc_id = c.db AND b2.sh = a.sh
+      GROUP BY 1, 2
+    ), near AS (
+      SELECT i2.di AS doc_id, min(i2.db) AS dup_of
+      FROM inter i2
+      JOIN sizes sa ON i2.di = sa.doc_id
+      JOIN sizes sb ON i2.db = sb.doc_id
+      WHERE i2.i * 1.0 / (sa.n + sb.n - i2.i) >= 0.5
+      GROUP BY i2.di
+    )
+    SELECT doc_id, 'exact' AS how, dup_of FROM exact
+    UNION ALL
+    SELECT n.doc_id, 'near', n.dup_of FROM near n
+    WHERE n.doc_id NOT IN (SELECT doc_id FROM exact)
+    """,
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production mode: an incoming batch
+    (doc_id >= 400) is checked against the existing corpus (doc_id < 400)
+    without ever joining incoming x incoming or re-deduping the base.
+    Exact layer: content-hash join. Near layer: banded-MinHash candidates
+    restricted to (incoming x base) band pairs, exact-Jaccard verified at
+    0.5, exact-dup hits excluded. At 100 TB the base side's signatures are
+    precomputed and stored — each nightly batch joins only its own bands
+    against the band index."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 400)
+    inc = d.filter(F.col("doc_id") >= 400)
+    exact = (
+        inc.alias("i")
+        .join(base.alias("b"), F.md5(F.col("i.text")) == F.md5(F.col("b.text")))
+        .groupBy(F.col("i.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("b.doc_id")).alias("dup_of"))
+    )
+    toks = F.split(F.col("text"), " ")
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        )
+    )
+    shingles = d.select("doc_id", F.explode(sh_arr).alias("sh"))
+    sig = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"b{i}-"), F.col("sh")))).alias(f"h{i}")
+            for i in range(1, 9)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.concat(F.col(f"h{2 * k - 1}"), F.col(f"h{2 * k}")).alias("bkey"),
+                    )
+                    for k in (1, 2, 3, 4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bkey")
+    ib = bands.filter(F.col("doc_id") >= 400).alias("ib")
+    bb = bands.filter(F.col("doc_id") < 400).alias("bb")
+    cand = (
+        ib.join(
+            bb,
+            (F.col("ib.band") == F.col("bb.band"))
+            & (F.col("ib.bkey") == F.col("bb.bkey")),
+        )
+        .select(F.col("ib.doc_id").alias("di"), F.col("bb.doc_id").alias("db"))
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(shingles.alias("sa"), F.col("di") == F.col("sa.doc_id"))
+        .join(
+            shingles.alias("sb"),
+            (F.col("db") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("di", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    near = (
+        inter.join(sizes.alias("sa"), F.col("di") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .groupBy(F.col("di").alias("doc_id"))
+        .agg(F.min("db").alias("dup_of"))
+        .join(exact.select("doc_id"), "doc_id", "left_anti")
+    )
+    return exact.select("doc_id", F.lit("exact").alias("how"), "dup_of").union(
+        near.select("doc_id", F.lit("near").alias("how"), "dup_of")
+    )

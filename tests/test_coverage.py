@@ -159,6 +159,8 @@ EXTENSION_KEYS = [
     "llm_dedup_survivorship",
     # batch 38: shuffle-key skew diagnostics, seasonality profile
     "stats_key_skew", "ts_seasonality_profile",
+    # batch 39: unicode semantics, NOT-IN NULL trap, incremental dedup
+    "fn_unicode", "subq_not_in_null", "llm_incremental_dedup",
 ]
 
 
