@@ -668,3 +668,32 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = pts.select("day", F.sum("d").over(w).alias("conc"))
     return c.groupBy("day").agg(F.max("conc").alias("peak_concurrency"))
+
+
+@query(
+    "events_bot_detection",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, date_trunc('minute', ts) AS mn, count(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, max(c) AS max_per_min, CAST(sum(c) AS BIGINT) AS total,
+           CAST(max(c) >= 5 AS INT) AS burst_flag
+    FROM m GROUP BY user_id
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-rate bot heuristic: per user, the hottest single minute of
+    activity; >= 5 events in one minute flags the account. Two partial-
+    aggregable rollups — the per-minute grain shrinks the stream before
+    the per-user pass, so at 100 TB the wide shuffle carries minute
+    buckets, not raw events. All-integer."""
+    ev = load_events(spark, sf_dir)
+    m = ev.groupBy("user_id", F.date_trunc("minute", "ts").alias("mn")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return m.groupBy("user_id").agg(
+        F.max("c").alias("max_per_min"),
+        F.sum("c").cast("bigint").alias("total"),
+        (F.max("c") >= 5).cast("int").alias("burst_flag"),
+    )

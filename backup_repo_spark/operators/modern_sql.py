@@ -290,3 +290,25 @@ def sql_values_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL ORDER BY ALL
         """
     )
+
+
+@query(
+    "sql_lateral_view",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-inherited LATERAL VIEW explode() syntax — the legacy spelling
+    of generator joins that existing HiveQL/SparkSQL workloads arrive
+    with (the modern equivalents ship as `join_lateral` and
+    `fn_explode_outer`). Same Generate operator in the plan either way."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT doc_id, tok
+        FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok
+        WHERE doc_id < 20
+        """
+    )

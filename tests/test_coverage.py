@@ -161,6 +161,8 @@ EXTENSION_KEYS = [
     "stats_key_skew", "ts_seasonality_profile",
     # batch 39: unicode semantics, NOT-IN NULL trap, incremental dedup
     "fn_unicode", "subq_not_in_null", "llm_incremental_dedup",
+    # batch 40: burst-rate bot heuristic, Hive LATERAL VIEW syntax
+    "events_bot_detection", "sql_lateral_view",
 ]
 
 
