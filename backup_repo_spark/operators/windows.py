@@ -283,3 +283,49 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "value",
         F.expr("percentile(value, 0.5)").over(w).alias("mov_med"),
     )
+
+
+@query(
+    "pareto_analysis",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_custkey
+    ), t AS (SELECT round(sum(revenue), 2) AS total FROM r),
+    c AS (
+      SELECT o_custkey, revenue,
+             row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rnk,
+             sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM r
+    )
+    SELECT rnk, o_custkey, revenue, round(cum / t.total, 6) AS cum_share
+    FROM c CROSS JOIN t
+    WHERE rnk <= 100
+    """,
+)
+def pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) curve: customers ranked by revenue with cumulative
+    revenue share — the concentration analysis behind tiering and sampling
+    decisions. Determinism recipe: per-customer revenue is rounded FIRST,
+    then the running sum adds those identical doubles in the identical
+    (rank) order in both engines — sequential window sums are order-pinned,
+    unlike groupBy sums. Global window over the CUSTOMER rollup (15k rows
+    at sf0.1), never the raw orders; top-100 keeps the output bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    t = r.agg(F.round(F.sum("revenue"), 2).alias("total"))
+    w = Window.orderBy(F.desc("revenue"), "o_custkey")
+    c = r.select(
+        "o_custkey", "revenue",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(F.col("rnk") <= 100)
+        .select(
+            "rnk", "o_custkey", "revenue",
+            F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"),
+        )
+    )

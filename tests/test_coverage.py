@@ -163,6 +163,8 @@ EXTENSION_KEYS = [
     "fn_unicode", "subq_not_in_null", "llm_incremental_dedup",
     # batch 40: burst-rate bot heuristic, Hive LATERAL VIEW syntax
     "events_bot_detection", "sql_lateral_view",
+    # batch 41: Pareto concentration curve
+    "pareto_analysis",
 ]
 
 
