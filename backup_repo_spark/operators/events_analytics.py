@@ -697,3 +697,72 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("total"),
         (F.max("c") >= 5).cast("int").alias("burst_flag"),
     )
+
+
+@query(
+    "events_ab_analysis",
+    oracle="""
+    WITH a AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('exp1-' || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS variant
+      FROM (SELECT DISTINCT user_id FROM events)
+    ), m AS (
+      SELECT e.user_id, a.variant,
+             CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS purchases,
+             sum(CASE WHEN e.event_type = 'purchase' THEN e.value ELSE 0 END)
+               AS spend
+      FROM events e JOIN a USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT variant, count(*) AS users,
+           CAST(sum(purchases) AS BIGINT) AS purchases,
+           CAST(sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS converters,
+           sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) * 1.0 / count(*)
+             AS conversion,
+           round(sum(spend), 2) AS spend
+    FROM m GROUP BY variant
+    """,
+)
+def events_ab_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with DETERMINISTIC hash assignment: variant =
+    md5('exp1-'||user) first hex digit (same salt-hash recipe as
+    `llm_train_split` — reproducible across engines, retries, and cluster
+    sizes, unlike rand()). Per-variant users, purchases, converters,
+    conversion rate (exact division), spend (round-2 policy). Two
+    partial-aggregable rollups; assignment is map-side."""
+    ev = load_events(spark, sf_dir)
+    a = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "variant",
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit("exp1-"), F.col("user_id").cast("string"))),
+                    1, 1,
+                )
+                < "8",
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    m = (
+        ev.join(F.broadcast(a), "user_id")
+        .groupBy("user_id", "variant")
+        .agg(
+            F.sum(is_p).cast("bigint").alias("purchases"),
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias("spend"),
+        )
+    )
+    conv = (F.col("purchases") > 0).cast("int")
+    return m.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum("purchases").cast("bigint").alias("purchases"),
+        F.sum(conv).cast("bigint").alias("converters"),
+        (F.sum(conv) * 1.0 / F.count(F.lit(1))).alias("conversion"),
+        F.round(F.sum("spend"), 2).alias("spend"),
+    )

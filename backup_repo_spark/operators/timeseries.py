@@ -335,3 +335,38 @@ def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.crossJoin(F.broadcast(t)).select(
         "dow", "hod", "n", (F.col("n") * 1.0 / F.col("total")).alias("share")
     )
+
+
+@query(
+    "orders_ship_lag_hist",
+    oracle="""
+    WITH l AS (
+      SELECT date_diff('day', o_orderdate, l_shipdate) AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT CAST(floor(lag_days / 7.0) AS INT) AS lag_week,
+           count(*) AS n,
+           min(lag_days) AS min_d, max(lag_days) AS max_d
+    FROM l GROUP BY 1
+    """,
+)
+def orders_ship_lag_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-lag distribution: order-to-ship day gap per lineitem,
+    bucketed by week — the operational-latency histogram. One fact⋈fact
+    equi-join (sort-merge at scale, AQE-skew-handled) feeding a tiny
+    integer-bucket aggregate; all-integer date arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    l = li.join(o, li.l_orderkey == o.o_orderkey).select(lag.alias("lag_days"))
+    return (
+        # floor, not DIV: Spark DIV truncates toward zero while DuckDB //
+        # floors — they disagree on negative lags, floor() agrees everywhere.
+        l.withColumn("lag_week", F.floor(F.col("lag_days") / 7.0).cast("int"))
+        .groupBy("lag_week")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lag_days").alias("min_d"),
+            F.max("lag_days").alias("max_d"),
+        )
+    )

@@ -165,6 +165,8 @@ EXTENSION_KEYS = [
     "events_bot_detection", "sql_lateral_view",
     # batch 41: Pareto concentration curve
     "pareto_analysis",
+    # batch 42: A/B experiment readout, fulfillment-lag histogram
+    "events_ab_analysis", "orders_ship_lag_hist",
 ]
 
 
