@@ -414,3 +414,63 @@ def llm_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy_bits")
         )
     )
+
+
+@query(
+    "llm_source_signature",
+    oracle="""
+    WITH tk AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), sc AS (
+      SELECT source, w, count(*) AS c FROM tk GROUP BY 1, 2
+    ), st AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sc GROUP BY 1
+    ), cc AS (
+      SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM sc GROUP BY 1
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sc),
+    lift AS (
+      SELECT sc.source, sc.w, sc.c,
+             sc.c * tot.n * 1.0 / (st.n * cc.cw) AS lift
+      FROM sc JOIN st USING (source) JOIN cc USING (w) CROSS JOIN tot
+      WHERE sc.c >= 5
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY lift DESC, w) AS rn
+      FROM lift
+    )
+    SELECT source, w AS token, c, lift FROM r WHERE rn <= 3
+    """,
+)
+def llm_source_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive source signatures: the 3 most DISTINCTIVE tokens per
+    source by lift = p(token|source)/p(token) — the corpus-diagnostics view
+    that surfaces what makes a crawl slice different (boilerplate, domain
+    jargon) before mixing weights are chosen. Exact integer counts, tiny
+    broadcast dictionaries, one IEEE division, per-source window top-3 —
+    same determinism construction as `llm_collocations`."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    sc = tk.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    cc = sc.groupBy("w").agg(F.sum("c").alias("cw"))
+    tot = sc.agg(F.sum("c").alias("tn"))
+    lift = (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(cc), "w")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c") >= 5)
+        .select(
+            "source", "w", "c",
+            (F.col("c") * F.col("tn") * 1.0 / (F.col("n") * F.col("cw"))).alias("lift"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("lift"), "w")
+    )
+    return (
+        lift.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select("source", F.col("w").alias("token"), "c", "lift")
+    )

@@ -167,6 +167,8 @@ EXTENSION_KEYS = [
     "pareto_analysis",
     # batch 42: A/B experiment readout, fulfillment-lag histogram
     "events_ab_analysis", "orders_ship_lag_hist",
+    # batch 43: contrastive source signatures
+    "llm_source_signature",
 ]
 
 
