@@ -474,3 +474,36 @@ def llm_source_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("source", F.col("w").alias("token"), "c", "lift")
     )
+
+
+_VOCAB_MILESTONES = (100, 200, 300, 400, 500)
+
+
+@query(
+    "llm_vocab_growth",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT {", ".join(
+        f"count(DISTINCT CASE WHEN doc_id < {m} THEN w END) AS vocab_{m}"
+        for m in _VOCAB_MILESTONES)}
+    FROM tk
+    """,
+)
+def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct-token count after the
+    first 100/200/.../500 documents, all five milestones in ONE pass via
+    conditional DISTINCT aggregates (no per-milestone rescan). The curve's
+    flattening rate is the dedup/diversity diagnostic that says when more
+    of the same source stops adding vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    return tk.agg(
+        *[
+            F.countDistinct(
+                F.when(F.col("doc_id") < m, F.col("w"))
+            ).alias(f"vocab_{m}")
+            for m in _VOCAB_MILESTONES
+        ]
+    )

@@ -613,3 +613,27 @@ def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skew_ratio"
         ),
     )
+
+
+@query(
+    "agg_empty_input",
+    oracle="""
+    SELECT count(*) AS n, coalesce(CAST(sum(l_quantity) AS DOUBLE), -1.0) AS s,
+           coalesce(CAST(max(l_orderkey) AS BIGINT), -1) AS mx,
+           coalesce(CAST(avg(l_discount) AS DOUBLE), -1.0) AS a
+    FROM lineitem WHERE l_orderkey < 0
+    """,
+)
+def agg_empty_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-input aggregate semantics, pinned: a GLOBAL aggregate over
+    zero rows returns exactly ONE row — count 0, sum/max/avg NULL
+    (coalesced to sentinels for the hash compare). The grouped form would
+    return zero rows instead; conflating the two is a classic migration
+    bug. Also exercises pushdown of an always-false key predicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("l_quantity"), F.lit(-1.0)).alias("s"),
+        F.coalesce(F.max("l_orderkey"), F.lit(-1)).alias("mx"),
+        F.coalesce(F.avg("l_discount"), F.lit(-1.0)).alias("a"),
+    )

@@ -256,3 +256,42 @@ def dml_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_s"),
         )
     )
+
+
+@query(
+    "ingest_csv_dialect",
+    oracle="""
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+           min(text) AS first_text
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def ingest_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dialect round-trip with the hostile options set: pipe delimiter,
+    quoted fields (text contains spaces), backslash escape, header row,
+    explicit schema on read (no inference drift). The aggregate — including
+    min(text), which would catch any quoting/escaping corruption byte-wise
+    — must match the parquet original. The LOAD DATA analog for delimited
+    feeds that don't arrive as parquet."""
+    d = load_table(spark, sf_dir, "documents")
+    out = _wh("ingest_csv_dialect")
+    (
+        d.write.mode("overwrite")
+        .option("header", "true")
+        .option("delimiter", "|")
+        .option("quote", '"')
+        .option("escape", "\\")
+        .csv(out)
+    )
+    back = spark.read.schema(d.schema).option("header", "true").option(
+        "delimiter", "|"
+    ).option("quote", '"').option("escape", "\\").csv(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+            F.min("text").alias("first_text"),
+        )
+        .orderBy("lang")
+    )

@@ -169,6 +169,8 @@ EXTENSION_KEYS = [
     "events_ab_analysis", "orders_ship_lag_hist",
     # batch 43: contrastive source signatures
     "llm_source_signature",
+    # batch 44: CSV dialect round-trip, empty-input semantics, vocab growth
+    "ingest_csv_dialect", "agg_empty_input", "llm_vocab_growth",
 ]
 
 
