@@ -441,3 +441,40 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tok").alias("max_tokens"),
         F.expr("percentile(n_tok, 0.5)").alias("median_tokens"),
     )
+
+
+@query(
+    "llm_filter_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT n_chars >= 150 AS s1,
+             n_chars >= 150 AND lang = 'en' AS s2,
+             n_chars >= 150 AND lang = 'en'
+               AND len(string_split(text, ' ')) >= 30 AS s3
+      FROM documents
+    )
+    SELECT count(*) AS total,
+           CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS after_length,
+           CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS after_lang,
+           CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS after_tokens
+    FROM f
+    """,
+)
+def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel observability: per-stage survivor counts for a
+    composed curation chain (length -> language -> token count) computed
+    in ONE pass with cumulative boolean columns — the attrition report
+    every data-curation run publishes, without running the pipeline N
+    times. At 100 TB this replaces N full scans with one."""
+    d = load_table(spark, sf_dir, "documents")
+    s1 = F.col("n_chars") >= 150
+    s2 = s1 & (F.col("lang") == "en")
+    s3 = s2 & (F.size(F.split("text", " ")) >= 30)
+    return d.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    ).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("s1").cast("int")).cast("bigint").alias("after_length"),
+        F.sum(F.col("s2").cast("int")).cast("bigint").alias("after_lang"),
+        F.sum(F.col("s3").cast("int")).cast("bigint").alias("after_tokens"),
+    )

@@ -171,6 +171,8 @@ EXTENSION_KEYS = [
     "llm_source_signature",
     # batch 44: CSV dialect round-trip, empty-input semantics, vocab growth
     "ingest_csv_dialect", "agg_empty_input", "llm_vocab_growth",
+    # batch 45: EXISTS projection flags, curation filter funnel
+    "subq_exists_projection", "llm_filter_funnel",
 ]
 
 
