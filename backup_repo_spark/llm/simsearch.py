@@ -304,3 +304,61 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q"),
         F.round(scale, 6).alias("scale"),
     ).orderBy("vec_id")
+
+
+@query(
+    "llm_hard_negatives",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS ql, embedding AS qe
+      FROM embeddings WHERE vec_id < 10
+    ), v AS (
+      SELECT q.qid, c.vec_id AS cid, q.qe, c.embedding AS ce
+      FROM q JOIN embeddings c ON c.label <> q.ql
+    ), pairs AS (
+      SELECT qid, cid,
+             CAST(unnest(qe) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y
+      FROM v
+    ), scored AS (
+      SELECT qid, cid, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+      FROM pairs GROUP BY 1, 2
+    ), r AS (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+      FROM scored
+    )
+    SELECT qid, cid AS hard_negative, round(cos, 6) AS cos_sim
+    FROM r WHERE rn = 1
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each of 10 query
+    vectors, the MOST similar vector with a DIFFERENT label — the negatives
+    that actually teach a metric-learning model something. Same JVM-side
+    cosine as `llm_sim_search`, cross-label join instead of same-label
+    blocking, per-query window winner. At 100 TB the candidate side comes
+    from the IVF bucket probe (`llm_sim_search_ivf`), not the full corpus."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("ql"),
+        F.col("embedding").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("label").alias("cl"),
+        F.col("embedding").alias("ce"),
+    )
+    scored = (
+        q.join(c, F.col("cl") != F.col("ql"))
+        .select("qid", "cid", _cosine(F.col("qe"), F.col("ce")).alias("cos"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("cid").alias("hard_negative"),
+                F.round("cos", 6).alias("cos_sim"))
+    )

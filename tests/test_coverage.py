@@ -173,6 +173,8 @@ EXTENSION_KEYS = [
     "ingest_csv_dialect", "agg_empty_input", "llm_vocab_growth",
     # batch 45: EXISTS projection flags, curation filter funnel
     "subq_exists_projection", "llm_filter_funnel",
+    # batch 46: hard-negative mining
+    "llm_hard_negatives",
 ]
 
 
