@@ -478,3 +478,46 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("s2").cast("int")).cast("bigint").alias("after_lang"),
         F.sum(F.col("s3").cast("int")).cast("bigint").alias("after_tokens"),
     )
+
+
+@query(
+    "llm_chunk_dedup",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    st AS (SELECT doc_id, toks,
+                  unnest(generate_series(1, greatest(len(toks), 1), {_STRIDE})) AS s
+           FROM tk),
+    ch AS (
+      SELECT doc_id, md5(array_to_string(toks[s:s + {_WINDOW - 1}], ' ')) AS h
+      FROM st
+    )
+    SELECT count(*) AS n_chunks,
+           count(DISTINCT h) AS n_distinct,
+           (count(*) - count(DISTINCT h)) * 1.0 / count(*) AS dup_rate,
+           count(DISTINCT doc_id) AS n_docs
+    FROM ch
+    """,
+)
+def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-granularity dedup audit: hash every {_WINDOW}-token chunk
+    (same chunking as `llm_doc_chunk`) and measure corpus-wide duplicate
+    rate — overlapping-window chunking plus copied passages both inflate
+    it, and it's the number that decides whether dedup must run below
+    document granularity. Map-only expansion + one global aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(_STRIDE))
+    ch = d.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("s")
+    ).select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(F.col("toks"), F.col("s"), _WINDOW), " ")).alias("h"),
+    )
+    return ch.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("h").alias("n_distinct"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("h")) * 1.0 / F.count(F.lit(1))
+        ).alias("dup_rate"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

@@ -268,3 +268,54 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (3 * F.col("t") * F.lit(1.0) / F.col("w")).alias("clustering"),
         )
     )
+
+
+@query(
+    "graph_degrees",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    oe AS (SELECT src AS node, count(*) AS odeg, CAST(sum(w) AS BIGINT) AS ow
+           FROM base GROUP BY src),
+    ie AS (SELECT dst AS node, count(*) AS ideg, CAST(sum(w) AS BIGINT) AS iw
+           FROM base GROUP BY dst),
+    n AS (SELECT count(*) AS cnt FROM nation)
+    SELECT nn.n_nationkey AS node,
+           coalesce(oe.odeg, 0) AS out_degree, coalesce(ie.ideg, 0) AS in_degree,
+           coalesce(oe.ow, 0) AS out_weight, coalesce(ie.iw, 0) AS in_weight,
+           coalesce(oe.odeg, 0) * 1.0 / (n.cnt - 1) AS out_centrality
+    FROM nation nn
+    LEFT JOIN oe ON nn.n_nationkey = oe.node
+    LEFT JOIN ie ON nn.n_nationkey = ie.node
+    CROSS JOIN n
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree centrality table for the trade graph: in/out degree and
+    weighted degree per node, plus normalized out-centrality (deg/(n-1)).
+    The cheap first look before PageRank/triangles; two rollups of the
+    edge list + a broadcast node spine keep it one scan of the edges."""
+    base = _trade_edges(spark, sf_dir)
+    oe = base.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("odeg"), F.sum("w").alias("ow")
+    )
+    ie = base.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("ideg"), F.sum("w").alias("iw")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    n = nation.agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        nation.select(F.col("n_nationkey").alias("node"))
+        .join(oe, "node", "left")
+        .join(ie, "node", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "node",
+            F.coalesce("odeg", F.lit(0)).alias("out_degree"),
+            F.coalesce("ideg", F.lit(0)).alias("in_degree"),
+            F.coalesce("ow", F.lit(0)).alias("out_weight"),
+            F.coalesce("iw", F.lit(0)).alias("in_weight"),
+            (F.coalesce("odeg", F.lit(0)) * 1.0 / (F.col("cnt") - 1)).alias(
+                "out_centrality"
+            ),
+        )
+    )

@@ -370,3 +370,49 @@ def orders_ship_lag_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lag_days").alias("max_d"),
         )
     )
+
+
+@query(
+    "ts_week_over_week",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, date_trunc('week', ts) AS wk, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), l AS (
+      SELECT event_type, wk, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+      FROM w
+    )
+    SELECT event_type, strftime(wk, '%Y-%m-%d') AS week_start, n,
+           coalesce(prev, -1) AS prev,
+           CASE WHEN prev IS NULL THEN -1.0 ELSE n * 1.0 / prev END AS wow
+    FROM l
+    """,
+)
+def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: weekly rollup + one lag
+    window + exact count ratio (NULL first-week coalesced to sentinels
+    per the hash-compare policy). The standard KPI delta query; the
+    window partitions by type so weeks of different types never
+    serialize together."""
+    from pyspark.sql.window import Window
+
+    from backup_repo_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = ev.groupBy("event_type", F.date_trunc("week", "ts").alias("wk")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    prev = F.lag("n").over(Window.partitionBy("event_type").orderBy("wk"))
+    return w.select(
+        "event_type",
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        "n",
+        prev.alias("prev"),
+    ).select(
+        "event_type", "week_start", "n",
+        F.coalesce("prev", F.lit(-1)).alias("prev"),
+        F.when(F.col("prev").isNull(), -1.0)
+        .otherwise(F.col("n") * 1.0 / F.col("prev"))
+        .alias("wow"),
+    )

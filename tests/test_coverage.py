@@ -175,6 +175,8 @@ EXTENSION_KEYS = [
     "subq_exists_projection", "llm_filter_funnel",
     # batch 46: hard-negative mining
     "llm_hard_negatives",
+    # batch 47: WoW growth, degree centrality, chunk-level dedup audit
+    "ts_week_over_week", "graph_degrees", "llm_chunk_dedup",
 ]
 
 
