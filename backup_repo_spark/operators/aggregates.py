@@ -637,3 +637,44 @@ def agg_empty_input(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max("l_orderkey"), F.lit(-1)).alias("mx"),
         F.coalesce(F.avg("l_discount"), F.lit(-1.0)).alias("a"),
     )
+
+
+@query(
+    "stats_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), c AS (
+      SELECT digit, count(*) AS n FROM d GROUP BY digit
+    ), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT digit, n, n * 1.0 / t.total AS observed,
+           round(log10(1 + 1.0 / digit), 4) AS benford_expected
+    FROM c CROSS JOIN t
+    """,
+)
+def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the forensic
+    data-quality screen for fabricated or truncated numeric columns.
+    Observed shares are exact (integer counts, one division); the Benford
+    expectation log10(1+1/d) is the only libm value, rounded to 4 dp.
+    (Synthetic uniform-ish prices will FAIL Benford — that disagreement is
+    the point of the audit.)"""
+    o = load_table(spark, sf_dir, "orders")
+    digit = (
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        ).cast("int")
+    )
+    c = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit", "n",
+        (F.col("n") * 1.0 / F.col("total")).alias("observed"),
+        F.round(F.log10(1 + 1.0 / F.col("digit")), 4).alias("benford_expected"),
+    )

@@ -416,3 +416,44 @@ def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("n") * 1.0 / F.col("prev"))
         .alias("wow"),
     )
+
+
+@query(
+    "ts_inter_event_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_us,
+           median(gap_us) AS p50_us,
+           quantile_cont(gap_us, 0.9) AS p90_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ts_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per type (arrival-process profile —
+    feeds session-gap and watermark tuning: the 30-min session gap and
+    10-min watermark in this repo were chosen from exactly this view).
+    Integer µs lag differences; exact interpolated percentiles. The gap
+    window partitions by user; the percentile rollup is per type."""
+    from pyspark.sql.window import Window
+
+    from backup_repo_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+    g = ev.select("event_type", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_us"),
+        F.expr("percentile(gap_us, 0.5)").alias("p50_us"),
+        F.expr("percentile(gap_us, 0.9)").alias("p90_us"),
+    )

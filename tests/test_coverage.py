@@ -177,6 +177,8 @@ EXTENSION_KEYS = [
     "llm_hard_negatives",
     # batch 47: WoW growth, degree centrality, chunk-level dedup audit
     "ts_week_over_week", "graph_degrees", "llm_chunk_dedup",
+    # batch 48: Benford audit, inter-event gap distribution
+    "stats_benford", "ts_inter_event_gaps",
 ]
 
 
