@@ -507,3 +507,90 @@ def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in _VOCAB_MILESTONES
         ]
     )
+
+
+@query(
+    "llm_tfidf_docsim",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n FROM documents),
+    w AS (
+      SELECT doc_id, token,
+             tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS w
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS qid, b.doc_id AS cid, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.token = b.token AND b.doc_id <> a.doc_id
+      WHERE a.doc_id < 5
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT qid, cid, dot / (na.nrm * nb.nrm) AS cos
+      FROM dots JOIN nrm na ON qid = na.doc_id JOIN nrm nb ON cid = nb.doc_id
+    ),
+    r AS (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+      FROM scored
+    )
+    SELECT qid, cid AS best_match, round(cos, 4) AS cos_sim
+    FROM r WHERE rn = 1
+    """,
+)
+def llm_tfidf_docsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEXICAL document similarity: TF-IDF-weighted sparse cosine via a
+    shared-token join (the inverted-index formulation — cost scales with
+    co-occurring tokens, never the dense doc×doc product), best match per
+    query doc. The sparse complement of `llm_sim_search`'s dense-embedding
+    cosine; at 100 TB the token join IS the inverted index, with stop-token
+    df-pruning bounding the hottest posting lists."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "token",
+            (
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.filter(F.col("doc_id") < 5).alias("a")
+    b = w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("b.doc_id") != F.col("a.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("qid"), F.col("b.doc_id").alias("cid"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    scored = (
+        dots.join(F.broadcast(nrm.alias("na")), F.col("qid") == F.col("na.doc_id"))
+        .join(F.broadcast(nrm.alias("nb")), F.col("cid") == F.col("nb.doc_id"))
+        .select(
+            "qid", "cid",
+            (F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))).alias("cos"),
+        )
+    )
+    rn = F.row_number().over(Window.partitionBy("qid").orderBy(F.desc("cos"), "cid"))
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("cid").alias("best_match"), F.round("cos", 4).alias("cos_sim"))
+    )

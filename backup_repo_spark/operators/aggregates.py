@@ -678,3 +678,29 @@ def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * 1.0 / F.col("total")).alias("observed"),
         F.round(F.log10(1 + 1.0 / F.col("digit")), 4).alias("benford_expected"),
     )
+
+
+@query(
+    "agg_product",
+    oracle="""
+    SELECT l_orderkey, product(CAST(l_linenumber AS DOUBLE)) AS line_product,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 4
+    """,
+)
+def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT aggregate (the multiplicative fold missing from ANSI SQL's
+    core set): per-order product of line numbers. Deterministic despite
+    float representation because every partial product is a small exact
+    integer (<= 7! = 5040 « 2^53) — double multiplication of exact ints
+    is exact in any order, unlike float addition. Partial-aggregable
+    (products merge by multiplying)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.product(F.col("l_linenumber").cast("double")).alias("line_product"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .filter(F.col("n_lines") >= 4)
+    )

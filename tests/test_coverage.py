@@ -179,6 +179,8 @@ EXTENSION_KEYS = [
     "ts_week_over_week", "graph_degrees", "llm_chunk_dedup",
     # batch 48: Benford audit, inter-event gap distribution
     "stats_benford", "ts_inter_event_gaps",
+    # batch 49: product aggregate, TF-IDF lexical doc similarity
+    "agg_product", "llm_tfidf_docsim",
 ]
 
 
