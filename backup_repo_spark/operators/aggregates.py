@@ -704,3 +704,50 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_lines") >= 4)
     )
+
+
+@query(
+    "dq_constraints",
+    oracle="""
+    SELECT
+      (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+       FROM orders) AS pk_dups,
+      (SELECT count(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey)) AS fk_orphans,
+      (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS null_custkeys,
+      (SELECT count(*) FROM lineitem
+       WHERE l_discount < 0 OR l_discount > 0.1) AS discount_domain,
+      (SELECT count(*) FROM lineitem
+       WHERE l_shipdate < TIMESTAMP '1995-01-01') AS early_ships
+    """,
+)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation suite (the CHECK/PK/FK layer immutable
+    parquet doesn't enforce, run as a query): PK uniqueness, FK
+    orphans (anti join), NOT NULL, numeric domain, and date sanity —
+    one row of violation counts, all exact. The scheduled data-quality
+    gate every ingest pipeline runs before publishing a partition."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dups")
+    )
+    fk = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_orphans"))
+    )
+    nulls = o.agg(
+        F.sum(F.col("o_custkey").isNull().cast("int")).cast("bigint").alias(
+            "null_custkeys"
+        )
+    )
+    dom = li.agg(
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("int")
+        ).cast("bigint").alias("discount_domain"),
+        F.sum(
+            (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp")).cast("int")
+        ).cast("bigint").alias("early_ships"),
+    )
+    return pk.crossJoin(fk).crossJoin(nulls).crossJoin(dom)

@@ -766,3 +766,57 @@ def events_ab_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(conv) * 1.0 / F.count(F.lit(1))).alias("conversion"),
         F.round(F.sum("spend"), 2).alias("spend"),
     )
+
+
+@query(
+    "events_abandonment",
+    oracle="""
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    f AS (
+      SELECT v.event_id, CAST(date_trunc('day', v.ts) AS DATE) AS day,
+             EXISTS(SELECT 1 FROM p
+                    WHERE p.user_id = v.user_id
+                      AND p.ts > v.ts
+                      AND p.ts <= v.ts + INTERVAL 1 HOUR) AS converted
+      FROM v
+    )
+    SELECT day, count(*) AS views,
+           CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+             AS converted_views,
+           1.0 - sum(CASE WHEN converted THEN 1 ELSE 0 END) * 1.0 / count(*)
+             AS abandonment_rate
+    FROM f GROUP BY day
+    """,
+)
+def events_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abandonment funnel: views NOT followed by a same-user purchase
+    within 1 hour, as a daily rate. The time-bounded existence check is a
+    LEFT SEMI join on the user key with the hour window as residual (the
+    scalable spelling — the correlated-EXISTS oracle form does not
+    decorrelate for range predicates), then an exact-count daily rollup."""
+    ev = load_events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    conv = v.join(
+        p,
+        (F.col("pu") == F.col("vu"))
+        & (F.col("pts") > F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select("event_id")
+    f = v.join(conv.withColumn("c", F.lit(1)), "event_id", "left").select(
+        F.to_date("vts").alias("day"),
+        F.coalesce("c", F.lit(0)).alias("converted"),
+    )
+    return f.groupBy("day").agg(
+        F.count(F.lit(1)).alias("views"),
+        F.sum("converted").cast("bigint").alias("converted_views"),
+        (1.0 - F.sum("converted") * 1.0 / F.count(F.lit(1))).alias(
+            "abandonment_rate"
+        ),
+    )

@@ -181,6 +181,8 @@ EXTENSION_KEYS = [
     "stats_benford", "ts_inter_event_gaps",
     # batch 49: product aggregate, TF-IDF lexical doc similarity
     "agg_product", "llm_tfidf_docsim",
+    # batch 50: abandonment funnel, data-quality constraint suite
+    "events_abandonment", "dq_constraints",
 ]
 
 
