@@ -718,3 +718,62 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.select("doc_id", F.lit("exact").alias("how"), "dup_of").union(
         near.select("doc_id", F.lit("near").alias("how"), "dup_of")
     )
+
+
+@query(
+    "llm_jaccard_histogram",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tk),
+    shingles AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM idx WHERE i <= len(toks) - 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(floor(i.i * 10.0 / (sa.n + sb.n - i.i)) AS INT) AS jacc_decile,
+           count(*) AS n_pairs
+    FROM inter i
+    JOIN sizes sa ON i.da = sa.doc_id
+    JOIN sizes sb ON i.db = sb.doc_id
+    GROUP BY 1
+    """,
+)
+def llm_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-similarity histogram over all shingle-sharing pairs
+    (deciles) — the threshold-tuning curve: where the near-dup cutoff
+    lands decides corpus shrinkage, and this shows the whole distribution
+    in one pass instead of re-running dedup per candidate threshold.
+    Pairs with zero shared shingles never materialize (the shingle join
+    only produces co-occurring pairs). Exact integer bucket arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        )
+    )
+    shingles = d.select("doc_id", F.explode(sh_arr).alias("sh"))
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    decile = F.floor(
+        F.col("i") * 10.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    ).cast("int")
+    return (
+        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .groupBy(decile.alias("jacc_decile"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -457,3 +457,45 @@ def ts_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap_us, 0.5)").alias("p50_us"),
         F.expr("percentile(gap_us, 0.9)").alias("p90_us"),
     )
+
+
+@query(
+    "ts_seasonal_anomaly",
+    oracle="""
+    WITH slot AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             isodow(date_trunc('day', ts)) AS dow,
+             CAST(hour(ts) AS INT) AS hod, count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ), base AS (
+      SELECT dow, hod, CAST(sum(n) AS BIGINT) AS total, count(*) AS n_days
+      FROM slot GROUP BY 1, 2
+    )
+    SELECT s.day, s.hod, s.n, base.total, base.n_days
+    FROM slot s JOIN base USING (dow, hod)
+    WHERE 2 * s.n * base.n_days > 3 * base.total
+    """,
+)
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALLY-AWARE anomaly flags: an hour-slot is anomalous when its
+    count exceeds 1.5x the historical average for the SAME (weekday, hour)
+    cell — a Monday-9am spike is judged against Monday-9am history, not a
+    global mean (which `events_anomaly_mad` provides). The 1.5x-average test
+    is cross-multiplied into pure integers (2*n*n_days > 3*total): no
+    division, no float, bit-exact. Two rollups + one broadcast join."""
+    from backup_repo_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    slot = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        (F.weekday(F.date_trunc("day", F.col("ts"))) + 1).alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = slot.groupBy("dow", "hod").agg(
+        F.sum("n").cast("bigint").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        slot.join(F.broadcast(base), ["dow", "hod"])
+        .filter(2 * F.col("n") * F.col("n_days") > 3 * F.col("total"))
+        .select("day", "hod", "n", "total", "n_days")
+    )

@@ -183,6 +183,8 @@ EXTENSION_KEYS = [
     "agg_product", "llm_tfidf_docsim",
     # batch 50: abandonment funnel, data-quality constraint suite
     "events_abandonment", "dq_constraints",
+    # batch 51: Jaccard threshold sweep, seasonal-baseline anomalies
+    "llm_jaccard_histogram", "ts_seasonal_anomaly",
 ]
 
 
