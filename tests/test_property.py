@@ -271,3 +271,62 @@ def test_random_setop_matches_duckdb(spark, duck, s):
     )
     problems = hard_problems(compare(df.toPandas(), duck.execute(sql).fetchdf()))
     assert not problems, f"{sql}\n{problems}"
+
+
+# ---- window property -------------------------------------------------------
+
+_WIN_PARTS = {
+    "flag": "l_returnflag",
+    "status": "l_linestatus",
+    "line": "l_linenumber",
+}
+
+_WIN_AGGS = {
+    # name -> (spark agg builder, sql agg text) — integer-valued, so frame
+    # sums are exact in any engine.
+    "cnt": (lambda: F.count(F.lit(1)), "count(*)"),
+    "sum_line": (lambda: F.sum("l_linenumber"), "sum(l_linenumber)"),
+    "min_key": (lambda: F.min("l_orderkey"), "min(l_orderkey)"),
+}
+
+win_spec = st.tuples(
+    st.sampled_from(sorted(_WIN_PARTS)),
+    st.integers(min_value=0, max_value=5),  # trailing frame rows
+    st.sampled_from(sorted(_WIN_AGGS)),
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(win_spec)
+def test_random_window_frame_matches_duckdb(spark, duck, s):
+    """Randomized window-frame specs: partition key × trailing-frame size ×
+    integer aggregate, ordered by the unique (l_orderkey, l_linenumber) pair
+    so every frame's contents are deterministic in both engines."""
+    from pyspark.sql.window import Window
+
+    part_key, k, agg_key = s
+    part = _WIN_PARTS[part_key]
+    mk_agg, agg_sql = _WIN_AGGS[agg_key]
+
+    w = (
+        Window.partitionBy(part)
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(-k, 0)
+    )
+    df = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter(F.col("l_orderkey") < 600)
+        .select(
+            "l_orderkey", "l_linenumber",
+            mk_agg().over(w).cast("bigint").alias("v"),
+        )
+    )
+    sql = f"""
+        SELECT l_orderkey, l_linenumber,
+               CAST({agg_sql} OVER (
+                 PARTITION BY {part} ORDER BY l_orderkey, l_linenumber
+                 ROWS BETWEEN {k} PRECEDING AND CURRENT ROW) AS BIGINT) AS v
+        FROM lineitem WHERE l_orderkey < 600
+    """
+    problems = hard_problems(compare(df.toPandas(), duck.execute(sql).fetchdf()))
+    assert not problems, f"{sql}\n{problems}"
