@@ -820,3 +820,46 @@ def events_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abandonment_rate"
         ),
     )
+
+
+@query(
+    "events_slo_burn",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errors,
+             count(*) AS total
+      FROM events GROUP BY 1
+    )
+    SELECT day, errors, total,
+           errors * 1.0 / total AS day_rate,
+           CAST(sum(errors) OVER w AS BIGINT) AS cum_errors,
+           CAST(sum(total) OVER w AS BIGINT) AS cum_total,
+           CAST(sum(errors) OVER w * 5 > sum(total) OVER w AS INT) AS burning
+    FROM d
+    WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-budget (SLO) burn tracking: daily error counts, cumulative
+    error rate, and a burn flag when the running rate exceeds the 20%%
+    budget — with the threshold test cross-multiplied into integers
+    (cum_errors * 5 > cum_total), so no float comparison anywhere near
+    the alert decision. Daily rollup first; the cumulative window runs
+    over ~30 rows, not the raw stream."""
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "error").cast("int")).cast("bigint").alias("errors"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        "day", "errors", "total",
+        (F.col("errors") * 1.0 / F.col("total")).alias("day_rate"),
+        F.sum("errors").over(w).cast("bigint").alias("cum_errors"),
+        F.sum("total").over(w).cast("bigint").alias("cum_total"),
+        (F.sum("errors").over(w) * 5 > F.sum("total").over(w)).cast("int").alias("burning"),
+    )

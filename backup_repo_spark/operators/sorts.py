@@ -85,3 +85,54 @@ def topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_rev", 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "sort_keyset_pagination",
+    oracle="""
+    WITH cursor_row AS (
+      SELECT o_totalprice AS cp, o_orderkey AS ck FROM (
+        SELECT o_totalprice, o_orderkey,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+      ) WHERE rn = 40
+    )
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus
+    FROM orders o CROSS JOIN cursor_row
+    WHERE o.o_totalprice < cursor_row.cp
+       OR (o.o_totalprice = cursor_row.cp AND o.o_orderkey > cursor_row.ck)
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET (seek) pagination: fetch the 20 rows AFTER a (price, key)
+    cursor via a sargable compound predicate — never OFFSET, which scans
+    and discards all preceding rows (O(page_number) per page; at 100 TB,
+    page 10 000 of an OFFSET plan reads the whole table). The cursor here
+    is derived in-query (row 40 of the global order) so the test is
+    self-contained; real callers pass the last row of the previous page.
+    The predicate pushes to the scan; the page is TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    cur = (
+        o.select(
+            "o_totalprice", "o_orderkey",
+            F.row_number()
+            .over(Window.orderBy(F.desc("o_totalprice"), "o_orderkey"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 40)
+        .select(F.col("o_totalprice").alias("cp"), F.col("o_orderkey").alias("ck"))
+    )
+    return (
+        o.crossJoin(F.broadcast(cur))
+        .filter(
+            (F.col("o_totalprice") < F.col("cp"))
+            | ((F.col("o_totalprice") == F.col("cp")) & (F.col("o_orderkey") > F.col("ck")))
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )

@@ -185,6 +185,8 @@ EXTENSION_KEYS = [
     "events_abandonment", "dq_constraints",
     # batch 51: Jaccard threshold sweep, seasonal-baseline anomalies
     "llm_jaccard_histogram", "ts_seasonal_anomaly",
+    # batch 52: SLO burn tracking, keyset pagination
+    "events_slo_burn", "sort_keyset_pagination",
 ]
 
 
