@@ -295,3 +295,58 @@ def ingest_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "dml_dataset_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 450
+    ), v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 10 = 3 THEN text || ' edited' ELSE text END)
+               AS h
+      FROM documents WHERE doc_id >= 50
+    )
+    SELECT
+      CAST(sum(CASE WHEN v1.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS added,
+      CAST(sum(CASE WHEN v2.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS removed,
+      CAST(sum(CASE WHEN v1.doc_id IS NOT NULL AND v2.doc_id IS NOT NULL
+                     AND v1.h <> v2.h THEN 1 ELSE 0 END) AS BIGINT)
+        AS changed,
+      CAST(sum(CASE WHEN v1.h = v2.h THEN 1 ELSE 0 END) AS BIGINT)
+        AS unchanged
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    """,
+)
+def dml_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version DIFF: added / removed / changed / unchanged counts
+    between two snapshot keyspaces via one full-outer join on the key with
+    content-hash comparison (v2 simulates edits on every 10th doc). The
+    audit a versioned lakehouse publishes with each new snapshot; with
+    both sides bucketed on the key it runs exchange-free. Hash compare
+    means the wide text column never crosses the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") < 450).select(
+        F.col("doc_id").alias("k1"), F.md5("text").alias("h1")
+    )
+    v2 = d.filter(F.col("doc_id") >= 50).select(
+        F.col("doc_id").alias("k2"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 10 == 3, F.concat(F.col("text"), F.lit(" edited"))
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
+    )
+    j = v1.join(v2, v1.k1 == v2.k2, "full_outer")
+    return j.agg(
+        F.sum(F.col("k1").isNull().cast("int")).cast("bigint").alias("added"),
+        F.sum(F.col("k2").isNull().cast("int")).cast("bigint").alias("removed"),
+        F.sum(
+            (F.col("k1").isNotNull() & F.col("k2").isNotNull() & (F.col("h1") != F.col("h2")))
+            .cast("int")
+        ).cast("bigint").alias("changed"),
+        F.sum((F.col("h1") == F.col("h2")).cast("int")).cast("bigint").alias("unchanged"),
+    )

@@ -187,6 +187,8 @@ EXTENSION_KEYS = [
     "llm_jaccard_histogram", "ts_seasonal_anomaly",
     # batch 52: SLO burn tracking, keyset pagination
     "events_slo_burn", "sort_keyset_pagination",
+    # batch 53: dataset-version diff
+    "dml_dataset_diff",
 ]
 
 
