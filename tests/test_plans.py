@@ -400,3 +400,51 @@ def test_seasonal_naive_rolls_up_before_self_join(spark):
     )
     assert plan[:join_pos].count("HashAggregate") >= 0  # join exists below
     assert "HashAggregate" in plan
+
+
+def test_keyset_pagination_is_take_ordered(spark):
+    """The page fetch must plan as TakeOrderedAndProject (top-k), never a
+    global sort of the filtered table."""
+    df = registry.QUERIES["sort_keyset_pagination"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_dedup_no_incoming_self_join(spark):
+    """Incremental dedup joins incoming×base band keys — no cartesian and
+    no nested loop anywhere in the plan."""
+    df = registry.QUERIES["llm_incremental_dedup"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dataset_diff_single_outer_join(spark):
+    """The snapshot diff is ONE full-outer join on the key (hash compare
+    happens in the projection, not via extra joins)."""
+    df = registry.QUERIES["dml_dataset_diff"](spark, SF_DIR)
+    plan = plan_of(df)
+    # Count join nodes in the tree section only — the detail section below
+    # repeats each node name once more.
+    tree = plan.split("\n\n")[0]
+    n_joins = sum(tree.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, tree
+    assert "FullOuter" in plan
+
+
+def test_abandonment_semi_join_on_user_key(spark):
+    """The 1-hour conversion check must be a LeftSemi hash/merge join on
+    the user key with the time window as residual — not a nested loop."""
+    df = registry.QUERIES["events_abandonment"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bot_detection_two_stage_rollup(spark):
+    """Minute-grain rollup must come before the per-user pass: at least two
+    HashAggregate pairs, no window, no join."""
+    df = registry.QUERIES["events_bot_detection"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
