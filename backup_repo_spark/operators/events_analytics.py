@@ -863,3 +863,43 @@ def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total").over(w).cast("bigint").alias("cum_total"),
         (F.sum("errors").over(w) * 5 > F.sum("total").over(w)).cast("int").alias("burning"),
     )
+
+
+@query(
+    "ml_user_features",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)    AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)     AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)    AS n_error,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)   AS n_signup,
+           count(*) AS n_total,
+           count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS active_days,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+             AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def ml_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store assembly: one row per user with per-type activity
+    counts (conditional aggregation — the one-pass alternative to pivot),
+    active-day cardinality, and monetary value — the table a training
+    pipeline joins labels onto. Single scan, single shuffle on user_id;
+    at 100 TB this materializes partitioned by a user-hash bucket so the
+    label join is co-located."""
+    ev = load_events(spark, sf_dir)
+    cnt = lambda t: F.sum((F.col("event_type") == t).cast("int")).cast("bigint")  # noqa: E731
+    return ev.groupBy("user_id").agg(
+        cnt("click").alias("n_click"),
+        cnt("view").alias("n_view"),
+        cnt("purchase").alias("n_purchase"),
+        cnt("error").alias("n_error"),
+        cnt("signup").alias("n_signup"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+            2,
+        ).alias("purchase_value"),
+    )

@@ -341,3 +341,40 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .select("event_id", zscore(F.col("value")).alias("zval"))
     )
+
+
+@query(
+    "udf_window_pandas",
+    oracle="""
+    SELECT event_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS roll_mean
+    FROM events
+    """,
+)
+def udf_window_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF evaluated OVER A WINDOW FRAME — the third place a
+    vectorized UDF can run (after select and groupBy.agg): Spark feeds
+    each 5-row trailing frame to the Arrow-batched function. Here the
+    function is a mean (so the SQL oracle can verify it); in practice
+    this slot holds custom logic — trimmed means, online quantiles —
+    that built-ins lack. Frames are tiny (≤5 rows), so pandas' pairwise
+    summation degenerates to sequential — same add order as SQL."""
+    from pyspark.sql.window import Window
+
+    from backup_repo_spark.session import load_events
+
+    @pandas_udf(T.DoubleType())
+    def frame_mean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id", F.round(frame_mean("value").over(w), 4).alias("roll_mean")
+    )

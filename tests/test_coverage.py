@@ -189,6 +189,8 @@ EXTENSION_KEYS = [
     "events_slo_burn", "sort_keyset_pagination",
     # batch 53: dataset-version diff
     "dml_dataset_diff",
+    # batch 54: pandas UDAF over window frames, feature-store assembly
+    "udf_window_pandas", "ml_user_features",
 ]
 
 
