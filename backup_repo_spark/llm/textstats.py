@@ -594,3 +594,48 @@ def llm_tfidf_docsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("qid", F.col("cid").alias("best_match"), F.round("cos", 4).alias("cos_sim"))
     )
+
+
+@query(
+    "llm_source_gini",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS x FROM documents GROUP BY source),
+    r AS (
+      SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM c
+    ), t AS (
+      SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(i * x) AS BIGINT) AS six
+      FROM r
+    )
+    SELECT n AS n_sources, sx AS n_docs,
+           (2.0 * six) / (n * sx) - (n + 1.0) / n AS gini
+    FROM t
+    """,
+)
+def llm_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of corpus composition across sources — one number
+    for 'how concentrated is this dataset' (0 = perfectly balanced,
+    →1 = one source dominates), the summary the mixture-reweighting step
+    (`llm_source_mixture`) is judged against. Computed from the sorted-
+    rank formula with exact integer Σi·x and Σx — the only floats are two
+    final IEEE divisions, bit-identical."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("x"))
+    r = c.select(
+        "x", F.row_number().over(Window.orderBy("x", "source")).alias("i")
+    )
+    t = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+    )
+    return t.select(
+        F.col("n").alias("n_sources"),
+        F.col("sx").alias("n_docs"),
+        (
+            (2.0 * F.col("six")) / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n")
+        ).alias("gini"),
+    )

@@ -160,3 +160,34 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("status_n").alias("status_filled"),
         F.col("price_n").alias("price_filled"),
     )
+
+
+@query(
+    "filter_ilike_search",
+    oracle="""
+    SELECT p_type, count(*) AS n,
+           CAST(sum(CASE WHEN p_name ILIKE '%red%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS red_parts,
+           CAST(sum(CASE WHEN p_name ILIKE 'small%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS small_prefix
+    FROM part
+    WHERE p_name ILIKE '%e%'
+    GROUP BY p_type ORDER BY p_type
+    """,
+)
+def filter_ilike_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive pattern search (ILIKE) as filter and as projected
+    flags — the user-facing search predicate B7's LIKE row doesn't cover.
+    Contains/prefix patterns compile to JVM contains/startsWith after
+    lowercasing, staying inside whole-stage codegen (no regex engine)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").ilike("%e%"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p_name").ilike("%red%").cast("int")).cast("bigint").alias("red_parts"),
+            F.sum(F.col("p_name").ilike("small%").cast("int")).cast("bigint").alias("small_prefix"),
+        )
+        .orderBy("p_type")
+    )

@@ -191,6 +191,8 @@ EXTENSION_KEYS = [
     "dml_dataset_diff",
     # batch 54: pandas UDAF over window frames, feature-store assembly
     "udf_window_pandas", "ml_user_features",
+    # batch 55: ILIKE search, source Gini concentration
+    "filter_ilike_search", "llm_source_gini",
 ]
 
 
