@@ -903,3 +903,46 @@ def ml_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("purchase_value"),
     )
+
+
+@query(
+    "events_new_returning",
+    oracle="""
+    WITH fd AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ), du AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    )
+    SELECT du.day,
+           CAST(sum(CASE WHEN du.day = fd.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN du.day > fd.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users
+    FROM du JOIN fd USING (user_id)
+    GROUP BY du.day
+    """,
+)
+def events_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: daily active users split into NEW (first-ever
+    activity today) vs RETURNING — the companion view to the cohort
+    matrix (`events_retention`), one row per day instead of per
+    cohort×offset. First-day table is a tiny per-user rollup broadcast
+    onto the deduped (user, day) grain; all-integer."""
+    ev = load_events(spark, sf_dir)
+    day = F.to_date("ts")
+    fd = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    du = ev.select("user_id", day.alias("day")).distinct()
+    return (
+        du.join(F.broadcast(fd), "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("int"))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum((F.col("day") > F.col("first_day")).cast("int"))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+    )

@@ -499,3 +499,50 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(2 * F.col("n") * F.col("n_days") > 3 * F.col("total"))
         .select("day", "hod", "n", "total", "n_days")
     )
+
+
+@query(
+    "ts_cross_correlation",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS clicks,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS buys
+      FROM events GROUP BY 1
+    )
+    SELECT count(*) AS n_hours,
+           round(corr(clicks, buys), 4) AS corr_same_hour,
+           round(corr(prev_clicks, buys), 4) AS corr_lag1
+    FROM (
+      SELECT hr, clicks, buys,
+             lag(clicks) OVER (ORDER BY hr) AS prev_clicks
+      FROM h
+    ) WHERE prev_clicks IS NOT NULL
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series correlation: do clicks move with purchases, and do
+    LAST hour's clicks predict THIS hour's purchases (lag-1 lead
+    indicator)? Hourly rollup → one lag window → two corr() aggregates
+    (rounded per the float-aggregate policy). The lead-indicator shape
+    behind forecasting-feature selection, fully in-engine."""
+    from pyspark.sql.window import Window
+
+    from backup_repo_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum((F.col("event_type") == "click").cast("int")).cast("bigint").alias("clicks"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).cast("bigint").alias("buys"),
+    )
+    lagged = h.select(
+        "hr", "clicks", "buys",
+        F.lag("clicks").over(Window.orderBy("hr")).alias("prev_clicks"),
+    ).filter(F.col("prev_clicks").isNotNull())
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.corr("clicks", "buys"), 4).alias("corr_same_hour"),
+        F.round(F.corr("prev_clicks", "buys"), 4).alias("corr_lag1"),
+    )

@@ -193,6 +193,8 @@ EXTENSION_KEYS = [
     "udf_window_pandas", "ml_user_features",
     # batch 55: ILIKE search, source Gini concentration
     "filter_ilike_search", "llm_source_gini",
+    # batch 56: growth accounting, cross-series lead indicators
+    "events_new_returning", "ts_cross_correlation",
 ]
 
 
