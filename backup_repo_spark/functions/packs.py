@@ -930,3 +930,35 @@ def fn_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("s").alias("rev"),
         F.substring("s", 1, 3).alias("first3"),
     )
+
+
+@query(
+    "fn_json_extra",
+    oracle="""
+    SELECT event_id,
+           CAST(json_array_length(
+             '[' || repeat('1,', CAST(event_id % 3 AS INT)) || '1]'
+           ) AS INT) AS alen,
+           array_to_string(json_keys(props), ',') AS pkeys,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events
+    """,
+)
+def fn_json_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON inspection family beyond B48's extract/parse: array length on
+    a constructed variable-length array, object key listing, and string
+    extraction — the schema-discovery functions for semi-structured
+    columns whose shape isn't known up front. JVM-side; props never
+    leaves the JVM."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.concat(
+        F.lit("["), F.repeat(F.lit("1,"), (F.col("event_id") % 3).cast("int")),
+        F.lit("1]"),
+    )
+    return ev.select(
+        "event_id",
+        F.json_array_length(arr).cast("int").alias("alen"),
+        F.array_join(F.json_object_keys("props"), ",").alias("pkeys"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    )
+

@@ -946,3 +946,63 @@ def events_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("returning_users"),
         )
     )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH fd AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort
+      FROM events GROUP BY user_id
+    ), sp AS (
+      SELECT fd.cohort,
+             date_diff('day', fd.cohort, CAST(date_trunc('day', e.ts) AS DATE))
+               AS offset_d,
+             e.value
+      FROM events e JOIN fd USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ), d AS (
+      SELECT cohort, offset_d, count(*) AS purchases,
+             round(sum(value), 2) AS day_spend
+      FROM sp GROUP BY 1, 2
+    )
+    SELECT cohort, offset_d, purchases, day_spend,
+           round(sum(day_spend) OVER (
+             PARTITION BY cohort ORDER BY offset_d
+             ROWS UNBOUNDED PRECEDING), 2) AS cum_spend
+    FROM d
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase value per signup cohort by
+    day offset — the monetary sibling of `events_retention` (which counts
+    presence) and the payback-window input. Round-first-then-running-sum
+    keeps the float cumsum deterministic (rank-ordered sequential adds of
+    identical doubles — same recipe as `pareto_analysis`)."""
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    day = F.to_date("ts")
+    fd = ev.groupBy("user_id").agg(F.min(day).alias("cohort"))
+    sp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(fd), "user_id")
+        .select(
+            "cohort",
+            F.datediff(day, F.col("cohort")).alias("offset_d"),
+            "value",
+        )
+    )
+    d = sp.groupBy("cohort", "offset_d").agg(
+        F.count(F.lit(1)).alias("purchases"),
+        F.round(F.sum("value"), 2).alias("day_spend"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("offset_d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return d.select(
+        "cohort", "offset_d", "purchases", "day_spend",
+        F.round(F.sum("day_spend").over(w), 2).alias("cum_spend"),
+    )

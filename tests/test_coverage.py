@@ -195,6 +195,8 @@ EXTENSION_KEYS = [
     "filter_ilike_search", "llm_source_gini",
     # batch 56: growth accounting, cross-series lead indicators
     "events_new_returning", "ts_cross_correlation",
+    # batch 57: JSON inspection pack, cohort LTV curves
+    "fn_json_extra", "events_cohort_ltv",
 ]
 
 
