@@ -462,7 +462,7 @@ def dsv2_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the original table. Write+read through the same custom source is the
     DDL/bulkload/scan round-trip of the reference in one query."""
     register(spark)
-    out = os.path.join(_REPO_ROOT, "spark-warehouse", "astro_write_roundtrip")
+    out = os.path.join(_REPO_ROOT, "spark-warehouse", f"astro_write_roundtrip-{os.getpid()}")
     (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") < 5000)
@@ -544,7 +544,7 @@ def dsv2_stream_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     register(spark)
-    out = os.path.join(_REPO_ROOT, "spark-warehouse", "astro_stream_write")
+    out = os.path.join(_REPO_ROOT, "spark-warehouse", f"astro_stream_write-{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     stream = (
         spark.readStream.format(FORMAT_NAME)

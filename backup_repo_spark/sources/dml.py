@@ -31,7 +31,10 @@ _REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")
 
 
 def _wh(name: str) -> str:
-    return os.path.join(_REPO_ROOT, "spark-warehouse", name)
+    # Per-process suffix: concurrent runs (e.g. selfcheck + pytest) must not
+    # race on the same scratch directory — overwrite-vs-read collisions show
+    # up as phantom diffs.
+    return os.path.join(_REPO_ROOT, "spark-warehouse", f"{name}-{os.getpid()}")
 
 
 @query(
