@@ -639,3 +639,35 @@ def llm_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n") + 1.0) / F.col("n")
         ).alias("gini"),
     )
+
+
+@query(
+    "llm_boilerplate_prefix",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix
+      FROM documents
+    ), g AS (
+      SELECT prefix, count(*) AS n_docs, min(doc_id) AS first_doc
+      FROM p GROUP BY prefix
+    )
+    SELECT prefix, n_docs, first_doc
+    FROM g WHERE n_docs >= 3
+    """,
+)
+def llm_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection by PREFIX clustering: documents sharing their
+    first 8 tokens (templated headers, scraped navigation, license
+    preambles). Cheaper and earlier in the pipeline than MinHash — a
+    single groupBy on a fixed-width key — and its hits feed the
+    stripping stage before near-dup runs. Map-only prefix extraction;
+    partial-aggregable count."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    return (
+        d.select("doc_id", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= 3)
+    )

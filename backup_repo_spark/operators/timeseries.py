@@ -546,3 +546,61 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("clicks", "buys"), 4).alias("corr_same_hour"),
         F.round(F.corr("prev_clicks", "buys"), 4).alias("corr_lag1"),
     )
+
+
+@query(
+    "ts_distribution_drift",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)    AS c1,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)     AS c2,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)    AS c4,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)   AS c5,
+             count(*) AS n
+      FROM events GROUP BY 1
+    ), l AS (
+      SELECT day, c1, c2, c3, c4, c5, n,
+             lag(c1) OVER w AS p1, lag(c2) OVER w AS p2, lag(c3) OVER w AS p3,
+             lag(c4) OVER w AS p4, lag(c5) OVER w AS p5, lag(n) OVER w AS pn
+      FROM d WINDOW w AS (ORDER BY day)
+    )
+    SELECT day,
+           abs(c1 * 1.0 / n - p1 * 1.0 / pn) + abs(c2 * 1.0 / n - p2 * 1.0 / pn)
+         + abs(c3 * 1.0 / n - p3 * 1.0 / pn) + abs(c4 * 1.0 / n - p4 * 1.0 / pn)
+         + abs(c5 * 1.0 / n - p5 * 1.0 / pn) AS drift_l1
+    FROM l WHERE pn IS NOT NULL
+    """,
+)
+def ts_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution DRIFT monitor: L1 distance between consecutive days'
+    event-type mix — the input-drift alarm every deployed-model pipeline
+    watches. Categories are pivoted to fixed columns so the five |Δshare|
+    terms add in a fixed expression order (deterministic doubles — a
+    groupBy-sum over categories would be order-dependent); shares are
+    exact count ratios. One rollup + one lag window over ~30 rows."""
+    from pyspark.sql.window import Window
+
+    from backup_repo_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    cnt = lambda t: F.sum((F.col("event_type") == t).cast("int")).cast("bigint")  # noqa: E731
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        cnt("click").alias("c1"), cnt("view").alias("c2"),
+        cnt("purchase").alias("c3"), cnt("error").alias("c4"),
+        cnt("signup").alias("c5"), F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("day")
+    l = d.select(
+        "day", "c1", "c2", "c3", "c4", "c5", "n",
+        *[F.lag(c).over(w).alias(f"p{i}") for i, c in enumerate(["c1", "c2", "c3", "c4", "c5"], 1)],
+        F.lag("n").over(w).alias("pn"),
+    ).filter(F.col("pn").isNotNull())
+    drift = None
+    for i in range(1, 6):
+        term = F.abs(
+            F.col(f"c{i}") * 1.0 / F.col("n") - F.col(f"p{i}") * 1.0 / F.col("pn")
+        )
+        drift = term if drift is None else drift + term
+    return l.select("day", drift.alias("drift_l1"))

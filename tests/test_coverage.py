@@ -197,6 +197,8 @@ EXTENSION_KEYS = [
     "events_new_returning", "ts_cross_correlation",
     # batch 57: JSON inspection pack, cohort LTV curves
     "fn_json_extra", "events_cohort_ltv",
+    # batch 58: distribution-drift monitor, boilerplate prefix detection
+    "ts_distribution_drift", "llm_boilerplate_prefix",
 ]
 
 
