@@ -751,3 +751,40 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("early_ships"),
     )
     return pk.crossJoin(fk).crossJoin(nulls).crossJoin(dom)
+
+
+@query(
+    "dq_freshness",
+    oracle="""
+    WITH g AS (SELECT max(ts) AS latest FROM events),
+    t AS (
+      SELECT event_type, max(ts) AS type_latest, count(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT t.event_type, t.n,
+           CAST(epoch_us(g.latest) - epoch_us(t.type_latest) AS BIGINT)
+             AS staleness_us,
+           CAST(epoch_us(g.latest) - epoch_us(t.type_latest)
+                > 86400000000 AS INT) AS stale_alarm
+    FROM t CROSS JOIN g
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness gate (the temporal half of `dq_constraints`): per
+    partition/source (event type here), how far its newest record lags
+    the dataset's global high-water mark, alarming past 1 day — the check
+    that catches a silently-stalled upstream feed before consumers read
+    stale data. Integer µs arithmetic; two tiny rollups."""
+    from backup_repo_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    g = ev.agg(F.max("ts").alias("latest"))
+    t = ev.groupBy("event_type").agg(
+        F.max("ts").alias("type_latest"), F.count(F.lit(1)).alias("n")
+    )
+    stale = F.unix_micros("latest") - F.unix_micros("type_latest")
+    return t.crossJoin(F.broadcast(g)).select(
+        "event_type", "n",
+        stale.cast("bigint").alias("staleness_us"),
+        (stale > 86400000000).cast("int").alias("stale_alarm"),
+    )

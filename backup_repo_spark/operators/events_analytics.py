@@ -1006,3 +1006,55 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort", "offset_d", "purchases", "day_spend",
         F.round(F.sum("day_spend").over(w), 2).alias("cum_spend"),
     )
+
+
+@query(
+    "events_ab_srm",
+    oracle="""
+    WITH a AS (
+      SELECT CASE WHEN substr(md5('exp1-' || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS variant
+      FROM (SELECT DISTINCT user_id FROM events)
+    ), c AS (
+      SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM a
+    )
+    SELECT na, nb,
+           (na - (na + nb) / 2.0) * (na - (na + nb) / 2.0) / ((na + nb) / 2.0)
+         + (nb - (na + nb) / 2.0) * (nb - (na + nb) / 2.0) / ((na + nb) / 2.0)
+             AS chi2,
+           CAST((na - (na + nb) / 2.0) * (na - (na + nb) / 2.0) / ((na + nb) / 2.0)
+              + (nb - (na + nb) / 2.0) * (nb - (na + nb) / 2.0) / ((na + nb) / 2.0)
+              > 3.841 AS INT) AS srm_alarm
+    FROM c
+    """,
+)
+def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio-Mismatch check — the FIRST validity gate on any A/B
+    readout (`events_ab_analysis`): chi-square of observed variant counts
+    against the designed 50/50 split, alarming at the 95% critical value
+    (3.841, df=1). A firing SRM means assignment is broken and the
+    experiment readout is garbage. All arithmetic from two exact integers
+    in fixed expression order — bit-identical."""
+    ev = load_events(spark, sf_dir)
+    variant = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp1-"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    c = (
+        ev.select("user_id").distinct()
+        .select(variant.alias("variant"))
+        .agg(
+            F.sum((F.col("variant") == "A").cast("int")).cast("bigint").alias("na"),
+            F.sum((F.col("variant") == "B").cast("int")).cast("bigint").alias("nb"),
+        )
+    )
+    na, nb = F.col("na"), F.col("nb")
+    exp = (na + nb) / 2.0
+    chi2 = (na - exp) * (na - exp) / exp + (nb - exp) * (nb - exp) / exp
+    return c.select("na", "nb", chi2.alias("chi2"),
+                    (chi2 > 3.841).cast("int").alias("srm_alarm"))

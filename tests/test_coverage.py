@@ -199,6 +199,8 @@ EXTENSION_KEYS = [
     "fn_json_extra", "events_cohort_ltv",
     # batch 58: distribution-drift monitor, boilerplate prefix detection
     "ts_distribution_drift", "llm_boilerplate_prefix",
+    # batch 59: sample-ratio-mismatch check, freshness gate
+    "events_ab_srm", "dq_freshness",
 ]
 
 
