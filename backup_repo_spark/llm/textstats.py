@@ -671,3 +671,53 @@ def llm_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
         .filter(F.col("n_docs") >= 3)
     )
+
+
+@query(
+    "llm_novelty_score",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tk),
+    big AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+      FROM idx WHERE i <= len(toks) - 1
+    ), first_seen AS (
+      SELECT bg, min(doc_id) AS first_doc FROM big GROUP BY bg
+    )
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           sum(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*) AS novelty
+    FROM big b JOIN first_seen f USING (bg)
+    GROUP BY b.doc_id
+    """,
+)
+def llm_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Originality score: the fraction of a document's distinct bigrams
+    whose FIRST corpus occurrence (by doc_id order) is this document —
+    near-zero for reposts and template copies even when exact/near dedup
+    misses them, high for genuinely new text. Streaming-corpus analog:
+    first_seen is the persisted bigram registry, each batch anti-joins
+    against it. Exact integers + one division."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bg_arr = F.array_distinct(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+        )
+    )
+    big = d.select("doc_id", F.explode(bg_arr).alias("bg"))
+    first_seen = big.groupBy("bg").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        big.join(first_seen, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            (F.sum(novel) * 1.0 / F.count(F.lit(1))).alias("novelty"),
+        )
+    )

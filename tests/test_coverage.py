@@ -201,6 +201,8 @@ EXTENSION_KEYS = [
     "ts_distribution_drift", "llm_boilerplate_prefix",
     # batch 59: sample-ratio-mismatch check, freshness gate
     "events_ab_srm", "dq_freshness",
+    # batch 60: bigram novelty scoring
+    "llm_novelty_score",
 ]
 
 
