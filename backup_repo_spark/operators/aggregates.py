@@ -788,3 +788,37 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         stale.cast("bigint").alias("staleness_us"),
         (stale > 86400000000).cast("int").alias("stale_alarm"),
     )
+
+
+@query(
+    "stats_power_law",
+    oracle="""
+    WITH g AS (SELECT user_id, count(*) AS x FROM events GROUP BY user_id),
+    m AS (SELECT min(x) AS xmin FROM g)
+    SELECT count(*) AS n_users, m.xmin,
+           round(1.0 + count(*) / sum(ln(g.x * 1.0 / m.xmin)), 4) AS alpha_hill
+    FROM g CROSS JOIN m
+    GROUP BY m.xmin
+    """,
+)
+def stats_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail characterization: Hill maximum-likelihood estimate of
+    the power-law exponent for per-user activity, alpha = 1 + n/Σln(x/xmin)
+    — the number that says whether a 'top user' is 10x or 10000x the
+    median, which in turn decides skew-handling strategy (see
+    stats_key_skew). ln-sum rounded per the float-aggregate policy."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    m = g.agg(F.min("x").alias("xmin"))
+    return (
+        g.crossJoin(F.broadcast(m))
+        .groupBy("xmin")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                1.0 + F.count(F.lit(1)) / F.sum(F.log(F.col("x") * 1.0 / F.col("xmin"))),
+                4,
+            ).alias("alpha_hill"),
+        )
+        .select("n_users", "xmin", "alpha_hill")
+    )

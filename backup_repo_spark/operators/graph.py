@@ -319,3 +319,41 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "graph_reciprocity",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    e AS (SELECT src, dst FROM base WHERE src <> dst)
+    SELECT (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*) FROM e a
+            WHERE EXISTS (SELECT 1 FROM e b
+                          WHERE b.src = a.dst AND b.dst = a.src)) AS n_reciprocal,
+           (SELECT count(*) FROM e a
+            WHERE EXISTS (SELECT 1 FROM e b
+                          WHERE b.src = a.dst AND b.dst = a.src)) * 1.0
+             / (SELECT count(*) FROM e) AS reciprocity
+    """,
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity: the fraction of directed trade edges whose
+    reverse edge also exists (mutual trading relationships) — with
+    degree, PageRank, and triangles this completes the standard directed-
+    graph profile. One self semi-join on the swapped key pair; exact
+    integer counts, one division."""
+    e = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_reciprocal")
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tot.crossJoin(recip).select(
+        "n_edges", "n_reciprocal",
+        (F.col("n_reciprocal") * 1.0 / F.col("n_edges")).alias("reciprocity"),
+    )

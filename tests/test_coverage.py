@@ -203,6 +203,8 @@ EXTENSION_KEYS = [
     "events_ab_srm", "dq_freshness",
     # batch 60: bigram novelty scoring
     "llm_novelty_score",
+    # batch 61: edge reciprocity, heavy-tail exponent
+    "graph_reciprocity", "stats_power_law",
 ]
 
 
