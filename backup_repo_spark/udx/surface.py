@@ -378,3 +378,49 @@ def udf_window_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.round(frame_mean("value").over(w), 4).alias("roll_mean")
     )
+
+
+@query(
+    "udtf_table_arg",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           round(max(o_totalprice), 2) AS biggest
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with a TABLE(...) argument + PARTITION BY (Spark 4): the
+    engine streams each partition's rows through eval() and terminate()
+    emits the per-partition result — a CUSTOM AGGREGATION ENGINE written
+    as a table function (the UDTF analog of applyInPandas, but row-wise
+    streaming with O(1) state instead of whole-group materialization).
+    Here the custom logic is count/sum/max so the SQL oracle can verify
+    values exactly."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="status string, n bigint, total double, biggest double")
+    class StatusStats:
+        def __init__(self) -> None:
+            self.status = None
+            self.n = 0
+            self.total = 0.0
+            self.biggest = float("-inf")
+
+        def eval(self, row) -> None:  # noqa: ANN001
+            self.status = row["o_orderstatus"]
+            self.n += 1
+            self.total += row["o_totalprice"]
+            self.biggest = max(self.biggest, row["o_totalprice"])
+
+        def terminate(self):  # noqa: ANN202
+            yield self.status, self.n, round(self.total, 2), round(self.biggest, 2)
+
+    spark.udtf.register("brs_status_stats", StatusStats)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_udtf")
+    return spark.sql(
+        """
+        SELECT status, n, total, biggest
+        FROM brs_status_stats(TABLE(orders_udtf) PARTITION BY o_orderstatus)
+        """
+    )

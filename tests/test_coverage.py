@@ -205,6 +205,8 @@ EXTENSION_KEYS = [
     "llm_novelty_score",
     # batch 61: edge reciprocity, heavy-tail exponent
     "graph_reciprocity", "stats_power_law",
+    # batch 62: TABLE-argument UDTF (streaming custom aggregation)
+    "udtf_table_arg",
 ]
 
 
