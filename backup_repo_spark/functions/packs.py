@@ -962,3 +962,33 @@ def fn_json_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
     )
 
+
+
+@query(
+    "fn_csv_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id AS VARCHAR) || ',' || event_type AS as_csv,
+           string_split(CAST(user_id AS VARCHAR) || ',' || event_type, ',')[1]
+             AS parsed_user,
+           string_split(CAST(user_id AS VARCHAR) || ',' || event_type, ',')[2]
+             AS parsed_type
+    FROM events
+    """,
+)
+def fn_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CSV codec: to_csv(struct) serializes a struct to a CSV
+    line and from_csv parses it back against a declared schema — the
+    embedded-delimited-string path (CSV cells inside message payloads),
+    distinct from the file-level reader (`ingest_csv_dialect`). The
+    oracle mirrors the same bytes with concat/split since DuckDB has no
+    row-level CSV functions."""
+    ev = load_table(spark, sf_dir, "events")
+    as_csv = F.to_csv(F.struct(F.col("user_id"), F.col("event_type")))
+    parsed = F.from_csv(as_csv, "u string, t string")
+    return ev.select(
+        "event_id",
+        as_csv.alias("as_csv"),
+        parsed.getField("u").alias("parsed_user"),
+        parsed.getField("t").alias("parsed_type"),
+    )

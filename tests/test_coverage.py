@@ -207,6 +207,8 @@ EXTENSION_KEYS = [
     "graph_reciprocity", "stats_power_law",
     # batch 62: TABLE-argument UDTF (streaming custom aggregation)
     "udtf_table_arg",
+    # batch 63: row-level CSV codec
+    "fn_csv_roundtrip",
 ]
 
 
