@@ -362,3 +362,77 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("cid").alias("hard_negative"),
                 F.round("cos", 6).alias("cos_sim"))
     )
+
+
+@query(
+    "llm_contrastive_triplets",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS ql, embedding AS qe
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.qid, c.vec_id AS cid, (c.label = q.ql) AS same,
+             (SELECT sum(x * y) FROM (
+                SELECT CAST(unnest(q.qe) AS DOUBLE) AS x,
+                       CAST(unnest(c.embedding) AS DOUBLE) AS y)) /
+             (sqrt((SELECT sum(x * x) FROM (
+                SELECT CAST(unnest(q.qe) AS DOUBLE) AS x))) *
+              sqrt((SELECT sum(y * y) FROM (
+                SELECT CAST(unnest(c.embedding) AS DOUBLE) AS y)))) AS cos
+      FROM q JOIN embeddings c ON c.vec_id <> q.qid
+    ), pos AS (
+      SELECT qid, cid AS pos_id, cos AS pos_cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+      FROM scored WHERE same
+    ), neg AS (
+      SELECT qid, cid AS neg_id, cos AS neg_cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+      FROM scored WHERE NOT same
+    )
+    SELECT p.qid, p.pos_id, n.neg_id,
+           round(p.pos_cos - n.neg_cos, 6) AS margin
+    FROM pos p JOIN neg n USING (qid)
+    WHERE p.rn = 1 AND n.rn = 1
+    """,
+)
+def llm_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive TRIPLET mining: per anchor, the closest SAME-label
+    vector (positive) and the closest DIFFERENT-label vector (hard
+    negative, per `llm_hard_negatives`), plus the margin the trainer will
+    try to widen — the (a, p, n) export format metric-learning data
+    loaders consume. One scored join feeds both winner windows."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("ql"),
+        F.col("embedding").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("label").alias("cl"),
+        F.col("embedding").alias("ce"),
+    )
+    scored = (
+        q.join(c, F.col("cid") != F.col("qid"))
+        .select(
+            "qid", "cid", (F.col("cl") == F.col("ql")).alias("same"),
+            _cosine(F.col("qe"), F.col("ce")).alias("cos"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    pos = (
+        scored.filter(F.col("same"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("cid").alias("pos_id"), F.col("cos").alias("pos_cos"))
+    )
+    neg = (
+        scored.filter(~F.col("same"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("cid").alias("neg_id"), F.col("cos").alias("neg_cos"))
+    )
+    return pos.join(neg, "qid").select(
+        "qid", "pos_id", "neg_id",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+    )

@@ -209,6 +209,8 @@ EXTENSION_KEYS = [
     "udtf_table_arg",
     # batch 63: row-level CSV codec
     "fn_csv_roundtrip",
+    # batch 64: contrastive triplet mining
+    "llm_contrastive_triplets",
 ]
 
 
