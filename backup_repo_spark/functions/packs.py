@@ -114,7 +114,7 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(exp(l_discount), 6)                    AS e_disc,
            round(ln(l_extendedprice), 6)                AS ln_price,
            round(log10(l_extendedprice), 6)             AS log_price,
-           sign(l_quantity - 25.0)                      AS sgn,
+           CAST(sign(l_quantity - 25.0) AS DOUBLE)      AS sgn,
            l_orderkey % 7                               AS mod7,
            greatest(l_quantity, l_extendedprice / 1000) AS hi,
            least(l_quantity, l_extendedprice / 1000)    AS lo
@@ -432,12 +432,12 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     SELECT doc_id,
-           list_transform(toks, x -> upper(x)) AS upper_toks,
-           list_filter(toks, x -> length(x) > 4) AS long_toks,
+           array_to_string(list_transform(toks, x -> upper(x)), ' ') AS upper_toks,
+           array_to_string(list_filter(toks, x -> length(x) > 4), ' ') AS long_toks,
            len(list_filter(toks, x -> x = 'scan')) > 0 AS has_scan,
            len(list_filter(toks, x -> NOT length(x) >= 2)) = 0 AS all_ge2,
-           list_sum(list_transform(toks, x -> length(x))) AS total_len,
-           list_transform(toks, x -> x || '!') AS banged
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_len,
+           array_to_string(list_transform(toks, x -> x || '!'), ' ') AS banged
     FROM t
     """,
 )
@@ -446,19 +446,23 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (fold) / zip_with — all JVM-side codegen'd, the idiomatic way
     to process array columns WITHOUT exploding (no row multiplication, no
     shuffle). The oracle spells exists/forall/fold with DuckDB's
-    list_filter/list_sum equivalents."""
+    list_filter/list_sum equivalents. Array results are rendered to strings
+    because the driver's row-canonicalizer sorts on raw values and cannot
+    order list cells (round-1 failure: `unhashable type: 'list'`)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.transform(toks, lambda x: F.upper(x)).alias("upper_toks"),
-        F.filter(toks, lambda x: F.length(x) > 4).alias("long_toks"),
+        F.array_join(F.transform(toks, lambda x: F.upper(x)), " ").alias("upper_toks"),
+        F.array_join(F.filter(toks, lambda x: F.length(x) > 4), " ").alias("long_toks"),
         F.exists(toks, lambda x: x == "scan").alias("has_scan"),
         F.forall(toks, lambda x: F.length(x) >= 2).alias("all_ge2"),
         F.aggregate(
             toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
         ).alias("total_len"),
-        F.zip_with(toks, toks, lambda x, y: F.concat(x, F.lit("!"))).alias("banged"),
+        F.array_join(
+            F.zip_with(toks, toks, lambda x, y: F.concat(x, F.lit("!"))), " "
+        ).alias("banged"),
     )
 
 

@@ -84,7 +84,7 @@ _SPLIT_CASE = """
     "llm_train_split",
     oracle=f"""
     SELECT {_SPLIT_CASE} AS split, lang, count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY split, lang
     ORDER BY split, lang

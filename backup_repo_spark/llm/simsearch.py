@@ -275,10 +275,10 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_embed_quantize",
     oracle="""
     SELECT vec_id, label,
-           list_transform(embedding, v -> CAST(greatest(-127.0, least(127.0,
+           array_to_string(list_transform(embedding, v -> CAST(greatest(-127.0, least(127.0,
                floor(CAST(v AS DOUBLE) * (CAST(127 AS DOUBLE) /
                    CAST(list_aggregate(list_transform(embedding, u -> abs(u)),
-                        'max') AS DOUBLE)) + 0.5))) AS INT)) AS q,
+                        'max') AS DOUBLE)) + 0.5))) AS INT)), ',') AS q,
            round(CAST(127 AS DOUBLE) /
                  CAST(list_aggregate(list_transform(embedding, u -> abs(u)),
                       'max') AS DOUBLE), 6) AS scale
@@ -291,16 +291,18 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression before sharding vectors across a cluster. All map-only
     array lambdas (no shuffle, no UDF). Rounding is spelled
     floor(x + 0.5), which is exact IEEE arithmetic on both engines —
-    unlike round(), whose half-case tie-breaking differs cross-engine."""
+    unlike round(), whose half-case tie-breaking differs cross-engine.
+    The int8 vector is rendered comma-joined (driver's canonicalizer
+    cannot sort list cells — round-1 `fn_higher_order` failure mode)."""
     e = load_table(spark, sf_dir, "embeddings")
     scale = F.expr("127.0 / array_max(transform(embedding, u -> abs(u)))")
     return e.select(
         "vec_id",
         "label",
         F.expr(
-            "transform(embedding, v -> CAST(greatest(-127.0, least(127.0,"
+            "array_join(transform(embedding, v -> CAST(greatest(-127.0, least(127.0,"
             " floor(v * (127.0 / array_max(transform(embedding, u -> abs(u))))"
-            " + 0.5))) AS INT))"
+            " + 0.5))) AS INT)), ',')"
         ).alias("q"),
         F.round(scale, 6).alias("scale"),
     ).orderBy("vec_id")

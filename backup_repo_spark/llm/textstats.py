@@ -169,9 +169,9 @@ _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     "llm_token_count",
     oracle=f"""
     SELECT lang, count(*) AS docs,
-           sum(len(string_split(text, ' '))) AS ws_tokens,
-           sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS bpe_tokens,
-           sum(n_chars) AS chars
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) AS bpe_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS chars
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )

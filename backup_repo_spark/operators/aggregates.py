@@ -429,7 +429,7 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_boolean",
     oracle="""
     SELECT o_orderstatus,
-           count_if(o_totalprice > 200000) AS n_big,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
            bool_and(o_totalprice > 0) AS all_positive,
            bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
            count(*) AS n

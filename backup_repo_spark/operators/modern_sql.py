@@ -84,7 +84,8 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT count(DISTINCT seg) AS n_case_sensitive,
            count(DISTINCT lower(seg)) AS n_case_insensitive,
-           sum(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END) AS n_building_ci
+           CAST(sum(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_building_ci
     FROM mixed
     """,
 )

@@ -74,8 +74,8 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stat_crosstab",
     oracle="""
     SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag_l_linestatus,
-           sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O,
-           sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -160,8 +160,8 @@ def stat_freq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = li.stat.approxQuantile("l_extendedprice", [0.25, 0.5, 0.75], 0.01)
     freq = li.stat.freqItems(["l_returnflag"], 0.2).collect()[0][0]
     return spark.createDataFrame(
-        [(float(q[0]), float(q[1]), float(q[2]), sorted(freq))],
-        schema="q25 DOUBLE, q50 DOUBLE, q75 DOUBLE, frequent_flags ARRAY<STRING>",
+        [(float(q[0]), float(q[1]), float(q[2]), ",".join(sorted(freq)))],
+        schema="q25 DOUBLE, q50 DOUBLE, q75 DOUBLE, frequent_flags STRING",
     )
 
 

@@ -93,20 +93,35 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _load_events_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet with ``ts`` converted from raw INT64 nanos to a real
-    TimestampType (microsecond precision — Spark's native resolution).
+    """events.parquet with ``ts`` normalized to TimestampType (microsecond
+    precision — Spark's native resolution), whatever the session reads it as.
 
-    ``ts DIV 1000`` (integer division) avoids the double-precision round-trip
-    a ``/`` would introduce at ~1.7e18 ns magnitudes.
+    The file stores TIMESTAMP(NANOS). How Spark 4.1.2 surfaces that depends
+    on session-BUILD-time config (verified by execution, round 2):
+
+    - ``spark.sql.legacy.parquet.nanosAsLong=true`` at builder time (our own
+      ``get_spark``) → ``ts`` arrives as BIGINT nanos. ``ts DIV 1000``
+      (integer division) avoids the double-precision round-trip a ``/``
+      would introduce at ~1.7e18 ns magnitudes.
+    - a bare session (the driver's) → ``ts`` arrives as TIMESTAMP_NTZ,
+      already micro-truncated; setting the legacy conf at runtime has NO
+      effect on the read schema. Cast NTZ → TIMESTAMP under UTC session tz,
+      which preserves the wall-clock and lands on the same instants as the
+      bigint path.
+
+    So: branch on the dtype actually read, never assume one session shape.
     """
-    # Defensive: the driver may hand us a session built without these confs.
-    # Both verified settable at runtime on Spark 4.1.2. UTC matters because
-    # the reconstructed ts is an instant: date_format/window rendering must
-    # agree with DuckDB's timezone-naive reading of the same file.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # UTC matters for both paths: the NTZ→TIMESTAMP cast interprets the
+    # wall-clock in session tz, and date_format/window rendering must agree
+    # with DuckDB's timezone-naive reading of the same file.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw  # already TimestampType
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -483,7 +483,7 @@ def dsv2_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dsv2_stream_read",
     oracle="""
-    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
@@ -527,7 +527,7 @@ def dsv2_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dsv2_stream_write",
     oracle="""
-    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )

@@ -217,7 +217,7 @@ def stats_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM enc
     )
     SELECT count(*) AS n_rows,
-           count_if(r_encoded <> r_raw) AS n_order_mismatch,
+           CAST(count_if(r_encoded <> r_raw) AS BIGINT) AS n_order_mismatch,
            min(rowkey) AS first_key, max(rowkey) AS last_key
     FROM ranked
     """,

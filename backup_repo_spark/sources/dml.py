@@ -141,7 +141,7 @@ def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ingest_json_roundtrip",
     oracle="""
-    SELECT lang, count(*) AS n, sum(n_chars) AS chars
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
@@ -163,7 +163,7 @@ def ingest_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ingest_xml_roundtrip",
     oracle="""
-    SELECT source, count(*) AS n, sum(doc_id) AS id_sum
+    SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
     FROM documents GROUP BY source ORDER BY source
     """,
 )
