@@ -42,8 +42,16 @@ def get_spark(
     app_name: str = "backup-repo-spark",
     cpus: str | int | None = None,
     shuffle_partitions: int = 32,
+    adaptive: bool = True,
 ) -> SparkSession:
-    """Build the engine's SparkSession with scale-ready defaults."""
+    """Build the engine's SparkSession with scale-ready defaults.
+
+    ``adaptive=False`` is the small-data bench profile: AQE's runtime
+    re-planning requires materializing every shuffle stage as a barrier,
+    which costs ~25-35% wall time on sub-second queries (measured at sf0.1,
+    round 2) while buying nothing — there is no skew or mis-estimated
+    shuffle to fix at that scale. Production/scale sessions keep it on.
+    """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -52,7 +60,7 @@ def get_spark(
         # (FIXTURES.md gotcha #1). Also set defensively in load_events().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(adaptive).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

