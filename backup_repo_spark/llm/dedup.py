@@ -174,16 +174,43 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_dedup_simhash")  # rows-only: bit-majority fingerprint, Spark-side definition
+@query(
+    "llm_dedup_simhash",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ex AS (SELECT doc_id, len(toks) AS nt, unnest(toks) AS tok FROM tk),
+    h AS (SELECT doc_id, nt,
+                 CAST(('0x' || substring(md5(tok), 1, 4)) AS INTEGER) AS h16
+          FROM ex),
+    bits AS (
+      SELECT doc_id, b.b AS b, max(nt) AS nt,
+             count_if((h16 >> b.b) & 1 = 1) AS ones
+      FROM h, (SELECT unnest(generate_series(0, 15)) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN ones * 2 > nt THEN 1 << b ELSE 0 END) AS BIGINT)
+               AS simhash16
+      FROM bits GROUP BY doc_id
+    )
+    SELECT simhash16, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM fp GROUP BY simhash16
+    """,
+)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document fingerprints: per-token 32-bit hash (crc32 of the
-    token — deterministic), bit-majority over tokens → fingerprint; docs
-    grouped by fingerprint. Map-only per doc; fingerprint equality (or low
-    Hamming distance) is the near-dup signal at scale."""
+    """SimHash document fingerprints: per-token 16-bit hash (first 4 hex
+    chars of md5 — deterministic AND engine-independent, so the oracle
+    verifies the fingerprint values themselves), bit-majority over tokens →
+    fingerprint; docs grouped by fingerprint. Map-only per doc — zero
+    shuffle before the final fingerprint group — which is what makes
+    SimHash the O(n) near-dup signal at corpus scale."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    hashes = F.transform(toks, lambda x: F.crc32(x))
-    # majority vote per bit position: sum(sign(bit)) > half
+    hashes = F.transform(
+        toks, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("int")
+    )
+    # majority vote per bit position: twice the ones-count exceeds n_tokens
     bits = [
         F.when(
             F.aggregate(
