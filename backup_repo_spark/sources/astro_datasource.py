@@ -480,6 +480,18 @@ def dsv2_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quarter_batch_rows(sf_dir: str) -> str:
+    """batch_rows sized so the stream replays in ~4 micro-batches at ANY
+    scale factor. A fixed batch SIZE makes micro-batch count O(n) — 40
+    full query cycles at sf0.1 (~1 s scheduler overhead each); fixing the
+    batch COUNT keeps the multi-batch replay semantics under test while
+    staying O(1) in scheduling overhead as data grows."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return str(max(128, (n + 3) // 4))
+
+
 @query(
     "dsv2_stream_read",
     oracle="""
@@ -502,7 +514,7 @@ def dsv2_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.format(FORMAT_NAME)
         .option("path", f"{sf_dir}/documents.parquet")
-        .option("batch_rows", "128")
+        .option("batch_rows", _quarter_batch_rows(sf_dir))
         .load()
     )
     agg = stream.groupBy("lang").agg(
@@ -549,7 +561,7 @@ def dsv2_stream_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.format(FORMAT_NAME)
         .option("path", f"{sf_dir}/documents.parquet")
-        .option("batch_rows", "128")
+        .option("batch_rows", _quarter_batch_rows(sf_dir))
         .load()
     )
     q = (
