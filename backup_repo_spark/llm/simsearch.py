@@ -107,12 +107,39 @@ def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_sim_search_ivf")  # rows-only: ANN recall is approximate by design
+@query(
+    "llm_sim_search_ivf",
+    oracle="""
+    WITH coded AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS e, bucket AS qb FROM coded WHERE vec_id = 0),
+    pairs AS (
+      SELECT v.vec_id, v.bucket,
+             CAST(unnest(v.embedding) AS DOUBLE) AS x,
+             CAST(unnest(q.e) AS DOUBLE) AS y
+      FROM coded v, q WHERE v.vec_id <> 0 AND v.bucket = q.qb
+    ), scored AS (
+      SELECT vec_id, bucket,
+             sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+      FROM pairs GROUP BY vec_id, bucket
+    )
+    SELECT vec_id, bucket, round(cos, 6) AS cos_sim
+    FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
 def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF/LSH-style ANN: coarse code = sign bits of the first 4 dimensions
     (16 deterministic buckets). The probe scans only the query's bucket —
     ~1/16 of the corpus — then exact-scores within it. Returns top-10 of the
-    probed bucket (approximate: recall < 1 vs llm_sim_search by design)."""
+    probed bucket (approximate RECALL vs llm_sim_search by design, but the
+    result set itself is fully deterministic — sign buckets + double-
+    precision cosine — so the oracle value-verifies it)."""
     emb = load_table(spark, sf_dir, "embeddings")
     code = sum(
         (
