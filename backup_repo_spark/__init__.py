@@ -38,6 +38,7 @@ from backup_repo_spark.operators import (  # noqa: F401
 from backup_repo_spark.plans import inspect as plans_inspect  # noqa: F401
 from backup_repo_spark.sources import (  # noqa: F401
     astro_datasource,
+    astro_dialect,
     clustering,
     dml,
     layout,

@@ -1,0 +1,107 @@
+"""Astro-dialect grammar tests (SURVEY.md §2.A A7/A8/A6) — statement
+recognition, storage layout, and core-parser fallthrough."""
+
+from __future__ import annotations
+
+import pytest
+
+from backup_repo_spark.sources.astro_dialect import AstroDialect
+
+
+@pytest.fixture()
+def dialect(spark, tmp_path):
+    d = AstroDialect(spark, workdir=str(tmp_path / "astro"))
+    yield d
+    d.cleanup()
+
+
+def _create(d, name="t1"):
+    return d.sql(
+        f"""CREATE TABLE {name} (k BIGINT, v STRING, x DOUBLE,
+            PRIMARY KEY (k)) MAPPED BY (hb_{name}, COLS=[v=cf.v, x=cf.x])"""
+    )
+
+
+def test_create_registers_catalog_and_empty_view(dialect, spark):
+    _create(dialect)
+    assert "t1" in dialect.catalog
+    assert dialect.catalog["t1"].key_columns == ["k"]
+    assert dialect.catalog["t1"].col_mapping == {"v": "cf.v", "x": "cf.x"}
+    # queryable before any write
+    assert spark.sql("SELECT count(*) AS n FROM t1").collect()[0].n == 0
+
+
+def test_create_requires_primary_key(dialect):
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        dialect.sql("CREATE TABLE bad (k BIGINT, v STRING) MAPPED BY (hb_bad)")
+
+
+def test_duplicate_create_rejected(dialect):
+    _create(dialect)
+    with pytest.raises(ValueError, match="already exists"):
+        _create(dialect)
+
+
+def test_insert_values_then_select_roundtrip(dialect):
+    _create(dialect)
+    dialect.sql("INSERT INTO t1 VALUES (2, 'b', 2.5), (1, 'a', 1.5)")
+    rows = dialect.sql("SELECT k, v, x FROM t1 ORDER BY k").collect()
+    assert [(r.k, r.v, r.x) for r in rows] == [(1, "a", 1.5), (2, "b", 2.5)]
+
+
+def test_insert_select_appends(dialect):
+    _create(dialect)
+    dialect.sql("INSERT INTO t1 VALUES (1, 'a', 1.0)")
+    dialect.sql("INSERT INTO t1 SELECT k + 10, v, x FROM t1")
+    assert dialect.sql("SELECT count(*) AS n FROM t1").collect()[0].n == 2
+
+
+def test_load_data_inpath_overwrite(dialect, spark, tmp_path):
+    _create(dialect)
+    csv = tmp_path / "in"
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k BIGINT, v STRING, x DOUBLE"
+    ).write.mode("overwrite").csv(str(csv))
+    dialect.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE t1")
+    dialect.sql(f"LOAD PARALL DATA INPATH '{csv}' OVERWRITE INTO TABLE t1")
+    assert dialect.sql("SELECT count(*) AS n FROM t1").collect()[0].n == 2
+
+
+def test_load_writes_key_sorted_regions(dialect, spark, tmp_path):
+    """The bulkload layout contract: ≤ N_REGIONS files, each key-sorted with
+    disjoint [min,max] key ranges (the parquet restatement of HBase regions)."""
+    import pyarrow.parquet as pq
+    import glob
+
+    _create(dialect)
+    csv = tmp_path / "in"
+    spark.range(100).selectExpr(
+        "id AS k", "concat('v', id) AS v", "id * 1.0 AS x"
+    ).write.mode("overwrite").csv(str(csv))
+    dialect.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE t1")
+    files = glob.glob(f"{dialect.catalog['t1'].path}/*.parquet")
+    assert 0 < len(files) <= AstroDialect.N_REGIONS
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        if t:
+            assert t == sorted(t), "file not key-sorted"
+            ranges.append((t[0], t[-1]))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo, "region key ranges overlap"
+
+
+def test_show_describe_drop(dialect):
+    _create(dialect)
+    assert dialect.sql("SHOW TABLES").collect()[0].hbaseTableName == "hb_t1"
+    desc = {r.col_name: r.comment for r in dialect.sql("DESCRIBE t1").collect()}
+    assert desc == {"k": "KEY COLUMN", "v": "cf.v", "x": "cf.x"}
+    dialect.sql("DROP TABLE t1")
+    assert dialect.sql("SHOW TABLES").count() == 0
+    with pytest.raises(ValueError, match="unknown table"):
+        dialect.sql("DESCRIBE t1")
+
+
+def test_non_dialect_statement_falls_through(dialect):
+    assert dialect.sql("SELECT 1 + 1 AS two").collect()[0].two == 2
