@@ -67,6 +67,15 @@ _INSERT_SELECT_RE = re.compile(
 _DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(?P<name>\w+)\s*$", re.IGNORECASE)
 _SHOW_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 _DESCRIBE_RE = re.compile(r"^\s*DESCRIBE\s+(?P<name>\w+)\s*$", re.IGNORECASE)
+_ALTER_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ADD\s*\(\s*(?P<col>\w+)\s+(?P<type>\w+)\s*\)\s*"
+    r"MAPPED\s+BY\s*\(\s*COLS\s*=\s*\[\s*(?P<map>\w+\s*=\s*[\w.]+)\s*\]\s*\)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+DROP\s+(?:COLUMN\s+)?(?P<col>\w+)\s*$",
+    re.IGNORECASE,
+)
 
 
 @dataclass
@@ -109,6 +118,8 @@ class AstroDialect:
             (_DROP_RE, self._drop),
             (_SHOW_RE, self._show),
             (_DESCRIBE_RE, self._describe),
+            (_ALTER_ADD_RE, self._alter_add),
+            (_ALTER_DROP_RE, self._alter_drop),
         ):
             m = pattern.match(text)
             if m:
@@ -143,7 +154,7 @@ class AstroDialect:
         )
         self.catalog[name] = tbl
         # An empty table must still be queryable before the first write.
-        self.spark.createDataFrame([], schema_ddl).createOrReplaceTempView(name)
+        self._refresh_view(tbl)
         return self.spark.createDataFrame(
             [(name, tbl.hbase_table)], "tableName STRING, hbaseTableName STRING"
         )
@@ -158,7 +169,26 @@ class AstroDialect:
     def _write(self, df: DataFrame, tbl: _AstroTable, mode: str) -> None:
         self._region_layout(df, tbl).write.mode(mode).parquet(tbl.path)
         tbl.materialized = True
-        self.spark.read.parquet(tbl.path).createOrReplaceTempView(tbl.name)
+        self._refresh_view(tbl)
+
+    def _refresh_view(self, tbl: _AstroTable) -> None:
+        """Project the table's LOGICAL schema over its physical files: a
+        column added by ALTER is NULL for pre-existing files (HBase cells
+        simply absent — the same late-schema semantics), a dropped column is
+        excluded even though old files still carry it. mergeSchema because
+        files written before/after an ALTER legitimately differ."""
+        if not tbl.materialized:
+            self.spark.createDataFrame([], tbl.schema_ddl).createOrReplaceTempView(tbl.name)
+            return
+        df = self.spark.read.option("mergeSchema", "true").parquet(tbl.path)
+        exprs = []
+        for col in tbl.schema_ddl.split(","):
+            cname, ctype = col.strip().split(None, 1)
+            if cname in df.columns:
+                exprs.append(F.col(cname))
+            else:
+                exprs.append(F.lit(None).cast(ctype).alias(cname))
+        df.select(*exprs).createOrReplaceTempView(tbl.name)
 
     def _load(self, m: re.Match) -> DataFrame:
         tbl = self._get(m.group("name"))
@@ -201,6 +231,37 @@ class AstroDialect:
                 )
             )
         return self.spark.createDataFrame(rows, "col_name STRING, data_type STRING, comment STRING")
+
+    def _alter_add(self, m: re.Match) -> DataFrame:
+        tbl = self._get(m.group("name"))
+        col, ctype = m.group("col").lower(), m.group("type").upper()
+        if any(c.strip().split()[0] == col for c in tbl.schema_ddl.split(",")):
+            raise ValueError(f"astro_dialect: column {col} already exists")
+        mcol, fq = m.group("map").split("=", 1)
+        if mcol.strip().lower() != col:
+            raise ValueError("astro_dialect: ALTER ADD mapping must name the added column")
+        tbl.schema_ddl = f"{tbl.schema_ddl}, {col} {ctype}"
+        tbl.col_mapping[col] = fq.strip()
+        self._refresh_view(tbl)
+        return self.spark.createDataFrame(
+            [(tbl.name, f"ADDED {col}")], "tableName STRING, status STRING"
+        )
+
+    def _alter_drop(self, m: re.Match) -> DataFrame:
+        tbl = self._get(m.group("name"))
+        col = m.group("col").lower()
+        if col in tbl.key_columns:
+            raise ValueError(f"astro_dialect: cannot drop key column {col}")
+        cols = [c.strip() for c in tbl.schema_ddl.split(",")]
+        kept = [c for c in cols if c.split()[0] != col]
+        if len(kept) == len(cols):
+            raise ValueError(f"astro_dialect: unknown column {col}")
+        tbl.schema_ddl = ", ".join(kept)
+        tbl.col_mapping.pop(col, None)
+        self._refresh_view(tbl)
+        return self.spark.createDataFrame(
+            [(tbl.name, f"DROPPED {col}")], "tableName STRING, status STRING"
+        )
 
     def _get(self, name: str) -> _AstroTable:
         tbl = self.catalog.get(name.lower())

@@ -105,3 +105,27 @@ def test_show_describe_drop(dialect):
 
 def test_non_dialect_statement_falls_through(dialect):
     assert dialect.sql("SELECT 1 + 1 AS two").collect()[0].two == 2
+
+
+def test_alter_add_nulls_existing_rows_then_insert(dialect):
+    _create(dialect)
+    dialect.sql("INSERT INTO t1 VALUES (1, 'a', 1.0)")
+    dialect.sql("ALTER TABLE t1 ADD (extra BIGINT) MAPPED BY (COLS=[extra=cf.extra])")
+    assert dialect.catalog["t1"].col_mapping["extra"] == "cf.extra"
+    row = dialect.sql("SELECT extra FROM t1").collect()[0]
+    assert row.extra is None  # pre-ALTER rows read as absent cells
+    dialect.sql("INSERT INTO t1 VALUES (2, 'b', 2.0, 7)")
+    rows = {r.k: r.extra for r in dialect.sql("SELECT k, extra FROM t1").collect()}
+    assert rows == {1: None, 2: 7}
+
+
+def test_alter_drop_column_and_guards(dialect):
+    _create(dialect)
+    dialect.sql("INSERT INTO t1 VALUES (1, 'a', 1.0)")
+    dialect.sql("ALTER TABLE t1 DROP COLUMN x")
+    cols = dialect.sql("SELECT * FROM t1").columns
+    assert cols == ["k", "v"]
+    with pytest.raises(ValueError, match="key column"):
+        dialect.sql("ALTER TABLE t1 DROP COLUMN k")
+    with pytest.raises(ValueError, match="unknown column"):
+        dialect.sql("ALTER TABLE t1 DROP COLUMN nope")
