@@ -83,7 +83,16 @@ _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table; `events` gets the nanos→timestamp fix."""
+    """Load one testdata table; `events` gets the nanos→timestamp fix.
+
+    Session timezone is pinned to UTC on every load (runtime conf — it
+    governs expression evaluation, not the read schema): o_orderdate /
+    l_shipdate are TIMESTAMP_LTZ, so year()/date_trunc()/casts evaluate in
+    session tz, while DuckDB reads the same parquet as timezone-naive
+    wall-clock. A driver-built session inherits the JVM default tz; any
+    non-UTC host would silently shift every date-derived value without
+    this."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (id(spark), sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
