@@ -198,14 +198,10 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fp GROUP BY simhash16
     """,
 )
-def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document fingerprints: per-token 16-bit hash (first 4 hex
-    chars of md5 — deterministic AND engine-independent, so the oracle
-    verifies the fingerprint values themselves), bit-majority over tokens →
-    fingerprint; docs grouped by fingerprint. Map-only per doc — zero
-    shuffle before the final fingerprint group — which is what makes
-    SimHash the O(n) near-dup signal at corpus scale."""
-    d = load_table(spark, sf_dir, "documents")
+def _simhash16_expr():
+    """16-bit SimHash over whitespace tokens: per-token hash = first 4 hex
+    chars of md5 (deterministic, engine-independent); fingerprint bit b set
+    when more than half the tokens have bit b set."""
     toks = F.split(F.col("text"), " ")
     hashes = F.transform(
         toks, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("int")
@@ -226,11 +222,104 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         for b in range(16)
     ]
-    fp = sum((bits[b] * F.lit(1 << b) for b in range(16)), start=F.lit(0))
+    return sum((bits[b] * F.lit(1 << b) for b in range(16)), start=F.lit(0))
+
+
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints (see :func:`_simhash16_expr`); docs
+    grouped by fingerprint. Map-only per doc — zero shuffle before the
+    final fingerprint group — which is what makes SimHash the O(n) near-dup
+    signal at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", fp.alias("simhash16"))
+        d.select("doc_id", _simhash16_expr().alias("simhash16"))
         .groupBy("simhash16")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+# Same fingerprint definition as llm_dedup_simhash's oracle, shared by the
+# Hamming-band oracle below.
+_SIMHASH_FP_CTES = """
+    tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ex AS (SELECT doc_id, len(toks) AS nt, unnest(toks) AS tok FROM tk),
+    h AS (SELECT doc_id, nt,
+                 CAST(('0x' || substring(md5(tok), 1, 4)) AS INTEGER) AS h16
+          FROM ex),
+    bits AS (
+      SELECT doc_id, b.b AS b, max(nt) AS nt,
+             count_if((h16 >> b.b) & 1 = 1) AS ones
+      FROM h, (SELECT unnest(generate_series(0, 15)) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN ones * 2 > nt THEN 1 << b ELSE 0 END) AS BIGINT)
+               AS simhash16
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "llm_dedup_simhash_hamming",
+    oracle=f"""
+    WITH {_SIMHASH_FP_CTES},
+    bands AS (
+      SELECT doc_id, simhash16, b.b AS band, (simhash16 >> (4 * b.b)) & 15 AS bv
+      FROM fp, (SELECT unnest(generate_series(0, 3)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+             a.simhash16 AS fa, b.simhash16 AS fb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT ida, idb, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    ORDER BY ida, idb
+    """,
+)
+def llm_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ 3, found the scalable
+    way: split the 16-bit fingerprint into 4 bands of 4 bits and bucket-join
+    on band equality. Pigeonhole guarantees completeness (≤3 differing bits
+    across 4 bands leave ≥1 band identical), so the banded join finds
+    EXACTLY the pairs a quadratic scan would — at O(n·dups-per-bucket)
+    instead of O(n²). The same band trick MinHash-LSH uses, applied to
+    Hamming space; each band bucket is a shuffle key at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select("doc_id", _simhash16_expr().alias("simhash16"))
+    bands = fps.select(
+        "doc_id",
+        "simhash16",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash16", 4 * b).bitwiseAND(F.lit(15)).alias("bv"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash16", "bb.band", "bb.bv")
+    a = bands.select(
+        F.col("doc_id").alias("ida"), F.col("simhash16").alias("fa"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("idb"), F.col("simhash16").alias("fb"), "band", "bv"
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb", "fa", "fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.select("ida", "idb", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("ida", "idb")
     )
 
 
