@@ -198,6 +198,19 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fp GROUP BY simhash16
     """,
 )
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints (see :func:`_simhash16_expr`); docs
+    grouped by fingerprint. Map-only per doc — zero shuffle before the
+    final fingerprint group — which is what makes SimHash the O(n) near-dup
+    signal at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", _simhash16_expr().alias("simhash16"))
+        .groupBy("simhash16")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
 def _simhash16_expr():
     """16-bit SimHash over whitespace tokens: per-token hash = first 4 hex
     chars of md5 (deterministic, engine-independent); fingerprint bit b set
@@ -223,19 +236,6 @@ def _simhash16_expr():
         for b in range(16)
     ]
     return sum((bits[b] * F.lit(1 << b) for b in range(16)), start=F.lit(0))
-
-
-def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document fingerprints (see :func:`_simhash16_expr`); docs
-    grouped by fingerprint. Map-only per doc — zero shuffle before the
-    final fingerprint group — which is what makes SimHash the O(n) near-dup
-    signal at corpus scale."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", _simhash16_expr().alias("simhash16"))
-        .groupBy("simhash16")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
-    )
 
 
 # Same fingerprint definition as llm_dedup_simhash's oracle, shared by the
