@@ -28,6 +28,7 @@ from backup_repo_spark.operators import (  # noqa: F401
     reshape,
     setops,
     skew,
+    skyline,
     sorts,
     subqueries,
     timeseries,
