@@ -29,6 +29,7 @@ from backup_repo_spark.operators import (  # noqa: F401
     setops,
     skew,
     skyline,
+    similarity_join,
     sorts,
     subqueries,
     timeseries,
