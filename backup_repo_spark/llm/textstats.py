@@ -721,3 +721,58 @@ def llm_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(novel) * 1.0 / F.count(F.lit(1))).alias("novelty"),
         )
     )
+
+
+_POS_WORDS = ("fast", "small")
+_NEG_WORDS = ("slow", "big", "dup")
+
+
+@query(
+    "llm_sentiment_lexicon",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ({", ".join(repr(w) for w in _POS_WORDS)}))) AS pos,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ({", ".join(repr(w) for w in _NEG_WORDS)}))) AS neg,
+             len(string_split(text, ' ')) AS nt
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg((pos - neg) * 1.0 / nt), 6) AS avg_polarity,
+           CAST(count_if(pos > neg) AS BIGINT) AS n_positive,
+           CAST(count_if(neg > pos) AS BIGINT) AS n_negative,
+           CAST(count_if(pos = neg) AS BIGINT) AS n_neutral
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def llm_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment/polarity scoring at corpus scale (the
+    shape of "Large Scale Sentiment Analysis on Twitter with Spark",
+    EDBT 2016, PAPERS.md): per-document polarity = (pos-hits − neg-hits) /
+    tokens with a fixed word lexicon, rolled up per language. Entirely
+    JVM higher-order filters — map-only until the per-lang aggregate, so
+    the lexicon pass costs one scan at any corpus size. The lexicon here
+    is a fixed demo list over the synthetic vocabulary; swapping in a real
+    polarity lexicon is a data change, not a code change."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        "lang",
+        F.size(F.filter(toks, lambda x: x.isin(*_POS_WORDS))).alias("pos"),
+        F.size(F.filter(toks, lambda x: x.isin(*_NEG_WORDS))).alias("neg"),
+        F.size(toks).alias("nt"),
+    )
+    pol = (F.col("pos") - F.col("neg")) * 1.0 / F.col("nt")
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(pol), 6).alias("avg_polarity"),
+            F.count_if(F.col("pos") > F.col("neg")).cast("bigint").alias("n_positive"),
+            F.count_if(F.col("neg") > F.col("pos")).cast("bigint").alias("n_negative"),
+            F.count_if(F.col("pos") == F.col("neg")).cast("bigint").alias("n_neutral"),
+        )
+        .orderBy("lang")
+    )
