@@ -23,6 +23,7 @@ from backup_repo_spark.operators import (  # noqa: F401
     graph,
     joins,
     modern_sql,
+    nested,
     projections,
     scans,
     reshape,
