@@ -465,3 +465,53 @@ def llm_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "pos_id", "neg_id",
         F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
     )
+
+
+@query(
+    "llm_sim_search_incremental",
+    oracle="""
+    WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+    pairs AS (
+      SELECT v.vec_id,
+             CAST(unnest(v.embedding) AS DOUBLE) AS x,
+             CAST(unnest(q.e) AS DOUBLE) AS y
+      FROM embeddings v, q WHERE v.vec_id <> 0
+    ), scored AS (
+      SELECT vec_id,
+             sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+      FROM pairs GROUP BY vec_id
+    )
+    SELECT vec_id, round(cos, 6) AS cos_sim
+    FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def llm_sim_search_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k refinement (the shape of "Incremental Based
+    Framework for Efficient Top-K Similarity Search in Interactive Data
+    Analysis Sessions", EDBT 2020, PAPERS.md): when a new batch of vectors
+    arrives, the new global top-k is computed from (previous top-k ∪ new
+    batch) ONLY — correct because top-k is monotone under union, so no
+    rescan of the already-ranked corpus is ever needed. At 100 TB the
+    "previous top-k" is k rows per query; each arriving batch costs
+    O(batch), not O(corpus). The oracle is the full-corpus top-k — result
+    identity IS the correctness proof of the refinement rule."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+
+    def topk(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(qv))
+            .select("vec_id", _cosine(F.col("embedding"), F.col("qe")).alias("cos"))
+            .orderBy(F.desc("cos"), "vec_id")
+            .limit(10)
+        )
+
+    base = emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") < 400))
+    batch = emb.filter(F.col("vec_id") >= 400)
+    prev_ids = topk(base).select("vec_id")
+    survivors = emb.join(prev_ids, "vec_id")  # re-fetch vectors for the k survivors
+    return (
+        topk(survivors.unionByName(batch))
+        .select("vec_id", F.round("cos", 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+    )
