@@ -448,3 +448,34 @@ def test_bot_detection_two_stage_rollup(spark):
     plan = plan_of(df)
     assert plan.count("HashAggregate") >= 2
     assert "Join" not in plan
+
+
+def test_skyline_local_prune_then_anti_join(spark):
+    """Skyline must prune map-side (Python/Arrow eval of the local sweep)
+    and finish with a broadcast anti-join over candidates — never a
+    shuffle-join of the full table against itself."""
+    df = registry.QUERIES["skyline_frontier"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_symspell_join_is_equi_not_cartesian(spark):
+    """The deletion-signature join must be an equi hash join on the
+    signature key — the whole point is never forming the O(n^2) pair
+    space (no cartesian, no nested loop for candidate generation)."""
+    df = registry.QUERIES["join_editdist_symspell"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_incremental_topk_has_no_full_rescan_of_base(spark):
+    """The refinement query unions k survivor rows with the new batch; the
+    final top-k must be a TakeOrderedAndProject, not a global sort."""
+    df = registry.QUERIES["llm_sim_search_incremental"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
