@@ -11,6 +11,7 @@ from backup_repo_spark import registry, session  # noqa: F401
 # Import every query module for its registration side effects.
 from backup_repo_spark.functions import packs  # noqa: F401
 from backup_repo_spark.llm import (  # noqa: F401
+    bpe,
     dedup,
     multimodal,
     pipeline,

@@ -1,0 +1,91 @@
+"""Exactness tests for BPE merge learning against a pure-python reference
+(the driver-side check for llm_bpe_merges is rows-only, so this is where
+the values are proven)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from backup_repo_spark.llm.bpe import N_MERGES, _apply_merge, _pair_counts
+from backup_repo_spark.session import load_table
+from tests.conftest import SF_DIR
+
+
+def _bpe_ref(word_counts: dict[str, int], k: int):
+    """Reference BPE: list-of-symbols words, lexicographic tie-break."""
+    words = {tuple(w): n for w, n in word_counts.items()}
+    merges = []
+    for rank in range(1, k + 1):
+        pairs: Counter = Counter()
+        for syms, n in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, f"{a} {b}", f"{a}{b}", cnt))
+        new_words = {}
+        for syms, n in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + n
+        words = new_words
+    return merges
+
+
+def _corpus_counts(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    rows = (
+        d.selectExpr("explode(split(text, ' ')) AS w")
+        .filter("length(w) > 0")
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    return {r.w: r["count"] for r in rows}
+
+
+def test_bpe_merges_match_reference_on_corpus(spark):
+    from backup_repo_spark import registry
+
+    got = [
+        (r.rank, r.pair, r.merged, r.cnt)
+        for r in registry.QUERIES["llm_bpe_merges"](spark, SF_DIR).collect()
+    ]
+    want = _bpe_ref(_corpus_counts(spark), N_MERGES)
+    assert got == want
+
+
+words_strategy = st.dictionaries(
+    st.text(alphabet="abcd", min_size=1, max_size=5),
+    st.integers(min_value=1, max_value=9),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(words_strategy)
+def test_bpe_steps_match_reference_on_random_words(spark, wc):
+    import pyspark.sql.functions as F
+
+    words = spark.createDataFrame(
+        [(list(w), n) for w, n in wc.items()], "syms ARRAY<STRING>, n LONG"
+    )
+    got = []
+    for rank in range(1, 4):
+        top = _pair_counts(words).orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, top[0].cnt
+        got.append((rank, f"{a} {b}", f"{a}{b}", int(cnt)))
+        words = _apply_merge(words, a, b)
+    assert got == _bpe_ref(wc, 3)
