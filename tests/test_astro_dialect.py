@@ -129,3 +129,41 @@ def test_alter_drop_column_and_guards(dialect):
         dialect.sql("ALTER TABLE t1 DROP COLUMN k")
     with pytest.raises(ValueError, match="unknown column"):
         dialect.sql("ALTER TABLE t1 DROP COLUMN nope")
+
+
+def test_reference_readme_example_session(dialect, spark, tmp_path):
+    """The upstream project's public README walks through a 'teacher' table:
+    composite-key CREATE ... MAPPED BY, a CSV bulk load, and SELECTs
+    ([upstream: README.md — UNVERIFIED, recalled shape, confidence M] per
+    SURVEY.md §0 citation policy). A reference user's documented first
+    session must run verbatim through this engine's dialect."""
+    dialect.sql(
+        """CREATE TABLE teacher (grade INT, class INT, subject STRING,
+           teacher_name STRING, teacher_age INT,
+           PRIMARY KEY (grade, class, subject))
+           MAPPED BY (teacher_hbase, COLS=[teacher_name=cf.a, teacher_age=cf.b])"""
+    )
+    csv = tmp_path / "teacher_csv"
+    spark.createDataFrame(
+        [
+            (1, 1, "math", "aa", 30),
+            (1, 1, "english", "bb", 40),
+            (1, 2, "math", "cc", 35),
+            (2, 1, "math", "dd", 28),
+        ],
+        "grade INT, class INT, subject STRING, teacher_name STRING, teacher_age INT",
+    ).write.mode("overwrite").csv(str(csv))
+    dialect.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE teacher")
+
+    rows = dialect.sql(
+        "SELECT teacher_name, teacher_age FROM teacher "
+        "WHERE grade = 1 AND class = 1 ORDER BY subject"
+    ).collect()
+    assert [(r.teacher_name, r.teacher_age) for r in rows] == [("bb", 40), ("aa", 30)]
+    agg = dialect.sql(
+        "SELECT grade, count(*) AS n, avg(teacher_age) AS avg_age "
+        "FROM teacher GROUP BY grade ORDER BY grade"
+    ).collect()
+    assert [(r.grade, r.n) for r in agg] == [(1, 3), (2, 1)]
+    desc = {r.col_name: r.comment for r in dialect.sql("DESCRIBE teacher").collect()}
+    assert desc["grade"] == "KEY COLUMN" and desc["teacher_name"] == "cf.a"
