@@ -139,6 +139,17 @@ class AstroDialect:
         schema_ddl = re.sub(
             r",?\s*PRIMARY\s+KEY\s*\([^)]*\)", "", cols_part, flags=re.IGNORECASE
         ).strip().rstrip(",")
+        # Astro's type system is the 8 atomic Spark-1.4 types (SURVEY.md
+        # §1.2) — single-word names only. Parameterized types (DECIMAL(p,s))
+        # would also corrupt the comma-split schema handling, so reject
+        # loudly rather than mis-parse.
+        for col in schema_ddl.split(","):
+            if not re.fullmatch(r"\s*\w+\s+\w+\s*", col):
+                raise ValueError(
+                    f"astro_dialect: column def {col.strip()!r} is not "
+                    "'<name> <atomic-type>' (parameterized types are not in "
+                    "the reference's type system)"
+                )
         mapping: dict[str, str] = {}
         for item in (m.group("mapping") or "").split(","):
             if "=" in item:

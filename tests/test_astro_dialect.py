@@ -167,3 +167,11 @@ def test_reference_readme_example_session(dialect, spark, tmp_path):
     assert [(r.grade, r.n) for r in agg] == [(1, 3), (2, 1)]
     desc = {r.col_name: r.comment for r in dialect.sql("DESCRIBE teacher").collect()}
     assert desc["grade"] == "KEY COLUMN" and desc["teacher_name"] == "cf.a"
+
+
+def test_parameterized_types_rejected(dialect):
+    with pytest.raises(ValueError, match="atomic-type"):
+        dialect.sql(
+            "CREATE TABLE bad (k BIGINT, d DECIMAL(10, 2), PRIMARY KEY (k)) "
+            "MAPPED BY (hb_bad, COLS=[d=cf.d])"
+        )
