@@ -54,11 +54,14 @@ def _pair_counts(words: DataFrame) -> DataFrame:
 def _apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
     """Collapse every adjacent (a, b) into the single symbol a||b — a left
     fold over the symbol array: append to the accumulator, merging with its
-    last element when (last, current) == (a, b). Map-only."""
+    last element when (last, current) == (a, b). Map-only. Symbols are
+    SQL-escaped: arbitrary corpora contain quotes/backslashes, and an
+    unescaped symbol would be expression injection."""
+    ea, eb = (s.replace("\\", "\\\\").replace("'", "\\'") for s in (a, b))
     merged = F.expr(
         "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) -> "
-        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}' AND s = '{b}' "
-        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{a}{b}')) "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{ea}' AND s = '{eb}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{ea}{eb}')) "
         "ELSE concat(acc, array(s)) END)"
     )
     return words.select(merged.alias("syms"), "n")
