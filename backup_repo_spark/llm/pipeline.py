@@ -521,3 +521,106 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_rate"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+@query(
+    "llm_curriculum_order",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             n_chars * 1.0 / len(string_split(text, ' ')) AS cpt
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, round(cpt, 4) AS quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY cpt DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT row_number() OVER (ORDER BY rnk, source, doc_id) AS train_pos,
+           doc_id, source, quality
+    FROM ranked
+    ORDER BY train_pos LIMIT 100
+    """,
+)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/mixing order assembly: rank documents within each source
+    by a quality proxy (chars-per-token, best first), then interleave
+    sources round-robin (global order = (within-source rank, source)) —
+    every training shard sees all sources from the start instead of
+    consuming them sequentially. The within-source window shuffles on
+    source; at 100 TB the final global position would be assigned
+    per-shard (rank, source, hash-bucket) rather than one total order —
+    the interleave KEY is the portable part. First 100 positions shown."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cpt = F.col("n_chars") / F.size(F.split("text", " "))
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.round(cpt, 4).alias("quality"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.desc(cpt), "doc_id"))
+        .alias("rnk"),
+    )
+    return (
+        ranked.select(
+            F.row_number()
+            .over(Window.orderBy("rnk", "source", "doc_id"))
+            .alias("train_pos"),
+            "doc_id",
+            "source",
+            "quality",
+        )
+        .orderBy("train_pos")
+        .limit(100)
+    )
+
+
+@query(
+    "llm_token_budget_cap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS running
+      FROM toks
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_kept,
+           CAST(sum(CASE WHEN running <= 2000 THEN n_tok END) AS BIGINT)
+             AS tokens_kept,
+           CAST(count_if(running > 2000) AS BIGINT) AS docs_dropped
+    FROM cum GROUP BY source ORDER BY source
+    """,
+)
+def llm_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget capping: deterministic doc order (doc_id),
+    running token sum per source, keep documents until the source's budget
+    (2000 tokens) is exhausted — how a mixture recipe enforces "no source
+    exceeds X tokens". One window shuffle on source; the cap check is
+    map-only after it. Reports kept/dropped per source."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.size(F.split("text", " ")).alias("n_tok"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = toks.withColumn("running", F.sum("n_tok").over(w))
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_kept"),
+            F.sum(F.when(F.col("running") <= 2000, F.col("n_tok")))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.count_if(F.col("running") > 2000).cast("bigint").alias("docs_dropped"),
+        )
+        .orderBy("source")
+    )
