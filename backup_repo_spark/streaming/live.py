@@ -234,6 +234,64 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(joined, "append")
 
 
+@query(
+    "stream_stream_outer",
+    oracle="""
+    WITH wm AS (
+      SELECT least((SELECT max(ts) FROM events WHERE event_type = 'error'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'click'))
+             - INTERVAL 10 MINUTE AS w
+    )
+    SELECT a.event_id AS err_id, b.event_id AS click_id
+    FROM events a LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'click'
+     AND b.ts >= a.ts - INTERVAL 30 MINUTE AND b.ts <= a.ts
+    WHERE a.event_type = 'error'
+      AND (b.event_id IS NOT NULL OR a.ts < (SELECT w FROM wm))
+    """,
+)
+def stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ stream LEFT OUTER join — the state path the inner join
+    does not exercise: an error with no matching click is held in state
+    until the watermark passes its join window, then emitted with NULLs.
+    Without watermarks + a time bound Spark rejects outer stream-stream
+    joins outright (unbounded NULL-side state). The oracle encodes the
+    finalization rule exactly (batch left join, but a NULL row appears
+    only for errors the final global watermark — min of both inputs'
+    max(ts) − 10 min — has passed): matched rows are identical to batch,
+    end-of-stream unmatched rows legitimately never emit. Verifying the
+    SEMANTICS, not just the arithmetic (same pattern as
+    stream_watermark)."""
+    errs = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "10 minutes")
+    )
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    joined = errs.join(
+        clicks,
+        (F.col("err_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "left_outer",
+    ).select("err_id", "click_id")
+    return _run_to_table(joined, "append")
+
 # NOTE: transformWithStateInPandas (the successor API to applyInPandasWithState,
 # used in stream_stateful above) is NOT exposed as a query: its driver worker
 # requires the `protobuf` package, which this container does not ship and the
