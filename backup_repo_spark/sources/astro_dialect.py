@@ -57,11 +57,13 @@ _LOAD_RE = re.compile(
     re.IGNORECASE,
 )
 _INSERT_VALUES_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>\w+)\s+(?P<rest>VALUES\s*\(.+)$",
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<name>\w+)\s+"
+    r"(?P<rest>VALUES\s*\(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_SELECT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>\w+)\s+(?P<rest>SELECT\s+.+)$",
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<name>\w+)\s+"
+    r"(?P<rest>SELECT\s+.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(?P<name>\w+)\s*$", re.IGNORECASE)
@@ -213,8 +215,11 @@ class AstroDialect:
             if m.group("rest").upper().startswith("VALUES") \
             else self.spark.sql(m.group("rest"))
         cols = [c.split()[0] for c in tbl.schema_ddl.split(",")]
-        self._write(src.toDF(*[c.strip() for c in cols]), tbl, "append")
-        return self.spark.createDataFrame([(tbl.name, "INSERTED")], "tableName STRING, status STRING")
+        mode = "overwrite" if m.group("mode").upper() == "OVERWRITE" else "append"
+        self._write(src.toDF(*[c.strip() for c in cols]), tbl, mode)
+        return self.spark.createDataFrame(
+            [(tbl.name, mode.upper())], "tableName STRING, status STRING"
+        )
 
     def _drop(self, m: re.Match) -> DataFrame:
         tbl = self._get(m.group("name"))

@@ -175,3 +175,11 @@ def test_parameterized_types_rejected(dialect):
             "CREATE TABLE bad (k BIGINT, d DECIMAL(10, 2), PRIMARY KEY (k)) "
             "MAPPED BY (hb_bad, COLS=[d=cf.d])"
         )
+
+
+def test_insert_overwrite_replaces_contents(dialect):
+    _create(dialect)
+    dialect.sql("INSERT INTO t1 VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    dialect.sql("INSERT OVERWRITE t1 VALUES (9, 'z', 9.0)")
+    rows = dialect.sql("SELECT k, v FROM t1").collect()
+    assert [(r.k, r.v) for r in rows] == [(9, "z")]
