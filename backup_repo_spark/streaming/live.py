@@ -292,6 +292,38 @@ def stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("err_id", "click_id")
     return _run_to_table(joined, "append")
 
+
+@query(
+    "stream_progress_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS total_input_rows FROM events
+    """,
+)
+def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability: after an AvailableNow run, the
+    StreamingQueryProgress feed (recentProgress) must account for every
+    input row exactly once — summed numInputRows equals the batch row
+    count (the oracle). This is the metrics surface a production monitor
+    scrapes for lag/throughput; exactly-once input accounting is the
+    invariant that makes those dashboards trustworthy."""
+    import uuid
+
+    ev = _stream_events(spark, sf_dir)
+    name = f"brs_prog_{uuid.uuid4().hex[:8]}"
+    q = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="brs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total = sum(int(p["numInputRows"]) for p in q.recentProgress)
+    return spark.createDataFrame([(total,)], "total_input_rows BIGINT")
+
 # NOTE: transformWithStateInPandas (the successor API to applyInPandasWithState,
 # used in stream_stateful above) is NOT exposed as a query: its driver worker
 # requires the `protobuf` package, which this container does not ship and the
