@@ -353,3 +353,39 @@ def dml_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("changed"),
         F.sum((F.col("h1") == F.col("h2")).cast("int")).cast("bigint").alias("unchanged"),
     )
+
+
+@query(
+    "dml_delete",
+    oracle="""
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE NOT (source = 'src3' OR doc_id % 97 = 0)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def dml_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE on immutable parquet — the GDPR/right-to-erasure verb:
+    copy-on-write anti-filter (keep rows NOT matching the delete predicate,
+    here one source plus a scattered doc_id set), physical write-back, and
+    re-read so the verified rows come from storage. At 100 TB the same
+    predicate first prunes untouched partitions/files via min/max stats
+    (only files containing victims rewrite — dml_partition_overwrite shows
+    the partition-scoped form); a lakehouse DELETE is file-level
+    bookkeeping over exactly this rewrite."""
+    d = load_table(spark, sf_dir, "documents")
+    target = _wh("dml_delete_target")
+    d.write.mode("overwrite").parquet(target)
+    stored = spark.read.parquet(target)
+    kept = stored.filter(~((F.col("source") == "src3") | (F.col("doc_id") % 97 == 0)))
+    out = _wh("dml_delete_after")
+    kept.write.mode("overwrite").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        .orderBy("lang")
+    )
