@@ -389,3 +389,44 @@ def dml_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "dml_snapshot_versions",
+    oracle="""
+    SELECT 'v1' AS version, lang, count(*) AS n FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'v2' AS version, lang, count(*) AS n FROM documents
+    WHERE source <> 'src3' GROUP BY lang
+    ORDER BY version, lang
+    """,
+)
+def dml_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning (mini time travel) on immutable parquet: every
+    mutation writes a NEW version directory (v1 = ingest, v2 = after a
+    DELETE), and readers pick a version — both remain queryable, which is
+    the isolation property lakehouse table formats provide via manifest
+    files over exactly this layout. The verified result reads BOTH
+    snapshots back from storage; at 100 TB the version pointer is a
+    manifest, not a directory copy (only changed files differ), but the
+    read-at-version semantics are identical."""
+    d = load_table(spark, sf_dir, "documents")
+    v1 = _wh("dml_snap_v1")
+    v2 = _wh("dml_snap_v2")
+    d.write.mode("overwrite").parquet(v1)
+    spark.read.parquet(v1).filter(F.col("source") != "src3").write.mode(
+        "overwrite"
+    ).parquet(v2)
+    s1 = (
+        spark.read.parquet(v1)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("v1").alias("version"), "lang", "n")
+    )
+    s2 = (
+        spark.read.parquet(v2)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("v2").alias("version"), "lang", "n")
+    )
+    return s1.unionByName(s2).orderBy("version", "lang")
