@@ -218,7 +218,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from backup_repo_spark.session import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         "event_type",
         F.expr(
@@ -291,7 +291,7 @@ def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches anything."""
     from backup_repo_spark.session import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -326,7 +326,7 @@ def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregable with the 1-row total broadcast back."""
     from backup_repo_spark.session import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy(
         (F.weekday(F.date_trunc("day", F.col("ts"))) + 1).alias("dow"),
         F.hour("ts").alias("hod"),
@@ -399,7 +399,7 @@ def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from backup_repo_spark.session import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
     w = ev.groupBy("event_type", F.date_trunc("week", "ts").alias("wk")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -445,7 +445,7 @@ def ts_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from backup_repo_spark.session import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros("ts")
     gap = us - F.lag(us).over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
     g = ev.select("event_type", gap.alias("gap_us")).filter(
@@ -485,7 +485,7 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, no float, bit-exact. Two rollups + one broadcast join."""
     from backup_repo_spark.session import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
     slot = ev.groupBy(
         F.to_date("ts").alias("day"),
         (F.weekday(F.date_trunc("day", F.col("ts"))) + 1).alias("dow"),
@@ -532,7 +532,7 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from backup_repo_spark.session import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
         F.sum((F.col("event_type") == "click").cast("int")).cast("bigint").alias("clicks"),
         F.sum((F.col("event_type") == "purchase").cast("int")).cast("bigint").alias("buys"),
@@ -584,7 +584,7 @@ def ts_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from backup_repo_spark.session import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
     cnt = lambda t: F.sum((F.col("event_type") == t).cast("int")).cast("bigint")  # noqa: E731
     d = ev.groupBy(F.to_date("ts").alias("day")).agg(
         cnt("click").alias("c1"), cnt("view").alias("c2"),
@@ -604,3 +604,57 @@ def ts_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         drift = term if drift is None else drift + term
     return l.select("day", drift.alias("drift_l1"))
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    stats AS (SELECT avg(n) AS mu FROM daily),
+    cus AS (
+      SELECT day, n,
+             round(sum(n - (SELECT mu FROM stats))
+                   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 4) + 0.0 AS cusum
+      FROM daily
+    )
+    SELECT day, CAST(n AS BIGINT) AS n, cusum,
+           CAST(abs(cusum) = (SELECT max(abs(cusum)) FROM cus) AS INTEGER)
+             AS is_changepoint
+    FROM cus ORDER BY day
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily purchase series: the
+    cumulative sum of deviations from the series mean peaks (in absolute
+    value) at the most likely level-shift day — the classic offline
+    change-point statistic, computed with one ordered window over a
+    30-row daily rollup (window input is the ROLLUP, never raw events, so
+    the single-partition ordered sum is over days, not data). Determinism
+    recipe: deviations sum in day order on both engines (sequential window
+    sums are order-pinned), rounded before the argmax flag; + 0.0 collapses IEEE -0.0
+    (a -0.0/0.0 render split breaks canonical row sorting)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mu = daily.agg(F.avg("n")).collect()[0][0]
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cus = daily.select(
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        (F.round(F.sum(F.col("n") - F.lit(mu)).over(w), 4) + F.lit(0.0)).alias("cusum"),
+    )
+    peak = cus.agg(F.max(F.abs("cusum"))).collect()[0][0]
+    return cus.select(
+        "day",
+        "n",
+        "cusum",
+        (F.abs("cusum") == F.lit(peak)).cast("int").alias("is_changepoint"),
+    ).orderBy("day")
