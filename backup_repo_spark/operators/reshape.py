@@ -212,3 +212,41 @@ def sql_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         DISTRIBUTE BY c_nationkey SORT BY c_nationkey, c_custkey
         """
     )
+
+
+@query(
+    "sample_weighted_det",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             -ln((CAST(('0x' || substring(md5('ws-' || doc_id), 1, 4))
+                       AS INTEGER) + 1) / 65536.0) / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight
+    FROM keyed ORDER BY k, doc_id LIMIT 20
+    """,
+)
+def sample_weighted_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis A-Res scheme (public algorithm) with the uniform
+    drawn from a salted md5 of the key instead of a PRNG — key =
+    −ln(u)/weight, take the k smallest. Distributed shape: map-only key
+    computation + TakeOrderedAndProject (each partition ships its local
+    top-k; no shuffle of the corpus) — the standard way to draw a
+    quality-weighted training subsample reproducibly across engines,
+    partitionings, and retries. Weight = n_chars (longer docs more
+    likely). Same formula in the oracle → identical sample."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ws-"), F.col("doc_id"))), 1, 4), 16, 10)
+        .cast("int") + 1
+    ) / 65536.0
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "source", F.col("n_chars").cast("bigint").alias("weight"),
+                 key.alias("k"))
+        .orderBy("k", "doc_id")
+        .limit(20)
+        .drop("k")
+    )
