@@ -54,9 +54,10 @@ def _pair_counts(words: DataFrame) -> DataFrame:
 def _apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
     """Collapse every adjacent (a, b) into the single symbol a||b — a left
     fold over the symbol array: append to the accumulator, merging with its
-    last element when (last, current) == (a, b). Map-only. Symbols are
-    SQL-escaped: arbitrary corpora contain quotes/backslashes, and an
-    unescaped symbol would be expression injection."""
+    last element when (last, current) == (a, b). Map-only; every column
+    other than ``syms`` passes through. Symbols are SQL-escaped: arbitrary
+    corpora contain quotes/backslashes, and an unescaped symbol would be
+    expression injection."""
     ea, eb = (s.replace("\\", "\\\\").replace("'", "\\'") for s in (a, b))
     merged = F.expr(
         "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) -> "
@@ -64,7 +65,8 @@ def _apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
         f"THEN concat(slice(acc, 1, size(acc) - 1), array('{ea}{eb}')) "
         "ELSE concat(acc, array(s)) END)"
     )
-    return words.select(merged.alias("syms"), "n")
+    others = [c for c in words.columns if c != "syms"]
+    return words.select(merged.alias("syms"), *others)
 
 
 @query("llm_bpe_merges")  # rows-only: iterated argmax rewriting is not SQL-expressible
@@ -96,4 +98,40 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         words = _apply_merge(words, a, b).localCheckpoint()
     return spark.createDataFrame(
         out, "rank INT, pair STRING, merged STRING, cnt BIGINT"
+    )
+
+
+@query("llm_bpe_encode")  # rows-only: iterative merge application (see tests/test_bpe.py)
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merge table — the tokenizer ENCODE step: every
+    word decomposes to characters, then the N_MERGES merges replay in
+    training order (each one map-only; the merge table is driver-side,
+    ~bytes). Reports per-language token statistics of the encoded corpus:
+    tokens-per-word falls as merges apply, which is the compression a
+    tokenizer buys. Exactness vs a pure-python reference is proven in
+    tests/test_bpe.py (not SQL-expressible)."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.pair.split(" ")[0], r.pair.split(" ")[1])
+        for r in llm_bpe_merges(spark, sf_dir).orderBy("rank").collect()
+    ]
+    enc = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.expr("split(w, '')").alias("syms"), "lang", "n")
+    )
+    for a, b in merges:
+        enc = _apply_merge(enc, a, b)
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("words"),
+            F.sum(F.size("syms") * F.col("n")).cast("bigint").alias("bpe_tokens"),
+            F.round(
+                F.sum(F.size("syms") * F.col("n")) / F.sum("n"), 4
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("lang")
     )

@@ -89,3 +89,40 @@ def test_bpe_steps_match_reference_on_random_words(spark, wc):
         got.append((rank, f"{a} {b}", f"{a}{b}", int(cnt)))
         words = _apply_merge(words, a, b)
     assert got == _bpe_ref(wc, 3)
+
+
+def test_bpe_encode_matches_reference_on_corpus(spark):
+    """Encoded-corpus token totals must equal applying the reference
+    merges to the reference word counts."""
+    from backup_repo_spark import registry
+    from backup_repo_spark.llm.bpe import N_MERGES
+
+    got = {
+        r.lang: (r.words, r.bpe_tokens)
+        for r in registry.QUERIES["llm_bpe_encode"](spark, SF_DIR).collect()
+    }
+    # reference: per-lang word counts, then replay the corpus-level merges
+    d = load_table(spark, SF_DIR, "documents")
+    rows = (
+        d.selectExpr("lang", "explode(split(text, ' ')) AS w")
+        .filter("length(w) > 0")
+        .groupBy("lang", "w")
+        .count()
+        .collect()
+    )
+    merges = _bpe_ref(_corpus_counts(spark), N_MERGES)
+    pairs = [tuple(m[1].split(" ")) for m in merges]
+    want = {}
+    for r in rows:
+        syms = list(r.w)
+        for a, b in pairs:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        w_cnt, t_cnt = want.get(r.lang, (0, 0))
+        want[r.lang] = (w_cnt + r["count"], t_cnt + len(syms) * r["count"])
+    assert got == want
