@@ -250,3 +250,47 @@ def sample_weighted_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("k")
     )
+
+
+@query(
+    "sample_stratified_det",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY md5(l_orderkey || '-' || l_linenumber), l_orderkey,
+                        l_linenumber) AS rn
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS qty,
+           CAST(min(l_orderkey) AS BIGINT) AS first_key
+    FROM ranked WHERE rn <= 50
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sample_stratified_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling, equal allocation: exactly k=50
+    rows per stratum, chosen by md5-hash order of the row key — the
+    reproducible counterpart to rand-based sampleBy (sample_stratified).
+    One window shuffle on the stratum key; hash order is uniform, so the
+    sample is unbiased, and identical across engines, partitionings, and
+    retries — the property an auditable eval-set draw needs."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.md5(F.concat_ws("-", "l_orderkey", "l_linenumber"))
+    w = Window.partitionBy("l_returnflag").orderBy(h, "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity",
+                  F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.min("l_orderkey").cast("bigint").alias("first_key"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -66,7 +66,7 @@ EXTENSION_KEYS = [
     # custom Python DataSource connector (the Astro-connector analog)
     "dsv2_scan_pushdown", "dsv2_write_roundtrip", "ddl_astro_dialect", "llm_dedup_simhash_hamming",
     "skyline_frontier", "join_editdist_symspell", "llm_sentiment_lexicon", "nested_dremel_roundtrip", "llm_sim_search_incremental", "llm_bpe_merges", "llm_sim_search_pandas",
-    "llm_curriculum_order", "llm_token_budget_cap", "stream_stream_outer", "stream_progress_metrics", "dml_delete", "dml_snapshot_versions", "ts_cusum_changepoint", "sample_weighted_det", "llm_bpe_encode",
+    "llm_curriculum_order", "llm_token_budget_cap", "stream_stream_outer", "stream_progress_metrics", "dml_delete", "dml_snapshot_versions", "ts_cusum_changepoint", "sample_weighted_det", "llm_bpe_encode", "sample_stratified_det",
     # streaming + llm-pipeline batch 2
     "stream_stream_join", "llm_token_count", "llm_multimodal_framesample",
     "join_range_banded", "stat_freq_approx",
