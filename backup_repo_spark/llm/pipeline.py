@@ -592,7 +592,7 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     )
     SELECT source,
-           CAST(count(*) AS BIGINT) AS docs_kept,
+           CAST(count_if(running <= 2000) AS BIGINT) AS docs_kept,
            CAST(sum(CASE WHEN running <= 2000 THEN n_tok END) AS BIGINT)
              AS tokens_kept,
            CAST(count_if(running > 2000) AS BIGINT) AS docs_dropped
@@ -616,7 +616,7 @@ def llm_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cum.groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("docs_kept"),
+            F.count_if(F.col("running") <= 2000).cast("bigint").alias("docs_kept"),
             F.sum(F.when(F.col("running") <= 2000, F.col("n_tok")))
             .cast("bigint")
             .alias("tokens_kept"),

@@ -216,8 +216,6 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (type, week) with a 1-hour overlap fringe to bound sort size."""
     from pyspark.sql.window import Window
 
-    from backup_repo_spark.session import load_events
-
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         "event_type",
@@ -289,8 +287,6 @@ def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup, self-join on the lagged key, integer error arithmetic + one
     IEEE division). The rollup shrinks the fact table before the self-join
     touches anything."""
-    from backup_repo_spark.session import load_events
-
     ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
         F.count(F.lit(1)).alias("c")
@@ -324,8 +320,6 @@ def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell — the 7x24 profile that seeds anomaly baselines and the seasonal-
     naive forecaster (`ts_seasonal_naive`). Integer counts + one division;
     partial-aggregable with the 1-row total broadcast back."""
-    from backup_repo_spark.session import load_events
-
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy(
         (F.weekday(F.date_trunc("day", F.col("ts"))) + 1).alias("dow"),
@@ -397,8 +391,6 @@ def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialize together."""
     from pyspark.sql.window import Window
 
-    from backup_repo_spark.session import load_events
-
     ev = load_table(spark, sf_dir, "events")
     w = ev.groupBy("event_type", F.date_trunc("week", "ts").alias("wk")).agg(
         F.count(F.lit(1)).alias("n")
@@ -443,8 +435,6 @@ def ts_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partitions by user; the percentile rollup is per type."""
     from pyspark.sql.window import Window
 
-    from backup_repo_spark.session import load_events
-
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros("ts")
     gap = us - F.lag(us).over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
@@ -483,8 +473,6 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     global mean (which `events_anomaly_mad` provides). The 1.5x-average test
     is cross-multiplied into pure integers (2*n*n_days > 3*total): no
     division, no float, bit-exact. Two rollups + one broadcast join."""
-    from backup_repo_spark.session import load_events
-
     ev = load_table(spark, sf_dir, "events")
     slot = ev.groupBy(
         F.to_date("ts").alias("day"),
@@ -529,8 +517,6 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded per the float-aggregate policy). The lead-indicator shape
     behind forecasting-feature selection, fully in-engine."""
     from pyspark.sql.window import Window
-
-    from backup_repo_spark.session import load_events
 
     ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
@@ -581,8 +567,6 @@ def ts_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy-sum over categories would be order-dependent); shares are
     exact count ratios. One rollup + one lag window over ~30 rows."""
     from pyspark.sql.window import Window
-
-    from backup_repo_spark.session import load_events
 
     ev = load_table(spark, sf_dir, "events")
     cnt = lambda t: F.sum((F.col("event_type") == t).cast("int")).cast("bigint")  # noqa: E731

@@ -211,12 +211,29 @@ class AstroDialect:
 
     def _insert(self, m: re.Match) -> DataFrame:
         tbl = self._get(m.group("name"))
-        src = self.spark.sql(f"SELECT * FROM {m.group('rest')}") \
-            if m.group("rest").upper().startswith("VALUES") \
-            else self.spark.sql(m.group("rest"))
+        rest = m.group("rest")
+        src = self.spark.sql(f"SELECT * FROM {rest}") \
+            if rest.upper().startswith("VALUES") \
+            else self.spark.sql(rest)
         cols = [c.split()[0] for c in tbl.schema_ddl.split(",")]
         mode = "overwrite" if m.group("mode").upper() == "OVERWRITE" else "append"
-        self._write(src.toDF(*[c.strip() for c in cols]), tbl, mode)
+        src = src.toDF(*[c.strip() for c in cols])
+        if mode == "overwrite" and re.search(
+            rf"\b{re.escape(tbl.name)}\b", rest, re.IGNORECASE
+        ):
+            # 'INSERT OVERWRITE t SELECT ... FROM t' is grammar-legal, but
+            # Spark refuses to overwrite a path its own plan is reading
+            # from. Stage the source to a sibling directory (an eager
+            # write), re-read, then overwrite the target — the same
+            # staged-file swap HBase bulkload does with HFiles.
+            staging = tbl.path + ".staging"
+            src.write.mode("overwrite").parquet(staging)
+            try:
+                self._write(self.spark.read.parquet(staging), tbl, mode)
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+        else:
+            self._write(src, tbl, mode)
         return self.spark.createDataFrame(
             [(tbl.name, mode.upper())], "tableName STRING, status STRING"
         )

@@ -183,3 +183,27 @@ def test_insert_overwrite_replaces_contents(dialect):
     dialect.sql("INSERT OVERWRITE t1 VALUES (9, 'z', 9.0)")
     rows = dialect.sql("SELECT k, v FROM t1").collect()
     assert [(r.k, r.v) for r in rows] == [(9, "z")]
+
+
+def test_insert_overwrite_self_reference_stages(dialect):
+    """'INSERT OVERWRITE t SELECT ... FROM t' is grammar-legal; the source
+    must be staged before the overwrite or Spark throws 'Cannot overwrite a
+    path that is also being read from' mid-write (ADVICE r02)."""
+    _create(dialect)
+    dialect.sql("INSERT INTO t1 VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    dialect.sql("INSERT OVERWRITE t1 SELECT k + 10, v, x * 2 FROM t1 WHERE k <= 2")
+    rows = dialect.sql("SELECT k, v, x FROM t1 ORDER BY k").collect()
+    assert [(r.k, r.v, r.x) for r in rows] == [(11, "a", 2.0), (12, "b", 4.0)]
+    # staging directory cleaned up
+    import os
+
+    assert not os.path.exists(dialect.catalog["t1"].path + ".staging")
+
+
+def test_shell_statement_split_quote_aware():
+    from tools.astro_shell import split_statements
+
+    assert split_statements("SELECT 1; SELECT 2") == ["SELECT 1", " SELECT 2"]
+    got = split_statements("INSERT INTO t VALUES ('a;b'); SELECT 'x\";y'")
+    assert got == ["INSERT INTO t VALUES ('a;b')", " SELECT 'x\";y'"]
+    assert split_statements("SELECT \"a;b\"") == ['SELECT "a;b"']

@@ -22,6 +22,32 @@ from backup_repo_spark.session import DEFAULT_SF_DIR, get_spark, register_views
 from backup_repo_spark.sources.astro_dialect import AstroDialect
 
 
+def split_statements(text: str) -> list[str]:
+    """Split a batch on ';' — but only OUTSIDE quoted strings, so
+    ``INSERT ... VALUES ('a;b')`` stays one statement. Tracks single- and
+    double-quote state; a doubled quote inside a literal ('it''s') is two
+    literals back-to-back to this scanner, which still nets out closed."""
+    out: list[str] = []
+    buf: list[str] = []
+    quote: str | None = None
+    for ch in text:
+        if quote:
+            if ch == quote:
+                quote = None
+            buf.append(ch)
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == ";":
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=DEFAULT_SF_DIR)
@@ -34,7 +60,7 @@ def main() -> int:
     dialect = AstroDialect(spark)
 
     def run(stmt: str) -> None:
-        stmt = stmt.strip().rstrip(";")
+        stmt = stmt.strip()
         if not stmt:
             return
         try:
@@ -43,7 +69,7 @@ def main() -> int:
             print(f"ERROR: {str(e).splitlines()[0]}", file=sys.stderr)
 
     if args.execute is not None:
-        for stmt in args.execute.split(";"):
+        for stmt in split_statements(args.execute):
             run(stmt)
         return 0
 
@@ -58,7 +84,8 @@ def main() -> int:
             break
         buf.append(line)
         if line.rstrip().endswith(";"):
-            run(" ".join(buf))
+            for stmt in split_statements(" ".join(buf)):
+                run(stmt)
             buf = []
     return 0
 
