@@ -276,10 +276,18 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_hash_spark")  # rows-only: Spark-specific hash algorithms
+@query("fn_hash_spark")  # rows-only BY DESIGN — see docstring
 def fn_hash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B50 (engine half): xxhash64 / murmur hash / crc32 /
-    monotonically_increasing_id — Spark-defined, no DuckDB equivalent."""
+    monotonically_increasing_id.
+
+    Rows-only BY DESIGN, permanently: these functions are DEFINED as
+    Spark's own algorithms (xxhash64 with Spark's seed/byte layout,
+    Murmur3 with Spark's type-tagged encoding, task-id-prefixed row ids)
+    — there is no engine-independent ground truth to compare against, and
+    any DuckDB expression that "matched" would be a reimplementation of
+    Spark internals, not an oracle. The engine-independent hash surface
+    (md5/sha1/sha2) is the value-verified sibling `fn_hash`."""
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",

@@ -20,10 +20,17 @@ truncates lineage per round, the same iterative-algorithm hygiene as
 smaller than the corpus — frequencies were already aggregated), so each
 round is one small shuffle + one map-only pass.
 
-The merge sequence is NOT SQL-expressible (iterated argmax-dependent
-rewriting), so the driver check is rows-only; exactness is proven in
-``tests/test_bpe.py`` against a pure-python reference implementation on
-both the real corpus and randomized word sets.
+The merge sequence IS SQL-expressible after all — as a generated chain of
+N_MERGES CTE levels (pair-count → argmax → merge-apply), so the driver
+check is full-value. The merge-apply trick: represent each word's symbols
+as a DOUBLE-space-joined string (``'  a  b  c  '``) and apply one merge as
+``replace(s, ' a  b ', ' ab ')``. Each occurrence consumes ONE of the two
+separator spaces on each side, so (1) adjacent occurrences never overlap —
+plain left-to-right non-overlapping replace pairs up runs exactly like the
+greedy left fold (``' a  a  a '`` → ``' aa  a '``, not ``' a  aa '``), and
+(2) token boundaries are exact (symbols never contain spaces). Exactness
+vs a pure-python reference is additionally proven in ``tests/test_bpe.py``
+on the real corpus and randomized word sets.
 """
 
 from __future__ import annotations
@@ -35,6 +42,87 @@ from backup_repo_spark.registry import query
 from backup_repo_spark.session import load_table
 
 N_MERGES = 8
+
+
+def _bpe_merge_ctes(n_merges: int) -> str:
+    """Shared oracle CTE chain learning ``n_merges`` BPE merges in DuckDB.
+
+    Defines: words (global word frequencies), w0 (double-space symbol
+    strings), and per-level t{k} (token explode), p{k} (weighted adjacent
+    pair counts), m{k} (argmax pair, ties broken lexicographically —
+    identical to the Spark side's orderBy(desc(cnt), a, b)), w{k} (merge
+    applied). See module docstring for why replace() == greedy fold."""
+    parts = [
+        """words AS MATERIALIZED (
+      SELECT w, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) > 0 GROUP BY w
+    ),
+    w0 AS MATERIALIZED (
+      SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, n FROM words
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""t{k} AS MATERIALIZED (
+      SELECT n, toks, generate_subscripts(toks, 1) AS i
+      FROM (SELECT n, list_filter(string_split(s, '  '), x -> x <> '') AS toks
+            FROM w{k - 1})
+    ),
+    p{k} AS MATERIALIZED (
+      SELECT toks[i] AS a, toks[i + 1] AS b, sum(n) AS cnt
+      FROM t{k} WHERE i < len(toks) GROUP BY 1, 2
+    ),
+    m{k} AS MATERIALIZED (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+    w{k} AS MATERIALIZED (
+      SELECT replace(s,
+               ' ' || (SELECT a FROM m{k}) || '  ' || (SELECT b FROM m{k}) || ' ',
+               ' ' || (SELECT a || b FROM m{k}) || ' ') AS s, n
+      FROM w{k - 1}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {k} AS rank, a || ' ' || b AS pair, a || b AS merged, "
+        f"CAST(cnt AS BIGINT) AS cnt FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_merge_ctes(n_merges)}\n    SELECT * FROM ({rows}) ORDER BY rank"
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    e_levels = []
+    for k in range(1, n_merges + 1):
+        e_levels.append(
+            f"""e{k} AS MATERIALIZED (
+      SELECT lang, n, replace(s,
+               ' ' || (SELECT a FROM m{k}) || '  ' || (SELECT b FROM m{k}) || ' ',
+               ' ' || (SELECT a || b FROM m{k}) || ' ') AS s
+      FROM e{k - 1}
+    )"""
+        )
+    return f"""WITH {_bpe_merge_ctes(n_merges)},
+    wl AS MATERIALIZED (
+      SELECT lang, w, count(*) AS n
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) > 0 GROUP BY lang, w
+    ),
+    e0 AS MATERIALIZED (
+      SELECT lang, n, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s FROM wl
+    ),
+    {",".join(e_levels)},
+    enc AS MATERIALIZED (
+      SELECT lang, n,
+             len(list_filter(string_split(s, '  '), x -> x <> '')) AS n_tok
+      FROM e{n_merges}
+    )
+    SELECT lang, CAST(sum(n) AS BIGINT) AS words,
+           CAST(sum(n_tok * n) AS BIGINT) AS bpe_tokens,
+           round(sum(n_tok * n) * 1.0 / sum(n), 4) AS tokens_per_word
+    FROM enc GROUP BY lang ORDER BY lang"""
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
@@ -69,11 +157,12 @@ def _apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
     return words.select(merged.alias("syms"), *others)
 
 
-@query("llm_bpe_merges")  # rows-only: iterated argmax rewriting is not SQL-expressible
+@query("llm_bpe_merges", oracle=_bpe_merges_oracle(N_MERGES))
 def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first N_MERGES BPE merges over the documents corpus.
     Returns (rank, pair, merged_symbol, cnt) — the merge table a tokenizer
-    trainer exports. See module docstring for the distributed shape."""
+    trainer exports. See module docstring for the distributed shape and
+    for the generated-CTE oracle's replace()-equals-greedy-fold argument."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -101,15 +190,16 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_bpe_encode")  # rows-only: iterative merge application (see tests/test_bpe.py)
+@query("llm_bpe_encode", oracle=_bpe_encode_oracle(N_MERGES))
 def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned merge table — the tokenizer ENCODE step: every
     word decomposes to characters, then the N_MERGES merges replay in
     training order (each one map-only; the merge table is driver-side,
     ~bytes). Reports per-language token statistics of the encoded corpus:
     tokens-per-word falls as merges apply, which is the compression a
-    tokenizer buys. Exactness vs a pure-python reference is proven in
-    tests/test_bpe.py (not SQL-expressible)."""
+    tokenizer buys. Full-value oracled via the generated replace-chain CTE
+    (module docstring); also proven vs a pure-python reference in
+    tests/test_bpe.py."""
     d = load_table(spark, sf_dir, "documents")
     merges = [
         (r.pair.split(" ")[0], r.pair.split(" ")[1])

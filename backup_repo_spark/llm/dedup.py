@@ -140,12 +140,45 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_dedup_minhash")  # rows-only: ml.MinHashLSH hash family is impl-specific
+@query(
+    "llm_dedup_minhash",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tk),
+    shingles AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM idx WHERE i <= len(toks) - 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.da, i.db, round(i.i * 1.0 / (sa.n + sb.n - i.i), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.da = sa.doc_id
+    JOIN sizes sb ON i.db = sb.doc_id
+    WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+    """,
+)
 def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C10: MinHash-LSH candidate pairs via pyspark.ml (seeded, deterministic
-    within Spark). Shingle → HashingTF sparse vector → MinHashLSH →
-    approxSimilarityJoin. This is the O(n·bands) scale path whose exact
-    verification is llm_dedup_ngram."""
+    """C10: MinHash-LSH near-dup via pyspark.ml, VALUE-verified on its
+    verified-pairs output. Shingle → HashingTF sparse vector → MinHashLSH
+    (8 tables, seeded) → approxSimilarityJoin at candidate threshold 0.35
+    estimated Jaccard → exact shingle-set Jaccard on the candidates →
+    keep pairs >= 0.5.
+
+    The ml hash family is impl-specific, so the CANDIDATE set can't be
+    oracled — but the verified-pairs set is hash-independent: any LSH
+    family with adequate recall converges to the exact τ=0.5 pair set, so
+    the oracle is simply ground truth (all-pairs exact Jaccard >= 0.5),
+    the same contract as `llm_dedup_minhash_banded`. Recall margin: a
+    true pair at J=0.5 misses all 8 OR-amplified tables with probability
+    (1-0.5)^8 ≈ 0.4%, and the candidate filter sits at 0.35 « 0.5;
+    `llm_lsh_eval` is the standing recall audit. Scale shape: candidate
+    generation is the O(n·tables) LSH bucket join; exact Jaccard runs on
+    candidates only — never the O(n²) pair space."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load_table(spark, sf_dir, "documents")
@@ -164,13 +197,31 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feat)
     pairs = model.approxSimilarityJoin(feat, feat, 0.65, distCol="jaccard_dist")
-    return (
+    cand = (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("da"),
             F.col("datasetB.doc_id").alias("db"),
-            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_est"),
         )
+        .distinct()
+    )
+    shingles = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(shingles.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(
+            shingles.alias("sb"),
+            (F.col("db") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("da", "db", F.round(jac, 4).alias("jaccard"))
     )
 
 

@@ -88,14 +88,42 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # no oracle: HLL estimate is impl-specific
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_du,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B22: approx_count_distinct (HyperLogLog++) — the 100 TB substitute for
-    exact distinct counts: constant memory per group, no dedup shuffle."""
+    exact distinct counts: constant memory per group, no dedup shuffle.
+
+    Oracled as a BOUNDS CONTRACT: the HLL estimate itself is
+    impl-specific, but its accuracy guarantee is not — the query returns
+    the exact count (the audit anchor) plus a boolean asserting the
+    estimate lands within 5% of it (rsd=0.02, and HLL++ sparse mode is
+    exact at these cardinalities). The oracle asserts TRUE, so the driver
+    gate goes red if the sketch ever degrades — a value-checked contract
+    instead of a rows-only shrug. The exact column exists for the audit
+    only; the production shape is estimate-only."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_du"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("exact_du"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_du"),
+        )
+        .select(
+            "event_type",
+            "exact_du",
+            (
+                F.abs(F.col("approx_du") - F.col("exact_du"))
+                <= 0.05 * F.col("exact_du")
+            ).alias("approx_within_5pct"),
+        )
         .orderBy("event_type")
     )
 
@@ -291,25 +319,40 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch")
+@query(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_groups,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_total_du,
+           TRUE AS merged_within_5pct
+    FROM events
+    """,
+)
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apache DataSketches HLL surface (Spark 3.5+): per-group hll_sketch_agg
     → binary sketches → hll_union_agg merges them → global estimate. The
     sketches are mergeable state — the 100 TB distinct-count pattern where
     per-partition/per-day sketches are stored and unioned later instead of
-    re-scanning raw data. Sketch bytes are library-versioned → rows-only
-    oracle; the estimate column is additionally bounded in tests."""
+    re-scanning raw data. Sketch bytes are library-versioned, so the
+    oracle is a BOUNDS CONTRACT (same pattern as agg_approx_distinct):
+    exact global distinct (the anchor) + a boolean asserting the
+    sketch-union estimate lands within 5% of it. The interesting property
+    under test is that MERGED sketches still satisfy the bound — the
+    mergeability guarantee the 100 TB pattern depends on."""
     ev = load_table(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.countDistinct("user_id").alias("exact"),
+    per_type = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = per_type.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("merged_estimate"),
     )
-    return (
-        per_type.agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("merged_estimate"),
-            F.sum("exact").alias("sum_exact_per_type"),
-            F.count(F.lit(1)).alias("n_groups"),
-        )
+    exact = ev.agg(F.countDistinct("user_id").cast("bigint").alias("exact_total_du"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_groups",
+        "exact_total_du",
+        (
+            F.abs(F.col("merged_estimate") - F.col("exact_total_du"))
+            <= 0.05 * F.col("exact_total_du")
+        ).alias("merged_within_5pct"),
     )
 
 

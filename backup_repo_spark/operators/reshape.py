@@ -112,17 +112,49 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_stratified")
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS stratum_total,
+           TRUE AS frac_within_tol
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling via df.stat.sampleBy — different fraction per
     stratum (the class-rebalancing pattern for training-data pipelines).
-    rand-based → rows-only oracle (sampled counts are partitioning-
-    dependent by design); the returned per-stratum counts bound the check."""
+
+    The sampled COUNT is rand(seed)-per-partition, so it varies with the
+    physical partitioning by design and can't be oracled directly. The
+    oracled BOUNDS CONTRACT instead: exact stratum totals (the anchor)
+    plus a boolean asserting the realized sampling fraction lands within
+    ±20% relative of its target — a >5σ-wide band for binomial sampling
+    at these stratum sizes, so any real sampling defect (wrong fraction,
+    wrong stratum routing) turns the driver gate red while partitioning
+    noise never does. The deterministic exact-k counterpart is
+    `sample_stratified_det`."""
     li = load_table(spark, sf_dir, "lineitem")
-    sampled = li.stat.sampleBy("l_returnflag", {"R": 0.2, "A": 0.1, "N": 0.05}, seed=42)
+    fracs = {"R": 0.2, "A": 0.1, "N": 0.05}
+    sampled = li.stat.sampleBy("l_returnflag", fracs, seed=42)
+    n_samp = sampled.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    totals = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("stratum_total")
+    )
+    target = F.create_map(
+        *[F.lit(x) for kv in fracs.items() for x in kv]
+    )[F.col("l_returnflag")]
     return (
-        sampled.groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n"))
+        totals.join(n_samp, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            "stratum_total",
+            (
+                F.abs(
+                    F.coalesce(F.col("n"), F.lit(0)) / F.col("stratum_total") - target
+                )
+                <= 0.2 * target
+            ).alias("frac_within_tol"),
+        )
         .orderBy("l_returnflag")
     )
 
@@ -148,20 +180,71 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL)
 
 
-@query("stat_freq_approx")
+@query(
+    "stat_freq_approx",
+    oracle="""
+    SELECT TRUE AS q25_rank_ok, TRUE AS q50_rank_ok, TRUE AS q75_rank_ok,
+           TRUE AS freq_superset_ok,
+           CAST((SELECT count(*) FROM (
+             SELECT l_returnflag FROM lineitem GROUP BY l_returnflag
+             HAVING count(*) > 0.2 * (SELECT count(*) FROM lineitem)
+           )) AS BIGINT) AS n_true_frequent
+    """,
+)
 def stat_freq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrameStatFunctions surface: approxQuantile (Greenwald-Khanna
     sketch — one pass, bounded memory, merges across partitions) and
     freqItems (heavy hitters). Both are THE 100 TB substitutes for exact
-    sort-based quantiles / exact top-k. Sketch outputs are
-    approximation-bounded, not exactly reproducible cross-engine →
-    rows-only oracle."""
+    sort-based quantiles / exact top-k.
+
+    Sketch outputs aren't bit-reproducible cross-engine, so the oracle is
+    a BOUNDS CONTRACT on the algorithms' published guarantees: each
+    approxQuantile(p, err=0.01) result must have exact rank within
+    [(p-err)N, (p+err)N] (checked by counting rows below/at the returned
+    value), and the freqItems list must be a SUPERSET of the items with
+    true frequency > support (the one-sided Karp guarantee). The oracle
+    asserts all four booleans TRUE plus the exact count of truly-frequent
+    items — any sketch regression turns the driver gate red."""
     li = load_table(spark, sf_dir, "lineitem")
-    q = li.stat.approxQuantile("l_extendedprice", [0.25, 0.5, 0.75], 0.01)
-    freq = li.stat.freqItems(["l_returnflag"], 0.2).collect()[0][0]
+    probs, err = [0.25, 0.5, 0.75], 0.01
+    q = li.stat.approxQuantile("l_extendedprice", probs, err)
+    freq = set(li.stat.freqItems(["l_returnflag"], 0.2).collect()[0][0])
+    counts = li.agg(
+        F.count(F.lit(1)).alias("N"),
+        *[
+            c
+            for i, qi in enumerate(q)
+            for c in (
+                F.count_if(F.col("l_extendedprice") <= qi).alias(f"le{i}"),
+                F.count_if(F.col("l_extendedprice") < qi).alias(f"lt{i}"),
+            )
+        ],
+    ).collect()[0]
+    n_rows = counts["N"]
+    rank_ok = [
+        counts[f"le{i}"] >= (p - err) * n_rows - 1
+        and counts[f"lt{i}"] <= (p + err) * n_rows + 1
+        for i, p in enumerate(probs)
+    ]
+    true_freq = [
+        r.l_returnflag
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 0.2 * n_rows)
+        .collect()
+    ]
     return spark.createDataFrame(
-        [(float(q[0]), float(q[1]), float(q[2]), ",".join(sorted(freq)))],
-        schema="q25 DOUBLE, q50 DOUBLE, q75 DOUBLE, frequent_flags STRING",
+        [
+            (
+                rank_ok[0],
+                rank_ok[1],
+                rank_ok[2],
+                set(true_freq) <= freq,
+                len(true_freq),
+            )
+        ],
+        schema="q25_rank_ok BOOLEAN, q50_rank_ok BOOLEAN, q75_rank_ok BOOLEAN, "
+        "freq_superset_ok BOOLEAN, n_true_frequent BIGINT",
     )
 
 
@@ -219,8 +302,8 @@ def sql_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
       SELECT doc_id, source, n_chars,
-             -ln((CAST(('0x' || substring(md5('ws-' || doc_id), 1, 4))
-                       AS INTEGER) + 1) / 65536.0) / n_chars AS k
+             round(-ln((CAST(('0x' || substring(md5('ws-' || doc_id), 1, 4))
+                             AS INTEGER) + 1) / 65536.0) / n_chars, 9) AS k
       FROM documents
     )
     SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight
@@ -236,13 +319,16 @@ def sample_weighted_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k; no shuffle of the corpus) — the standard way to draw a
     quality-weighted training subsample reproducibly across engines,
     partitionings, and retries. Weight = n_chars (longer docs more
-    likely). Same formula in the oracle → identical sample."""
+    likely). Same formula in the oracle → identical sample. The key is
+    rounded to 9 decimals before the ORDER BY/LIMIT so a 1-ulp ln()
+    divergence between libm implementations cannot flip the rank-20
+    selection boundary (doc_id breaks any residual tie exactly)."""
     d = load_table(spark, sf_dir, "documents")
     u = (
         F.conv(F.substring(F.md5(F.concat(F.lit("ws-"), F.col("doc_id"))), 1, 4), 16, 10)
         .cast("int") + 1
     ) / 65536.0
-    key = -F.log(u) / F.col("n_chars")
+    key = F.round(-F.log(u) / F.col("n_chars"), 9)
     return (
         d.select("doc_id", "source", F.col("n_chars").cast("bigint").alias("weight"),
                  key.alias("k"))

@@ -156,10 +156,23 @@ def insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ddl_roundtrip")  # rows-only: DESCRIBE output is engine-specific
+@query(
+    "ddl_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('k', 'bigint', CAST(2 AS BIGINT)),
+      ('name', 'string', CAST(2 AS BIGINT)),
+      ('price', 'double', CAST(2 AS BIGINT))
+    ) AS t(col_name, data_type, n_rows)
+    """,
+)
 def ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: DDL surface — CREATE TABLE (declared schema, Astro's MAPPED BY
-    analog), INSERT, DESCRIBE, DROP; returns the described schema rows."""
+    analog), INSERT, DESCRIBE, DROP; returns the described schema rows.
+    Oracled as a LITERAL CONTRACT: the declared (name, type) pairs must
+    roundtrip through the catalog and DESCRIBE verbatim (Spark-DDL type
+    names are a stable public surface), and the inserted row count must
+    read back — a catalog/DDL defect turns the gate red."""
     out = _tmpdir("ddl")
     spark.sql("DROP TABLE IF EXISTS brs_ddl_tbl")
     spark.sql(
@@ -169,7 +182,7 @@ def ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql("INSERT INTO brs_ddl_tbl VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5)")
     described = spark.sql("DESCRIBE TABLE brs_ddl_tbl").select("col_name", "data_type")
     n = spark.sql("SELECT count(*) AS n FROM brs_ddl_tbl")
-    result = described.withColumn("n_rows", F.lit(n.collect()[0][0]))
+    result = described.withColumn("n_rows", F.lit(n.collect()[0][0]).cast("bigint"))
     # Materialize before dropping the table the plan reads from.
     result = spark.createDataFrame(result.collect(), result.schema)
     spark.sql("DROP TABLE IF EXISTS brs_ddl_tbl")

@@ -1,6 +1,6 @@
 """Exactness tests for BPE merge learning against a pure-python reference
-(the driver-side check for llm_bpe_merges is rows-only, so this is where
-the values are proven)."""
+(a third, independent implementation besides the Spark fold and the
+generated DuckDB replace-chain oracle)."""
 
 from __future__ import annotations
 

@@ -29,15 +29,14 @@ def test_query_matches_oracle(name, spark, duck):
 
 
 def test_hll_sketch_estimate_accuracy(spark):
-    """rows-only query, but the estimate itself is boundable: HLL at default
-    lgK=12 has ~1.6% standard error; assert within 5% of exact."""
+    """The query now carries its own bounds contract (merged_within_5pct,
+    oracled TRUE); re-assert it here against an independently computed
+    exact count so a bug in the query's own anchor column can't self-mask."""
     row = registry.QUERIES["agg_hll_sketch"](spark, SF_DIR).collect()[0]
     from backup_repo_spark.session import load_table
 
     exact = (
         load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
     )
-    assert abs(row.merged_estimate - exact) <= max(3, 0.05 * exact), (
-        row.merged_estimate,
-        exact,
-    )
+    assert row.exact_total_du == exact
+    assert bool(row.merged_within_5pct), row
