@@ -88,6 +88,64 @@ def partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_dynamic_partition_pruning",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE year(l_shipdate) = 1996 AND month(l_shipdate) BETWEEN 4 AND 6
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (runtime half): DYNAMIC partition pruning — the fact table is
+    partitioned by ship month, and the months to read are only known after
+    filtering the dimension (quarter = 1996-Q2), so no static
+    PartitionFilter is derivable. Catalyst inserts a
+    ``dynamicpruningexpression`` on the fact scan that reuses the
+    broadcast dimension's build side to enumerate surviving partitions at
+    RUNTIME (asserted in tests/test_plans.py). At 100 TB this is the
+    difference between scanning 3 month-partitions and scanning 84 —
+    star-schema queries filter on dim attributes, not on fact partition
+    keys, so static pruning never fires for them."""
+    out = _tmpdir("dpp")
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        "l_orderkey",
+        "l_extendedprice",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+    )
+    fact.write.mode("overwrite").partitionBy("ship_month").parquet(out)
+    fact_back = spark.read.parquet(out)
+    # Month-dimension with a derived quarter attribute; the filter lives on
+    # the dim attribute, NOT on the fact partition column.
+    dim = (
+        fact.select("ship_month")
+        .distinct()
+        .select(
+            "ship_month",
+            F.concat(
+                F.substring("ship_month", 1, 4),
+                F.lit("-Q"),
+                F.ceil(F.substring("ship_month", 6, 2).cast("int") / 3).cast("string"),
+            ).alias("quarter"),
+        )
+    )
+    joined = fact_back.join(
+        F.broadcast(dim.filter(F.col("quarter") == "1996-Q2")), "ship_month"
+    )
+    return (
+        joined.groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+@query(
     "ingest_csv",
     oracle="""
     SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total,

@@ -8,7 +8,8 @@ from backup_repo_spark import registry
 # Every `Impl key` declared in SURVEY.md §2 tables (A/B/C/D).
 SURVEY_KEYS = [
     # §2.A connector machinery
-    "scan_lineitem", "filter_pushdown", "partition_pruning", "column_pruning",
+    "scan_lineitem", "filter_pushdown", "partition_pruning",
+    "scan_dynamic_partition_pruning", "column_pruning",
     "partial_agg", "bulk_write_read", "ddl_roundtrip", "insert_select",
     # §2.B scans/sources
     "ingest_csv",

@@ -48,6 +48,20 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     assert "o_orderstatus" in pf
 
 
+def test_dynamic_partition_pruning_fires(spark):
+    """The DPP query's fact scan must carry a dynamicpruningexpression —
+    the runtime partition filter produced from the filtered broadcast dim
+    (VERDICT r02 item 3: prove DPP, don't just claim it)."""
+    from backup_repo_spark.sources.layout import dynamic_partition_pruning
+
+    df = dynamic_partition_pruning(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and it prunes the PARTITION column of the fact scan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "ship_month" in pf and "dynamicpruning" in pf
+
+
 def test_star_join_broadcasts_dims(spark):
     df = registry.QUERIES["join_star_5way"](spark, SF_DIR)
     plan = plan_of(df)
