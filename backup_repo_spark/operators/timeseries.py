@@ -619,7 +619,10 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single-partition ordered sum is over days, not data). Determinism
     recipe: deviations sum in day order on both engines (sequential window
     sums are order-pinned), rounded before the argmax flag; + 0.0 collapses IEEE -0.0
-    (a -0.0/0.0 render split breaks canonical row sorting)."""
+    (a -0.0/0.0 render split breaks canonical row sorting). The mean and
+    the peak are broadcast 1-row aggregates fused into the plan
+    (crossJoin(broadcast(agg)) — the same scalar pattern used everywhere
+    else), not driver collect()s, so the whole statistic is one job."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -628,17 +631,23 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    mu = daily.agg(F.avg("n")).collect()[0][0]
+    mu = daily.agg(F.avg("n").alias("mu"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    cus = daily.select(
+    cus = daily.crossJoin(F.broadcast(mu)).select(
         "day",
         F.col("n").cast("bigint").alias("n"),
-        (F.round(F.sum(F.col("n") - F.lit(mu)).over(w), 4) + F.lit(0.0)).alias("cusum"),
+        (F.round(F.sum(F.col("n") - F.col("mu")).over(w), 4) + F.lit(0.0)).alias(
+            "cusum"
+        ),
     )
-    peak = cus.agg(F.max(F.abs("cusum"))).collect()[0][0]
-    return cus.select(
-        "day",
-        "n",
-        "cusum",
-        (F.abs("cusum") == F.lit(peak)).cast("int").alias("is_changepoint"),
-    ).orderBy("day")
+    peak = cus.agg(F.max(F.abs("cusum")).alias("peak"))
+    return (
+        cus.crossJoin(F.broadcast(peak))
+        .select(
+            "day",
+            "n",
+            "cusum",
+            (F.abs("cusum") == F.col("peak")).cast("int").alias("is_changepoint"),
+        )
+        .orderBy("day")
+    )

@@ -79,6 +79,16 @@ _ALTER_DROP_RE = re.compile(
     re.IGNORECASE,
 )
 
+# Tokens that only occur in the Astro grammar, never in core Spark SQL. A
+# statement carrying one of these that does NOT match a supported shape is
+# a near-miss (typo, or a documented-upstream form we don't support, e.g.
+# 'CREATE ... IN HBASE NAMESPACE ns') — reject it loudly instead of
+# delegating to spark.sql, where it would either error confusingly or,
+# worse, silently parse as something else and mask the typo.
+_ASTRO_MARKERS_RE = re.compile(
+    r"MAPPED\s+BY|\bINPATH\b|\bPARALL\b|\bHBASE\b|\bBULKLOAD\b", re.IGNORECASE
+)
+
 
 @dataclass
 class _AstroTable:
@@ -126,6 +136,14 @@ class AstroDialect:
             m = pattern.match(text)
             if m:
                 return handler(m)
+        if _ASTRO_MARKERS_RE.search(text):
+            raise ValueError(
+                "astro_dialect: statement uses Astro grammar markers but does "
+                "not match any supported shape (CREATE ... MAPPED BY, "
+                "LOAD [PARALL] DATA [LOCAL] INPATH, INSERT INTO|OVERWRITE, "
+                "ALTER TABLE ADD/DROP, DROP TABLE, SHOW TABLES, DESCRIBE); "
+                f"rejected rather than delegated to Spark SQL: {text.strip()[:120]!r}"
+            )
         return self.spark.sql(text)  # core-parser fallthrough
 
     # -- handlers -------------------------------------------------------------

@@ -207,3 +207,28 @@ def test_shell_statement_split_quote_aware():
     got = split_statements("INSERT INTO t VALUES ('a;b'); SELECT 'x\";y'")
     assert got == ["INSERT INTO t VALUES ('a;b')", " SELECT 'x\";y'"]
     assert split_statements("SELECT \"a;b\"") == ['SELECT "a;b"']
+
+
+def test_near_miss_astro_statements_rejected(dialect):
+    """Statements carrying Astro-only grammar markers that don't parse as a
+    supported shape must be rejected loudly, not delegated to Spark SQL
+    where the typo would surface as a confusing core-parser error (or
+    silently succeed as something else)."""
+    near_misses = [
+        # typo'd MAPPED BY clause (missing paren)
+        "CREATE TABLE bad (k BIGINT, PRIMARY KEY (k)) MAPPED BY hb_bad",
+        # documented-upstream namespace form we don't support
+        "CREATE TABLE bad (k BIGINT, PRIMARY KEY (k)) "
+        "MAPPED BY (hb_bad) IN HBASE NAMESPACE ns",
+        # LOAD with unquoted path
+        "LOAD DATA INPATH /tmp/x.csv INTO TABLE t1",
+        # PARALL outside a LOAD statement
+        "BULKLOAD PARALL '/tmp/x' INTO t1",
+    ]
+    for stmt in near_misses:
+        with pytest.raises(ValueError, match="astro_dialect"):
+            dialect.sql(stmt)
+
+
+def test_plain_sql_still_falls_through(dialect):
+    assert dialect.sql("SELECT 1 AS one").collect()[0].one == 1
