@@ -49,3 +49,166 @@ def test_same_query_twice_is_deterministic(spark):
     assert a.sort_values(a.columns.tolist()).reset_index(drop=True).equals(
         b.sort_values(b.columns.tolist()).reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming failure recovery (VERDICT r02 item 5): kill a stream mid-run,
+# restart from the same checkpoint, and prove exactly-once output / restored
+# state against the batch oracle.
+# ---------------------------------------------------------------------------
+
+_EV_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def _multi_file_source(spark, tmp_path, n_files=6):
+    """events.parquet split into n_files so maxFilesPerTrigger yields
+    multiple micro-batches (the single testdata file is one batch)."""
+    src = str(tmp_path / "src")
+    (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    return src
+
+
+def test_stream_stateful_crash_restart_restores_state(spark, tmp_path):
+    """applyInPandasWithState: the foreachBatch sink raises on micro-batch 2
+    (a simulated executor/driver crash AFTER state for batches 0-1 was
+    committed). Restarting from the same checkpoint must (a) replay batch 2
+    with the SAME batch id, (b) restore per-user state, so the final
+    cumulative counts equal the batch aggregate over ALL events."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _multi_file_source(spark, tmp_path)
+    out = str(tmp_path / "state_out")
+    ckpt = str(tmp_path / "state_ckpt")
+
+    def build(crash_on_batch):
+        ev = (
+            spark.readStream.schema(_EV_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+
+        def track(key, pdfs, state: GroupState):
+            n, total = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        updates = ev.groupBy("user_id").applyInPandasWithState(
+            track,
+            outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+            stateStructType="n BIGINT, total DOUBLE",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+        def sink(batch_df, batch_id):
+            if batch_id in crash_on_batch:
+                raise RuntimeError(f"injected crash at batch {batch_id}")
+            # idempotent per-batch-id overwrite — the documented foreachBatch
+            # exactly-once pattern
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).parquet(f"{out}/batch={batch_id}")
+
+        return (
+            updates.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # phase 1: crashes on batch 2 (batches 0-1 committed)
+    q1 = build(crash_on_batch={2})
+    with pytest.raises(Exception, match="injected crash"):
+        q1.awaitTermination()
+    # phase 2: same checkpoint, no crash — replays batch 2, finishes the rest
+    q2 = build(crash_on_batch=set())
+    q2.awaitTermination()
+
+    landed = spark.read.option("basePath", out).parquet(f"{out}/batch=*")
+    from pyspark.sql.window import Window
+
+    final = (
+        landed.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 2).alias("tv"))
+    )
+    expected = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("tv"),
+        )
+    )
+    diff = final.exceptAll(expected).count() + expected.exceptAll(final).count()
+    assert diff == 0, f"state after crash-restart diverges from batch oracle ({diff} rows)"
+
+
+def test_stream_file_sink_resume_is_exactly_once(spark, tmp_path):
+    """Parquet streaming sink: run availableNow over half the source files,
+    terminate, drop in the other half, restart from the same checkpoint.
+    The sink's commit manifest must yield every event exactly once — no
+    replays of already-committed batches, no losses."""
+    from pyspark.sql import functions as F
+
+    full = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_total = full.count()
+    staged = str(tmp_path / "staged")
+    src = str(tmp_path / "src")
+    full.repartition(6).write.parquet(staged)
+    import os
+    import shutil
+
+    os.makedirs(src)
+    parts = sorted(p for p in os.listdir(staged) if p.endswith(".parquet"))
+    assert len(parts) == 6
+    for p in parts[:3]:
+        shutil.copy(os.path.join(staged, p), os.path.join(src, p))
+
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(_EV_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("event_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # lands files 1-3, checkpoint records their offsets
+    for p in parts[3:]:
+        shutil.copy(os.path.join(staged, p), os.path.join(src, p))
+    run_once()  # must land ONLY files 4-6
+
+    landed = spark.read.parquet(out)
+    assert landed.count() == n_total
+    assert landed.select("event_id").distinct().count() == n_total  # no dupes
