@@ -13,6 +13,7 @@ from backup_repo_spark.functions import packs  # noqa: F401
 from backup_repo_spark.llm import (  # noqa: F401
     bpe,
     dedup,
+    lm,
     multimodal,
     pipeline,
     simsearch,

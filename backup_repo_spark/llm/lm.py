@@ -1,0 +1,254 @@
+"""Statistical language-model signals over the documents corpus — the
+quality-scoring layer a CCNet/KenLM-style training-data pipeline runs
+between dedup and mixing: score every document under a corpus-trained
+n-gram LM, measure cross-document n-gram duplication, and fingerprint
+documents with winnowing (the MOSS algorithm) for robust overlap
+detection.
+
+All three are pure DataFrame compositions (explode + groupBy + join +
+window) with engine-independent arithmetic, so every key is full-value
+oracled against DuckDB.
+
+Scale notes (100 TB): n-gram count tables are |vocab|- or
+|distinct-ngram|-sized — orders of magnitude smaller than the corpus —
+and every per-document pass is map-only after the count join. The
+score join shuffles on the n-gram key; hot n-grams (stopword pairs) are
+exactly the skew case partial aggregation absorbs (SCALING.md §Skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backup_repo_spark.registry import query
+from backup_repo_spark.session import load_table
+
+
+def _bigrams(d: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — raw-adjacent token pairs, both non-empty (same
+    semantics as the oracle: adjacency is in RAW positions, so a doubled
+    space never fabricates a pair across the gap). Map-only."""
+    toks = F.split(F.col("text"), " ")
+    pairs = F.filter(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda x, i: F.struct(
+                x.alias("w1"), F.element_at(toks, i + 2).alias("w2")
+            ),
+        ),
+        lambda s: (F.length(s["w1"]) > 0) & (F.length(s["w2"]) > 0),
+    )
+    return d.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+
+
+@query(
+    "llm_lm_score",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, toks, generate_subscripts(toks, 1) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM tk WHERE i < len(toks) AND toks[i] <> '' AND toks[i+1] <> ''
+    ),
+    uni AS (SELECT w1 AS w, count(*) AS cu FROM bg GROUP BY 1),
+    bic AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+    v AS (SELECT count(DISTINCT w2) AS vocab FROM bg),
+    scored AS (
+      SELECT b.doc_id,
+             -ln((bic.cb + 1.0) / (uni.cu + (SELECT vocab FROM v))) AS nll
+      FROM bg b
+      JOIN bic ON b.w1 = bic.w1 AND b.w2 = bic.w2
+      JOIN uni ON b.w1 = uni.w
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(nll), 4) AS avg_nll
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (the CCNet/KenLM pattern): train add-one-
+    smoothed bigram statistics on the corpus itself, then score every
+    document by its average negative log-likelihood — low = fluent/common
+    phrasing, high = gibberish or boilerplate-noise; pipelines keep the
+    middle band. p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V).
+
+    Distributed shape: bigram explode is map-only; the count tables are
+    |vocab|/|distinct-bigram|-sized aggregates; scoring is an equi-join of
+    doc bigrams against the counts (never a per-doc model broadcast), then
+    one per-doc average. At 100 TB the count tables would be bucketed on
+    their join key and the explode pipelined — no stage holds the corpus.
+    Determinism: the ln() values average in arbitrary order but rounding
+    to 4 decimals absorbs the ~1e-13 float reassociation noise."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = _bigrams(d)
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    bic = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    vocab = bg.agg(F.countDistinct("w2").alias("vocab"))
+    nll = -F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("vocab")))
+    return (
+        bg.join(bic, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_dup_coverage",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, toks, generate_subscripts(toks, 1) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             toks[i+3] || ' ' || toks[i+4] AS g
+      FROM tk WHERE i <= len(toks) - 4
+    ),
+    docs_per AS (SELECT g, count(*) AS nd FROM sh GROUP BY g)
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           round(count_if(dp.nd >= 2) * 1.0 / count(*), 4) AS dup_coverage
+    FROM sh s JOIN docs_per dp ON s.g = dp.g
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+)
+def llm_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document n-gram duplication coverage (the Dolma/RefinedWeb
+    'fraction of doc seen elsewhere' signal): for each document, the share
+    of its distinct 5-gram shingles that occur in at least one OTHER
+    document. Near 1.0 = templated/mirrored content even when no single
+    pair crosses a Jaccard threshold — the signal that catches boilerplate
+    families pairwise dedup misses.
+
+    Shape: shingle explode (map-only) → shingle document-frequency
+    aggregate (|distinct-shingle|-sized) → equi-join back on the shingle →
+    per-doc ratio. Never any doc×doc pair space. Since shingles are
+    distinct per doc, nd >= 2 exactly means 'appears in another doc'."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 4, F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ",
+                x,
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+                F.element_at(toks, i + 4),
+                F.element_at(toks, i + 5),
+            ),
+        )
+    )
+    sh = d.select("doc_id", F.explode(sh_arr).alias("g"))
+    dpf = sh.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        sh.join(dpf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.round(
+                F.count_if(F.col("nd") >= 2) * 1.0 / F.count(F.lit(1)), 4
+            ).alias("dup_coverage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_winnowing",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, toks, generate_subscripts(toks, 1) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    kg AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substring(md5(
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8))
+               AS BIGINT) AS h
+      FROM tk WHERE i <= len(toks) - 2
+    ),
+    win AS (
+      SELECT doc_id, i,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS n_kg
+      FROM kg
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp
+      FROM win WHERE i + 3 <= n_kg
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+           CAST(sum(fp) AS BIGINT) AS fp_sum,
+           CAST(min(fp) AS BIGINT) AS fp_min
+    FROM fps GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken — the
+    MOSS algorithm, public): hash every 3-gram (first 8 md5 hex chars →
+    32-bit int), slide a window of 4 consecutive hashes, keep each
+    window's minimum, dedupe — a guaranteed-coverage fingerprint set (any
+    shared run of >= w+k-1 tokens shares a fingerprint) that is ~1/(w+1)
+    the size of the full shingle set. The summary (count / sum / min of
+    fingerprints per doc) is order-independent and exact-integer, so both
+    engines produce identical values.
+
+    Shape: hash explode is map-only; the sliding min is one ordered
+    window per doc (partitioned by doc_id — never a global sort); the
+    fingerprint dedupe is a per-doc distinct. At 100 TB the fingerprint
+    table (not the corpus) is what joins against the index — the same
+    candidate-generation shape as the banded-LSH stack."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    tri = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda x, i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    kg = d.select("doc_id", F.posexplode(tri).alias("i0", "h")).select(
+        "doc_id", (F.col("i0") + 1).alias("i"), "h"
+    )
+    w_min = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    w_cnt = Window.partitionBy("doc_id")
+    win = kg.select(
+        "doc_id",
+        "i",
+        F.min("h").over(w_min).alias("fp"),
+        F.count(F.lit(1)).over(w_cnt).alias("n_kg"),
+    )
+    fps = win.filter(F.col("i") + 3 <= F.col("n_kg")).select("doc_id", "fp").distinct()
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+            F.sum("fp").cast("bigint").alias("fp_sum"),
+            F.min("fp").cast("bigint").alias("fp_min"),
+        )
+        .orderBy("doc_id")
+    )

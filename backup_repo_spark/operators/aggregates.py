@@ -357,6 +357,88 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_countmin_sketch",
+    oracle="""
+    WITH h AS (
+      SELECT user_id, d.d AS depth,
+             CAST(('0x' || substring(md5('cm' || d.d || '-' || user_id), 1, 8))
+               AS BIGINT) % 256 AS bucket
+      FROM events, (SELECT unnest(generate_series(1, 4)) AS d) d
+    ),
+    counters AS (
+      SELECT depth, bucket, count(*) AS c FROM h GROUP BY depth, bucket
+    ),
+    topk AS (
+      SELECT user_id, count(*) AS exact_n FROM events
+      GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 5
+    ),
+    qh AS (
+      SELECT t.user_id, t.exact_n, d.d AS depth,
+             CAST(('0x' || substring(md5('cm' || d.d || '-' || t.user_id), 1, 8))
+               AS BIGINT) % 256 AS bucket
+      FROM topk t, (SELECT unnest(generate_series(1, 4)) AS d) d
+    )
+    SELECT q.user_id, CAST(q.exact_n AS BIGINT) AS exact_n,
+           CAST(min(c.c) AS BIGINT) AS cm_estimate
+    FROM qh q JOIN counters c ON q.depth = c.depth AND q.bucket = c.bucket
+    GROUP BY q.user_id, q.exact_n ORDER BY q.user_id
+    """,
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode/Muthukrishnan, public) built as pure
+    DataFrame ops with an engine-independent hash family (md5-derived), so
+    — unlike library sketches — the ENTIRE sketch, not just a bound, is
+    value-verified cross-engine: DuckDB rebuilds the identical 4x256
+    counter matrix and the identical point estimates.
+
+    Shape: each row explodes into depth=4 (depth, bucket) cells (map-only
+    4x fanout), counters = one groupBy over 1024 cells — constant-size
+    state, the mergeable-sketch property that lets 100 TB of per-day
+    sketches sum cell-wise instead of re-scanning. Point estimate for a
+    key = min over its 4 counters (over-count only; est >= exact always,
+    est <= exact + (e/256)N w.h.p.). The query reports the 5 heaviest
+    users' exact counts next to their sketch estimates."""
+    ev = load_table(spark, sf_dir, "events")
+    depths = F.array(*[F.lit(i) for i in range(1, 5)])
+
+    def cells(df, key):
+        e = df.select(key, F.explode(depths).alias("depth"))
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cm"), F.col("depth"), F.lit("-"), F.col(key))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 256
+        )
+        return e.select(key, "depth", bucket.alias("bucket"))
+
+    counters = (
+        cells(ev, "user_id")
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    topk = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(5)
+    )
+    qh = cells(topk, "user_id").join(topk, "user_id")
+    return (
+        qh.join(F.broadcast(counters), ["depth", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").cast("bigint").alias("cm_estimate"))
+        .select("user_id", F.col("exact_n").cast("bigint").alias("exact_n"), "cm_estimate")
+        .orderBy("user_id")
+    )
+
+
+@query(
     "agg_listagg",
     oracle="""
     SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations

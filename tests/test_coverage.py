@@ -214,6 +214,10 @@ EXTENSION_KEYS = [
     "fn_csv_roundtrip",
     # batch 64: contrastive triplet mining
     "llm_contrastive_triplets",
+    # round 3: bigram-LM quality scoring, cross-doc n-gram dup coverage,
+    # winnowing (MOSS) fingerprints, value-verified count-min sketch
+    "llm_lm_score", "llm_dup_coverage", "llm_winnowing",
+    "agg_countmin_sketch",
 ]
 
 
