@@ -624,3 +624,97 @@ def llm_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "llm_e2e_curation",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, lang, n_chars, text, md5(text) AS digest,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+        FROM base
+      ) WHERE rn = 1
+    ),
+    quality AS (
+      SELECT * FROM deduped WHERE n_chars >= 150 AND n_tok >= 30
+    ),
+    tot AS (SELECT sum(n_tok) AS all_tok FROM quality)
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS docs_in,
+           CAST(count(DISTINCT CASE WHEN d.doc_id IS NOT NULL
+                                    THEN d.doc_id END) AS BIGINT)
+             AS docs_after_dedup,
+           CAST(count(DISTINCT CASE WHEN q.doc_id IS NOT NULL
+                                    THEN q.doc_id END) AS BIGINT)
+             AS docs_after_quality,
+           CAST(coalesce(sum(CASE WHEN q.doc_id IS NOT NULL
+                                  THEN q.n_tok END), 0) AS BIGINT)
+             AS tokens_final,
+           round(coalesce(sum(CASE WHEN q.doc_id IS NOT NULL
+                                   THEN q.n_tok END), 0)
+                 * 1.0 / (SELECT all_tok FROM tot), 4) AS mixture_weight
+    FROM base b
+    LEFT JOIN deduped d ON b.doc_id = d.doc_id
+    LEFT JOIN quality q ON b.doc_id = q.doc_id
+    GROUP BY b.source ORDER BY b.source
+    """,
+)
+def llm_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline END-TO-END in one DataFrame program — what a
+    user of the engine actually runs nightly: exact dedup (content digest,
+    survivor = lowest doc_id), quality gate (length + token floor), then
+    per-source token accounting with the realized mixture weight of the
+    final corpus. One row per source with the attrition at every stage —
+    the dataset-card numbers, produced by the pipeline itself.
+
+    Shape: digest dedup is one window over the digest hash-shuffle
+    (never doc×doc); the stage flags ride along as booleans so attrition
+    for all stages comes out of ONE aggregation pass; the mixture
+    denominator is a broadcast 1-row aggregate. At 100 TB each stage is
+    the same shuffle the standalone keys use — composing them adds no new
+    stage, which is the point of declarative composition: Catalyst fuses
+    the funnel into the dedup window's pipeline."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("digest"),
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    rn = F.row_number().over(Window.partitionBy("digest").orderBy("doc_id"))
+    flagged = base.withColumn("is_survivor", rn == 1).withColumn(
+        "is_quality",
+        (rn == 1) & (F.col("n_chars") >= 150) & (F.col("n_tok") >= 30),
+    )
+    tot = flagged.filter("is_quality").agg(F.sum("n_tok").alias("all_tok"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_in"),
+            F.count_if(F.col("is_survivor")).cast("bigint").alias("docs_after_dedup"),
+            F.count_if(F.col("is_quality")).cast("bigint").alias("docs_after_quality"),
+            F.coalesce(F.sum(F.when(F.col("is_quality"), F.col("n_tok"))), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_final"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "docs_in",
+            "docs_after_dedup",
+            "docs_after_quality",
+            "tokens_final",
+            F.round(F.col("tokens_final") * 1.0 / F.col("all_tok"), 4).alias(
+                "mixture_weight"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -453,3 +453,63 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(agg, "complete")
+
+
+_DOCS_SCHEMA = (
+    "doc_id BIGINT, source STRING, lang STRING, n_chars BIGINT, "
+    "quality DOUBLE, text STRING"
+)
+
+
+@query(
+    "stream_dedup_against_corpus",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250
+    ),
+    incoming AS (
+      SELECT lang, md5(text) AS digest FROM documents
+    )
+    SELECT lang, CAST(count(DISTINCT digest) AS BIGINT) AS n_new_unique
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.digest = i.digest)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def stream_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly-ingest dedup shape, LIVE: a stream of incoming documents
+    is deduplicated against the EXISTING corpus (left-anti join to a static
+    digest set, broadcast per micro-batch) and within itself (distinct
+    digest), yielding the per-language count of genuinely new unique
+    documents. The 'corpus' is the first half of the documents table (by
+    doc_id), the stream is the whole table — so the survivors are exactly
+    the second-half digests absent from the first half.
+
+    Output is counts of DISTINCT digests — order-independent, so the
+    result is deterministic whatever micro-batch order the file stream
+    picks. At 100 TB the static side is a bucketed digest index and the
+    anti-join hits only the incoming batch — the same incoming-vs-base
+    shape as `llm_incremental_dedup`, but running in the streaming engine
+    with its state carried by the distinct aggregation."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    incoming = raw.select("lang", F.md5("text").alias("digest"))
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 250)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    new_docs = incoming.join(F.broadcast(corpus), "digest", "left_anti")
+    # streaming has no COUNT(DISTINCT): dedup statefully (dropDuplicates on
+    # the (lang, digest) pair — the streaming dedup operator), then count.
+    agg = (
+        new_docs.dropDuplicates(["lang", "digest"])
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_unique"))
+    )
+    return _run_to_table(agg, "complete").orderBy("lang")

@@ -218,6 +218,8 @@ EXTENSION_KEYS = [
     # winnowing (MOSS) fingerprints, value-verified count-min sketch
     "llm_lm_score", "llm_dup_coverage", "llm_winnowing",
     "agg_countmin_sketch",
+    # round 3: end-to-end curation composition + live corpus-ingest dedup
+    "llm_e2e_curation", "stream_dedup_against_corpus",
 ]
 
 
