@@ -718,3 +718,87 @@ def llm_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "llm_span_dedup_rebuild",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ch AS (
+      SELECT doc_id, s,
+             array_to_string(toks[s:s + 31], ' ') AS chunk
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks), 1), 32)) AS s
+            FROM tk)
+    ),
+    ranked AS (
+      SELECT doc_id, s, chunk,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, s) AS rn
+      FROM ch
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             count(*) AS n_chunks,
+             count_if(rn = 1) AS n_kept,
+             md5(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                            ORDER BY s)) AS rebuilt_digest
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_kept AS BIGINT) AS n_kept, rebuilt_digest
+    FROM rebuilt ORDER BY doc_id
+    """,
+)
+def llm_span_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup WITH document reconstruction — the C4/RefinedWeb
+    move that pairwise doc dedup can't make: split every document into
+    non-overlapping 32-token spans, keep only each span's globally FIRST
+    occurrence (ordered by doc_id, position — deterministic survivorship),
+    and rebuild every document from its surviving spans, returning the
+    rebuilt text's digest so the oracle verifies the reconstruction
+    byte-for-byte, not just the counts.
+
+    Shape: span explode is map-only; first-occurrence election is one
+    window over the span-digest shuffle (never span x span); rebuild is a
+    per-doc sorted aggregation. At 100 TB the span-digest shuffle is the
+    single heavy stage and it carries (digest, doc_id, pos) triples, not
+    text — the rebuild joins surviving spans back by position."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(32))
+    ch = d.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("s")
+    ).select(
+        "doc_id", "s", F.array_join(F.slice("toks", F.col("s"), 32), " ").alias("chunk")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "s")
+    )
+    ranked = ch.withColumn("rn", rn)
+    rebuilt_text = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rn") == 1, F.struct(F.col("s"), F.col("chunk")))
+                )
+            ),
+            lambda x: x["chunk"],
+        ),
+        " ",
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.count_if(F.col("rn") == 1).cast("bigint").alias("n_kept"),
+            # a fully-duplicated doc keeps zero spans: NULL digest on both
+            # engines (string_agg over no rows is NULL; md5('') is not)
+            F.when(F.count_if(F.col("rn") == 1) > 0, F.md5(rebuilt_text)).alias(
+                "rebuilt_digest"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -220,6 +220,8 @@ EXTENSION_KEYS = [
     "agg_countmin_sketch",
     # round 3: end-to-end curation composition + live corpus-ingest dedup
     "llm_e2e_curation", "stream_dedup_against_corpus",
+    # round 3: C4-style span dedup with document reconstruction
+    "llm_span_dedup_rebuild",
 ]
 
 
