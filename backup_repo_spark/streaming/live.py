@@ -61,6 +61,35 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _stream_events_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a stream that yields SEVERAL micro-batches (the single
+    testdata file is one batch, which would leave incremental-merge paths
+    untested): stage a 4-file copy once per (process, sf_dir) and stream it
+    with maxFilesPerTrigger=1."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    staged = os.path.join(
+        tempfile.gettempdir(), f"brs_ev_multi_{os.getpid()}_{abs(hash(sf_dir))}"
+    )
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        from backup_repo_spark.session import load_table
+
+        # range-partition by ts: micro-batches arrive roughly time-ordered
+        # (the realistic ingest shape), so an incremental consumer's
+        # per-batch working set is a time slice, not the whole history.
+        load_table(spark, sf_dir, "events").repartitionByRange(4, "ts").write.mode(
+            "overwrite"
+        ).parquet(staged)
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def _run_to_table(df: DataFrame, mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion into a memory sink and
     return the sink contents."""
@@ -513,3 +542,150 @@ def stream_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_unique"))
     )
     return _run_to_table(agg, "complete").orderBy("lang")
+
+
+@query(
+    "stream_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_live,
+           round(sum(value), 2) AS sv_live
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture APPLY: the events stream is read as a CDC feed
+    (op = delete for 'error' events, upsert otherwise; change order =
+    (ts, event_id)) and folded into a materialized snapshot via
+    foreachBatch — last-writer-wins per key, tombstones retained so a
+    later batch can't resurrect a deleted key. Snapshots are versioned by
+    micro-batch id (idempotent overwrite per version), which is exactly
+    the replay-safe shape the checkpoint-restart tests prove: a retried
+    batch rewrites its own version from its predecessor, never corrupting
+    the chain. The final live-row aggregate must equal the batch
+    LWW-window oracle over the whole feed, whatever the batch boundaries.
+
+    100 TB shape: the per-batch merge is (snapshot ∪ batch) → one window
+    over the key shuffle; production would partition the snapshot by key
+    bucket and rewrite only buckets the batch touches (dynamic partition
+    overwrite — `dml_partition_overwrite` is that operator), keeping
+    per-batch IO proportional to the delta, not the snapshot."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    ev = _stream_events_multibatch(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+    base = tempfile.mkdtemp(prefix="brs_cdc_")
+    ckpt = tempfile.mkdtemp(prefix="brs_ckpt_")
+    state = {"v": -1}
+
+    def apply_batch(bdf: DataFrame, bid: int) -> None:
+        s = bdf.sparkSession
+        if state["v"] >= 0:
+            prev = s.read.parquet(f"{base}/v{state['v']}")
+            merged = prev.unionByName(bdf)
+        else:
+            merged = bdf
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        snap = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        snap.write.mode("overwrite").parquet(f"{base}/v{bid}")
+        state["v"] = bid
+
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.read.parquet(f"{base}/v{state['v']}")
+    return snap.filter(F.col("op") == "U").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_live"),
+        F.round(F.sum("value"), 2).alias("sv_live"),
+    )
+
+
+@query(
+    "stream_continuous_aggregate",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') AS hr,
+           event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sv
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (the hypertable-rollup pattern): a per-(hour,
+    event_type) rollup table is MAINTAINED INCREMENTALLY as the stream
+    arrives — each micro-batch merges its deltas into only the hour
+    partitions it touches and rewrites exactly those via dynamic partition
+    overwrite, never the whole rollup. Readers always see a complete
+    rollup table; the final table must equal the batch GROUP BY oracle
+    regardless of how batches split hours.
+
+    100 TB shape: per-batch IO is proportional to touched partitions (a
+    late-data batch touches old hours and only they get rewritten) — the
+    streaming twin of `dml_partition_overwrite`, and the reason continuous
+    aggregates beat re-running the rollup: the rollup table is
+    |hours × types|-sized while the input is unbounded."""
+    import tempfile
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ev = _stream_events_multibatch(spark, sf_dir).select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd-HH").alias("hr"),
+        "event_type",
+        "value",
+    )
+    out = tempfile.mkdtemp(prefix="brs_cagg_")
+    ckpt = tempfile.mkdtemp(prefix="brs_ckpt_")
+    wrote = {"any": False}
+
+    def merge_batch(bdf: DataFrame, bid: int) -> None:
+        s = bdf.sparkSession
+        delta = bdf.groupBy("hr", "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("value").alias("sv_raw"),
+        )
+        if wrote["any"]:
+            hours = [r.hr for r in delta.select("hr").distinct().collect()]
+            existing = s.read.parquet(out).filter(F.col("hr").isin(hours))
+            delta = (
+                existing.unionByName(delta)
+                .groupBy("hr", "event_type")
+                .agg(F.sum("n").cast("bigint").alias("n"), F.sum("sv_raw").alias("sv_raw"))
+            )
+        # dynamic overwrite: only the hour partitions present in `delta`
+        # are replaced; untouched hours keep their files.
+        delta.write.mode("overwrite").partitionBy("hr").parquet(out)
+        wrote["any"] = True
+
+    q = (
+        ev.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rollup = spark.read.parquet(out)
+    return rollup.select(
+        "hr", "event_type", "n", F.round("sv_raw", 2).alias("sv")
+    ).orderBy("hr", "event_type")

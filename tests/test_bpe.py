@@ -126,3 +126,45 @@ def test_bpe_encode_matches_reference_on_corpus(spark):
         w_cnt, t_cnt = want.get(r.lang, (0, 0))
         want[r.lang] = (w_cnt + r["count"], t_cnt + len(syms) * r["count"])
     assert got == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(words_strategy)
+def test_duckdb_oracle_replace_chain_matches_reference(wc):
+    """The generated DuckDB oracle's merge-apply is a plain replace() over
+    a double-space token encoding — prove on random word multisets that
+    this equals the greedy left-fold reference, including the adversarial
+    cases (odd same-symbol runs 'aaa', overlapping chains 'abab')."""
+    import duckdb
+
+    from backup_repo_spark.llm.bpe import _bpe_merges_oracle
+
+    con = duckdb.connect()
+    docs = [(" ".join([w] * n),) for w, n in wc.items()]
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", docs)
+    got = [tuple(r) for r in con.execute(_bpe_merges_oracle(8)).fetchall()]
+    want = _bpe_ref(wc, 8)
+    assert got == want
+
+
+def test_duckdb_oracle_replace_chain_adversarial_cases():
+    """Pin the exact strings the double-space replace trick must get right."""
+    import duckdb
+
+    from backup_repo_spark.llm.bpe import _bpe_merges_oracle
+
+    for corpus in (
+        {"aaaaa": 3},          # odd same-symbol run: pairs up left-to-right
+        {"ababab": 2},         # overlapping chain, all pairs merge
+        {"aab": 5, "abb": 4},  # fold blocking on left/right
+        {"aaab": 2, "ba": 7},
+    ):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (text VARCHAR)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?)",
+            [(" ".join([w] * n),) for w, n in corpus.items()],
+        )
+        got = [tuple(r) for r in con.execute(_bpe_merges_oracle(8)).fetchall()]
+        assert got == _bpe_ref(corpus, 8), corpus

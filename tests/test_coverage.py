@@ -222,6 +222,10 @@ EXTENSION_KEYS = [
     "llm_e2e_curation", "stream_dedup_against_corpus",
     # round 3: C4-style span dedup with document reconstruction
     "llm_span_dedup_rebuild",
+    # round 3: CDC apply — versioned LWW snapshot maintenance via foreachBatch
+    "stream_cdc_apply",
+    # round 3: continuous aggregate via dynamic partition overwrite
+    "stream_continuous_aggregate",
 ]
 
 
