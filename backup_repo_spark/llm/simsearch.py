@@ -565,3 +565,79 @@ def llm_sim_search_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("cos", 6).alias("cos_sim"))
     )
+
+
+@query(
+    "llm_ann_partitioned",
+    oracle="""
+    WITH coded AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS e, bucket AS qb FROM coded WHERE vec_id = 0),
+    pairs AS (
+      SELECT v.vec_id, v.bucket,
+             CAST(unnest(v.embedding) AS DOUBLE) AS x,
+             CAST(unnest(q.e) AS DOUBLE) AS y
+      FROM coded v, q
+      WHERE v.vec_id <> 0 AND v.bucket IN (q.qb, xor(q.qb, 1))
+    ), scored AS (
+      SELECT vec_id, bucket,
+             sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+      FROM pairs GROUP BY vec_id, bucket
+    )
+    SELECT vec_id, bucket, round(cos, 6) AS cos_sim
+    FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def llm_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN as a STORAGE problem: the corpus is written partitioned by its
+    IVF sign-bucket, and a query becomes a multi-probe partition-pruned
+    scan — probe buckets {qb, qb XOR 1} (the standard multi-probe recall
+    booster), resolved driver-side from the 1-row query lookup so the scan
+    carries a STATIC PartitionFilter (asserted in tests/test_plans.py),
+    then exact double-precision cosine within the probed partitions.
+
+    This is the serving-path shape of vector search at 100 TB: the index
+    IS the directory layout, a probe reads 2/16 of the corpus off disk
+    (not post-filters it), adding probes trades IO for recall with zero
+    code change, and the per-partition files are independently scannable
+    by a thousand executors. `llm_sim_search_ivf` proves the bucket math
+    in pure compute; this key proves the layout actually prunes."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    code = sum(
+        (
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            for i in range(4)
+        ),
+        start=F.lit(0),
+    ).alias("bucket")
+    coded = emb.select("vec_id", "embedding", code)
+    out = tempfile.mkdtemp(prefix="brs_annpart_")
+    coded.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    q = coded.filter(F.col("vec_id") == 0).select("embedding", "bucket").collect()[0]
+    probes = [int(q.bucket), int(q.bucket) ^ 1]
+    qe = F.array(*[F.lit(float(x)) for x in q.embedding])
+    part = (
+        spark.read.parquet(out)
+        .filter(F.col("bucket").isin(probes))
+        .filter(F.col("vec_id") != 0)
+    )
+    return (
+        part.select(
+            "vec_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            _cosine(F.col("embedding"), qe).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+        .select("vec_id", "bucket", F.round("cos", 6).alias("cos_sim"))
+    )

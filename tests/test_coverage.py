@@ -226,6 +226,8 @@ EXTENSION_KEYS = [
     "stream_cdc_apply",
     # round 3: continuous aggregate via dynamic partition overwrite
     "stream_continuous_aggregate",
+    # round 3: multi-probe ANN over bucket-partitioned storage (layout = index)
+    "llm_ann_partitioned",
 ]
 
 

@@ -493,3 +493,15 @@ def test_incremental_topk_has_no_full_rescan_of_base(spark):
     df = registry.QUERIES["llm_sim_search_incremental"](spark, SF_DIR)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_partitioned_probe_prunes_partitions(spark):
+    """The multi-probe ANN scan must carry a static PartitionFilter on the
+    bucket directory column — the layout IS the index; a probe that
+    post-filters instead of pruning reads the whole corpus."""
+    from backup_repo_spark.llm.simsearch import llm_ann_partitioned
+
+    df = llm_ann_partitioned(spark, SF_DIR)
+    plan = plan_of(df)
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "bucket" in pf and ("IN" in pf or "in" in pf), pf
