@@ -1,0 +1,107 @@
+"""Adversarial-corpus differential tests.
+
+The sf0.001/sf0.01 corpora are well-formed synthetic text; the
+text-processing keys' trickiest branches (empty documents, single-token
+documents, same-symbol runs, exact duplicates, substring containment,
+whitespace runs) never fire there. This harness builds a tiny documents
+table that is NOTHING BUT those cases, stages it as a parquet sf_dir
+(other tables symlinked from sf0.001), and runs the fragile
+document-processing keys through the SAME Spark-vs-DuckDB comparison the
+driver uses. A divergence here is a real cross-engine semantics bug that
+the clean corpora would hide.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from backup_repo_spark import registry
+from backup_repo_spark.session import TABLES
+from backup_repo_spark.testing import compare, hard_problems
+from tests.conftest import SF_DIR
+
+ADVERSARIAL_DOCS = [
+    # (doc_id, text, lang, source)
+    (0, "", "en", "empty"),                                   # empty doc
+    (1, "x", "en", "tiny"),                                   # single char
+    (2, "one", "en", "tiny"),                                 # single token
+    (3, "two tokens", "en", "tiny"),                          # below shingle width
+    (4, "a a a a a", "en", "runs"),                           # odd same-symbol run
+    (5, "a a a a a a", "en", "runs"),                         # even run
+    (6, "ab ab ab ab", "en", "runs"),                         # overlapping chain
+    (7, "the quick brown fox jumps over the lazy dog", "en", "plain"),
+    (8, "the quick brown fox jumps over the lazy dog", "en", "dup"),     # exact dup
+    (9, "quick brown fox jumps over", "en", "sub"),           # substring of 7
+    (10, "the the the quick quick brown", "en", "rep"),       # repeated words
+    (11, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "de", "plain"),
+    (12, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "de", "dup"),
+    (13, "z y x w v u t s r q p o n m l k j i h g f e d c b a", "fr", "rev"),
+    (14, "mixed CASE Tokens And. punct-uation! here?", "en", "punct"),
+    (15, "a b a b a b a b a b a b", "en", "runs"),            # long ab chain
+]
+
+# Document-processing keys whose oracles exercise tokenization, shingling,
+# windowing, replace-chains, or digest reconstruction — the branch-heavy
+# surface. All must hold on the adversarial corpus, not just clean text.
+FRAGILE_KEYS = [
+    "llm_bpe_merges",
+    "llm_bpe_encode",
+    "llm_winnowing",
+    "llm_span_dedup_rebuild",
+    "llm_dup_coverage",
+    "llm_lm_score",
+    "llm_dedup_exact",
+    "llm_dedup_simhash",
+    "llm_e2e_curation",
+    "llm_token_count",
+    "llm_doc_chunk",
+    "llm_stopword_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory):
+    """An sf_dir whose documents table is the adversarial corpus; every
+    other table symlinks to sf0.001."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("adv_sf")
+    # single parquet FILE (like the testdata), not a Spark directory —
+    # the oracles' read_parquet() expects a file path
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in ADVERSARIAL_DOCS], pa.int64()),
+            "text": [r[1] for r in ADVERSARIAL_DOCS],
+            "lang": [r[2] for r in ADVERSARIAL_DOCS],
+            "source": [r[3] for r in ADVERSARIAL_DOCS],
+            "n_chars": pa.array([len(r[1]) for r in ADVERSARIAL_DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_DIR}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def adv_duck(adv_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{adv_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", FRAGILE_KEYS)
+def test_fragile_key_on_adversarial_corpus(name, spark, adv_dir, adv_duck):
+    spark_pdf = registry.QUERIES[name](spark, adv_dir).toPandas()
+    duck_pdf = adv_duck.execute(registry.ORACLES[name]).fetchdf()
+    problems = hard_problems(compare(spark_pdf, duck_pdf))
+    assert not problems, f"{name} diverges on adversarial corpus: {problems}"
