@@ -24,13 +24,17 @@ from backup_repo_spark.session import load_table
 
 def _cosine(a, b):
     """Double-precision cosine between two array<float> columns (JVM-side,
-    higher-order functions — no UDF)."""
+    higher-order functions — no UDF). Zero-norm input (a padding/null
+    vector — real corpora have them) yields NULL, matching SQL division
+    semantics: DuckDB returns NULL for x/0.0 where Spark would return
+    NaN/Infinity, so the guard is what keeps the two engines' top-k
+    identical when degenerate vectors appear."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
     nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    return dot / (na * nb)
+    return F.when((na != 0.0) & (nb != 0.0), dot / (na * nb))
 
 
 @query(
@@ -304,11 +308,11 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, label,
            array_to_string(list_transform(embedding, v -> CAST(greatest(-127.0, least(127.0,
                floor(CAST(v AS DOUBLE) * (CAST(127 AS DOUBLE) /
-                   CAST(list_aggregate(list_transform(embedding, u -> abs(u)),
-                        'max') AS DOUBLE)) + 0.5))) AS INT)), ',') AS q,
+                   nullif(CAST(list_aggregate(list_transform(embedding, u -> abs(u)),
+                        'max') AS DOUBLE), 0.0)) + 0.5))) AS INT)), ',') AS q,
            round(CAST(127 AS DOUBLE) /
-                 CAST(list_aggregate(list_transform(embedding, u -> abs(u)),
-                      'max') AS DOUBLE), 6) AS scale
+                 nullif(CAST(list_aggregate(list_transform(embedding, u -> abs(u)),
+                      'max') AS DOUBLE), 0.0), 6) AS scale
     FROM embeddings ORDER BY vec_id
     """,
 )
@@ -320,15 +324,18 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(x + 0.5), which is exact IEEE arithmetic on both engines —
     unlike round(), whose half-case tie-breaking differs cross-engine.
     The int8 vector is rendered comma-joined (driver's canonicalizer
-    cannot sort list cells — round-1 `fn_higher_order` failure mode)."""
+    cannot sort list cells — round-1 `fn_higher_order` failure mode).
+    A zero vector has no absmax scale: nullif guards the division on
+    BOTH engines (Spark would produce Infinity, DuckDB NULL), yielding
+    NULL scale and an empty q — the documented degenerate contract."""
     e = load_table(spark, sf_dir, "embeddings")
-    scale = F.expr("127.0 / array_max(transform(embedding, u -> abs(u)))")
+    scale = F.expr("127.0 / nullif(array_max(transform(embedding, u -> abs(u))), 0.0D)")
     return e.select(
         "vec_id",
         "label",
         F.expr(
             "array_join(transform(embedding, v -> CAST(greatest(-127.0, least(127.0,"
-            " floor(v * (127.0 / array_max(transform(embedding, u -> abs(u))))"
+            " floor(v * (127.0 / nullif(array_max(transform(embedding, u -> abs(u))), 0.0D))"
             " + 0.5))) AS INT)), ',')"
         ).alias("q"),
         F.round(scale, 6).alias("scale"),
@@ -556,7 +563,11 @@ def llm_sim_search_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("double")
     def cos_vs_query(batch):  # pd.Series[list[float]] -> pd.Series[float]
         m = np.stack(batch.to_numpy()).astype(np.float64)
-        return pd.Series((m @ q) / (np.linalg.norm(m, axis=1) * qn))
+        norms = np.linalg.norm(m, axis=1) * qn
+        # zero-norm vectors -> None (SQL NULL), same contract as _cosine
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (m @ q) / norms
+        return pd.Series(np.where(norms == 0.0, np.nan, cos)).where(norms != 0.0)
 
     return (
         emb.filter(F.col("vec_id") != 0)

@@ -1,0 +1,103 @@
+"""Adversarial-embeddings differential tests.
+
+Real embedding corpora contain degenerate rows the synthetic table lacks:
+zero vectors (padding / failed encodes — cosine is 0/0), exact duplicates
+and scaled copies of the query (cos = 1.0 ties at the top of the ranking),
+antipodal vectors (cos = -1), and denormal-small magnitudes. DuckDB
+returns NULL for x/0.0 where Spark returns NaN/Infinity, so an unguarded
+cosine diverges cross-engine the moment a zero vector appears — the
+`_cosine` zero-norm guard exists precisely for this. This harness stages
+such a corpus and runs the similarity-search family through the driver's
+comparison.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from backup_repo_spark import registry
+from backup_repo_spark.session import TABLES
+from backup_repo_spark.testing import compare, hard_problems
+from tests.conftest import SF_DIR
+
+DIM = 64
+
+
+def _vec(fn):
+    return [float(fn(i)) for i in range(DIM)]
+
+
+def _mk_embeddings():
+    q = _vec(lambda i: ((i * 37 + 11) % 19 - 9) / 10.0)  # the query (vec_id 0)
+    rows = [
+        (0, q, 0),
+        (1, list(q), 1),                                  # exact duplicate: cos=1 tie
+        (2, [-x for x in q], 1),                          # antipodal: cos=-1
+        (3, _vec(lambda i: 0.0), 2),                      # zero vector: cos undefined
+        (4, [x * 1000.0 for x in q], 2),                  # scaled copy: cos=1 tie
+        (5, _vec(lambda i: 1e-30), 3),                    # denormal-small magnitude
+        (6, _vec(lambda i: 1.0 if i == 0 else 0.0), 3),   # axis vector
+    ]
+    for k in range(7, 24):
+        rows.append((k, _vec(lambda i, k=k: ((i * k + 3) % 23 - 11) / 7.0), k % 4))
+    return rows
+
+
+_EMB_KEYS = [
+    "llm_sim_search",
+    "llm_sim_search_ivf",
+    "llm_ann_partitioned",
+    "llm_sim_search_pandas",
+    "llm_embed_centroid",
+    "llm_embed_quantize",
+    "llm_embed_neardup",
+    "llm_hard_negatives",
+    "llm_contrastive_triplets",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_emb_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("adv_emb_sf")
+    rows = _mk_embeddings()
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{SF_DIR}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def adv_emb_duck(adv_emb_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{adv_emb_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _EMB_KEYS)
+def test_embedding_key_on_adversarial_corpus(name, spark, adv_emb_dir, adv_emb_duck):
+    if name not in registry.ORACLES:
+        pytest.skip("rows-only key")
+    spark_pdf = registry.QUERIES[name](spark, adv_emb_dir).toPandas()
+    duck_pdf = adv_emb_duck.execute(registry.ORACLES[name]).fetchdf()
+    problems = hard_problems(compare(spark_pdf, duck_pdf))
+    assert not problems, f"{name} diverges on adversarial embeddings: {problems}"
