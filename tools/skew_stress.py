@@ -2,7 +2,8 @@
 with MEASURED task-time distributions, not defaults.
 
 Generates a 20x events table whose ``user_id`` is zipf-distributed (rank =
-floor(N^u): the head user absorbs ~5% of all rows, ~15,000x the mean),
+floor(N^(u^2)): the head user absorbs ~23.5% of all rows, ~40,000x the
+mean — measured in the skew_profile record),
 then runs the three skew-sensitive shapes — shuffle join on the skewed
 key, per-key window, per-key aggregation — under the mitigations the
 engine ships:
