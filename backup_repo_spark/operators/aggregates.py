@@ -947,3 +947,111 @@ def stats_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_users", "xmin", "alpha_hill")
     )
+
+
+# The declared schema contract for every catalog table (FIXTURES.md).
+# Written out literally — the point is to pin expectations, not echo
+# whatever the files currently contain.
+_SCHEMA_CONTRACT: list[tuple[str, str, str]] = [
+    ("region", "r_regionkey", "int"), ("region", "r_name", "string"),
+    ("nation", "n_nationkey", "int"), ("nation", "n_name", "string"),
+    ("nation", "n_regionkey", "int"),
+    ("customer", "c_custkey", "bigint"), ("customer", "c_name", "string"),
+    ("customer", "c_nationkey", "int"), ("customer", "c_acctbal", "double"),
+    ("customer", "c_mktsegment", "string"),
+    ("supplier", "s_suppkey", "bigint"), ("supplier", "s_name", "string"),
+    ("supplier", "s_nationkey", "int"), ("supplier", "s_acctbal", "double"),
+    ("part", "p_partkey", "bigint"), ("part", "p_name", "string"),
+    ("part", "p_brand", "string"), ("part", "p_type", "string"),
+    ("part", "p_size", "int"), ("part", "p_retailprice", "double"),
+    ("orders", "o_orderkey", "bigint"), ("orders", "o_custkey", "bigint"),
+    ("orders", "o_orderstatus", "string"), ("orders", "o_totalprice", "double"),
+    ("orders", "o_orderdate", "timestamp_ntz"),
+    ("orders", "o_orderpriority", "string"),
+    ("lineitem", "l_orderkey", "bigint"), ("lineitem", "l_partkey", "bigint"),
+    ("lineitem", "l_suppkey", "bigint"), ("lineitem", "l_linenumber", "int"),
+    ("lineitem", "l_quantity", "double"),
+    ("lineitem", "l_extendedprice", "double"),
+    ("lineitem", "l_discount", "double"), ("lineitem", "l_tax", "double"),
+    ("lineitem", "l_returnflag", "string"),
+    ("lineitem", "l_linestatus", "string"),
+    ("lineitem", "l_shipdate", "timestamp_ntz"),
+    ("events", "event_id", "bigint"), ("events", "ts", "timestamp"),
+    ("events", "user_id", "bigint"), ("events", "event_type", "string"),
+    ("events", "value", "double"), ("events", "props", "string"),
+    ("documents", "doc_id", "bigint"), ("documents", "text", "string"),
+    ("documents", "lang", "string"), ("documents", "source", "string"),
+    ("documents", "n_chars", "bigint"),
+    ("embeddings", "vec_id", "bigint"),
+    ("embeddings", "embedding", "array<float>"),
+    ("embeddings", "label", "int"),
+]
+
+_SCHEMA_CONTRACT_VALUES = ",\n      ".join(
+    f"('{t}', '{c}', '{ty}')" for t, c, ty in _SCHEMA_CONTRACT
+)
+
+
+@query(
+    "dq_schema_contract",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      {_SCHEMA_CONTRACT_VALUES}
+    ) AS t(table_name, column_name, declared_type)
+    ORDER BY table_name, column_name
+    """,
+)
+def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract gate (the third leg of the dq family next to
+    `dq_constraints` and `dq_freshness`): the ACTUAL (table, column,
+    type) triples of every catalog table, compared against the literally
+    declared contract. Upstream schema drift — a widened int, a renamed
+    column, a timestamp precision change — is the classic silent killer
+    of nightly pipelines; this turns it into a red gate BEFORE any
+    consumer reads bad data. Metadata-only: reads footers, never rows —
+    free at any corpus size. The events `ts` contract is 'timestamp'
+    as normalized by the loader, whatever physical precision the files
+    carry (NANOS testdata, MICROS elsewhere — both branches covered in
+    tests)."""
+    from backup_repo_spark.session import TABLES, load_table
+
+    rows = []
+    for t in TABLES:
+        for c, dt in load_table(spark, sf_dir, t).dtypes:
+            rows.append((t, c, dt))
+    return spark.createDataFrame(
+        rows, "table_name STRING, column_name STRING, declared_type STRING"
+    ).orderBy("table_name", "column_name")
+
+
+@query(
+    "dq_volume_profile",
+    oracle="""
+    SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n FROM customer
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'documents', count(*) FROM documents
+    UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    ORDER BY table_name
+    """,
+)
+def dq_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume gate: exact row counts per fact/dim table — the cheapest
+    and highest-yield nightly check (a half-empty partition, a doubled
+    ingest, a truncated upload all show up here first). Counts come from
+    parquet row-group metadata via count(*) pushdown — no data read."""
+    from backup_repo_spark.session import load_table
+
+    parts = []
+    for t in ["customer", "orders", "lineitem", "events", "documents", "embeddings"]:
+        parts.append(
+            load_table(spark, sf_dir, t).agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")

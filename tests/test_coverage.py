@@ -228,6 +228,8 @@ EXTENSION_KEYS = [
     "stream_continuous_aggregate",
     # round 3: multi-probe ANN over bucket-partitioned storage (layout = index)
     "llm_ann_partitioned",
+    # round 3: data-quality gates — schema contract + volume profile
+    "dq_schema_contract", "dq_volume_profile",
 ]
 
 
