@@ -41,6 +41,11 @@ ADVERSARIAL_DOCS = [
     (13, "z y x w v u t s r q p o n m l k j i h g f e d c b a", "fr", "rev"),
     (14, "mixed CASE Tokens And. punct-uation! here?", "en", "punct"),
     (15, "a b a b a b a b a b a b", "en", "runs"),            # long ab chain
+    # unicode: BMP accents, CJK, and an ASTRAL emoji (U+1F600 is a
+    # surrogate pair in UTF-16 — probed: Spark split('')/md5/regex are all
+    # codepoint-aware and byte-agree with DuckDB, this row pins it)
+    (16, "café naïve 你好 \U0001F600 ok", "zh", "uni"),
+    (17, "\U0001F600\U0001F600 \U0001F600", "zh", "uni"),     # emoji-only doc
 ]
 
 # Document-processing keys whose oracles exercise tokenization, shingling,
