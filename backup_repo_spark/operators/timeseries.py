@@ -651,3 +651,66 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, n,
+             row_number() OVER (ORDER BY day) - 1 AS t
+      FROM daily
+    ),
+    acc AS (
+      SELECT day, n, t,
+             sum(n * pow(0.7, -t)) OVER (ORDER BY t
+               ROWS UNBOUNDED PRECEDING) AS c,
+             first_value(n) OVER (ORDER BY t) AS x0
+      FROM idx
+    )
+    SELECT day, CAST(n AS BIGINT) AS n,
+           round(pow(0.7, t) * (0.3 * (c - x0) + x0), 4) AS ewma
+    FROM acc ORDER BY day
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.3) of the daily
+    purchase series — the standard smoothing/alerting baseline. The
+    recursion ewma_t = a*x_t + (1-a)*ewma_{t-1} (init x_0) is not a SQL
+    window, but its closed form is: ewma_t = (1-a)^t * (a*sum_{i=1..t}
+    x_i (1-a)^{-i} + x_0) — ONE cumulative-sum window over the daily
+    rollup plus a map-only rescale. The (1-a)^{-i} terms stay bounded
+    because the window input is the ~30-row ROLLUP, never raw events —
+    at 100 TB the shuffle is the per-day aggregate, and the ordered
+    window runs over days."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_ord = Window.orderBy("day")
+    idx = daily.select(
+        "day", "n", (F.row_number().over(w_ord) - 1).alias("t")
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_first = Window.orderBy("t")
+    acc = idx.select(
+        "day",
+        "n",
+        "t",
+        F.sum(F.col("n") * F.pow(F.lit(0.7), -F.col("t"))).over(w_cum).alias("c"),
+        F.first("n").over(w_first).alias("x0"),
+    )
+    ewma = F.pow(F.lit(0.7), F.col("t")) * (
+        0.3 * (F.col("c") - F.col("x0")) + F.col("x0")
+    )
+    return acc.select(
+        "day", F.col("n").cast("bigint").alias("n"), F.round(ewma, 4).alias("ewma")
+    ).orderBy("day")

@@ -83,6 +83,7 @@ _EVENTS_KEYS = [
     "ts_resample_gapfill",
     "ts_cusum_changepoint",
     "ts_distribution_drift",
+    "ts_ewma",
 ]
 
 

@@ -230,6 +230,8 @@ EXTENSION_KEYS = [
     "llm_ann_partitioned",
     # round 3: data-quality gates — schema contract + volume profile
     "dq_schema_contract", "dq_volume_profile",
+    # round 3: exponential smoothing via closed-form cumsum window
+    "ts_ewma",
 ]
 
 
