@@ -24,6 +24,7 @@ from backup_repo_spark.operators import (  # noqa: F401
     events_analytics,
     graph,
     joins,
+    mlsql,
     modern_sql,
     nested,
     projections,

@@ -357,3 +357,160 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges", "n_reciprocal",
         (F.col("n_reciprocal") * 1.0 / F.col("n_edges")).alias("reciprocity"),
     )
+
+
+# Hash-sparsified edges with a deterministic integer cost — shared by the
+# weighted-SSSP query and its oracle. cost = (src*31 + dst*17) % 9 + 1 is
+# pure integer arithmetic, so both engines derive the identical weighting.
+_COST_EDGES_SQL = f"""
+    {_EDGES_SQL},
+    sparse AS (
+      SELECT src, dst,
+             CAST((src * 31 + dst * 17) % 9 + 1 AS BIGINT) AS cost
+      FROM base
+      WHERE src <> dst
+        AND substr(md5(CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR)), 1, 1) < '4'
+    )
+"""
+
+
+def _sparse_cost_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse directed (src, dst, cost) edges mirroring _COST_EDGES_SQL."""
+    return (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .filter(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("src").cast("string"),
+                        F.lit("-"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "4"
+        )
+        .select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+            ((F.col("src") * 31 + F.col("dst") * 17) % 9 + 1)
+            .cast("long")
+            .alias("cost"),
+        )
+    )
+
+
+@query(
+    "graph_sssp_weighted",
+    oracle=f"""
+    WITH RECURSIVE {_COST_EDGES_SQL},
+    walk(node, d, hop) AS (
+      SELECT CAST(0 AS INTEGER), CAST(0 AS BIGINT), 0
+      UNION
+      SELECT CAST(e.dst AS INTEGER), w.d + e.cost, w.hop + 1
+      FROM walk w JOIN sparse e ON e.src = w.node
+      WHERE w.hop < 8
+    )
+    SELECT node, min(d) AS dist FROM walk GROUP BY node
+    """,
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest path (Bellman-Ford, 8 relaxation
+    rounds) from nation 0 over the sparse integer-cost trade graph — the
+    weighted sibling of `graph_bfs` (hop counts only). Semantics are
+    "cheapest path using <= 8 edges", which both sides implement exactly:
+    Spark runs 8 relax-join-min rounds; the oracle's recursive CTE explores
+    all <=8-hop walks and takes the per-node minimum. Integer costs make
+    every distance bit-identical cross-engine.
+
+    Scale: each round shuffles only the (node, dist) frontier joined to the
+    edge list — cost scales with the GRAPH, not the fact table that derived
+    it; `localCheckpoint` truncates lineage so the 8-round plan stays flat
+    (the iterative-Spark failure mode is exponential plan growth)."""
+    edges = _sparse_cost_edges(spark, sf_dir).localCheckpoint()
+    dist = spark.createDataFrame([(0, 0)], schema="node int, d long")
+    for _ in range(8):
+        cand = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("cost")).alias("d"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return dist.select("node", F.col("d").alias("dist"))
+
+
+@query(
+    "graph_jaccard_similarity",
+    oracle=f"""
+    WITH {_COST_EDGES_SQL},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM sparse
+    ),
+    nbr AS (
+      SELECT a AS node, b AS nb FROM und
+      UNION
+      SELECT b AS node, a AS nb FROM und
+    ),
+    deg AS (SELECT node, count(*) AS d FROM nbr GROUP BY node),
+    pairs AS (
+      SELECT x.node AS a, y.node AS b, count(*) AS inter
+      FROM nbr x JOIN nbr y ON x.nb = y.nb AND x.node < y.node
+      GROUP BY x.node, y.node
+    )
+    SELECT p.a, p.b, p.inter,
+           da.d + db.d - p.inter AS uni,
+           p.inter * 1000000 // (da.d + db.d - p.inter) AS jacc_ppm
+    FROM pairs p
+    JOIN deg da ON da.node = p.a
+    JOIN deg db ON db.node = p.b
+    """,
+)
+def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity for every node pair sharing >= 1
+    neighbor — the classic link-prediction / entity-similarity primitive
+    (|N(a) ∩ N(b)| / |N(a) ∪ N(b)|) over the undirected sparse trade graph.
+    Similarity in integer ppm (truncating division) so values compare
+    bit-exactly cross-engine.
+
+    Scale: this is the wedge enumeration pattern — a self-join of the
+    adjacency list ON THE SHARED NEIGHBOR, never node × node. Cost is
+    Σ deg(v)², the standard triangle/wedge bound; at 100 TB the mitigation
+    for a hot hub is degree-capping or top-k neighbor sampling before the
+    self-join (same shape as the LSH band join in llm/dedup.py)."""
+    e = _sparse_cost_edges(spark, sf_dir)
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
+    )
+    nbr = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+        .union(und.select(F.col("b").alias("node"), F.col("a").alias("nb")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    x, y = nbr.alias("x"), nbr.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.nb") == F.col("y.nb")) & (F.col("x.node") < F.col("y.node")))
+        .groupBy(F.col("x.node").alias("a"), F.col("y.node").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (
+        pairs.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a", "b", "inter",
+            (F.col("da") + F.col("db") - F.col("inter")).alias("uni"),
+            F.expr("inter * 1000000 DIV (da + db - inter)").alias("jacc_ppm"),
+        )
+    )

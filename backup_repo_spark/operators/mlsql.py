@@ -1,0 +1,466 @@
+"""Classical ML and statistical tests as pure DataFrame/SQL programs —
+k-means (Lloyd), naive Bayes, decision stumps, two-sample KS, chi-square.
+
+Not in the reference (Astro exposes no ML surface); included because a
+100 TB curation pipeline trains/score-gates with exactly these primitives
+(cluster-balance audits, quality classifiers, drift tests), and because
+they exercise the iterative + conditional-aggregate patterns at the heart
+of distributed ML-on-SQL.
+
+Determinism strategy (the hard part of cross-engine ML):
+
+- k-means runs in integer CENTS with a fixed +100000 shift (non-negative,
+  so truncating and flooring integer division agree), deterministic
+  min/mid/max init, and a fixed CASE tie-break — every centroid is
+  bit-identical to the oracle's unrolled iterations.
+- naive Bayes avoids floats entirely: the argmax over Laplace-smoothed
+  class scores is decided by EXACT integer cross-multiplication of the
+  score fractions (products bounded < 2^60 at sf0.1), so predictions can
+  never flip on a 1-ulp log() divergence.
+- the decision stump scores candidate splits with integer micro-Gini
+  ((pos²+neg²)·10⁶ // n²) — pure int64 arithmetic.
+- KS compares scaled ECDFs as integers: max |r1·n2 − r2·n1| avoids the
+  float division entirely until the final ppm scaling.
+- chi-square uses only IEEE basic ops (+,−,×,÷ are correctly rounded and
+  engine-identical — no libm), with per-cell contributions rounded to
+  integer micro-units before the order-insensitive integer total.
+
+Scale notes (100 TB): every statistic here is one conditional-aggregate
+pass (map-side partials) over the fact table; k-means collects exactly k=3
+centroids per iteration to the driver and broadcasts them back as literals
+— the canonical distributed-k-means shape (MLlib's own implementation
+does the same), with per-iteration cost one scan + one k-row groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backup_repo_spark.registry import query
+from backup_repo_spark.session import load_table
+
+# Shared k-means scaffolding: points in shifted integer cents.
+_KM_PTS = """
+    pts AS (
+      SELECT CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS x
+      FROM customer
+    )
+"""
+
+# One unrolled Lloyd iteration for the oracle: assign to nearest of the
+# three centroids (ties -> lowest cluster id), then recompute means with
+# truncating integer division; an empty cluster keeps its previous centroid.
+_KM_ASSIGN = """
+    a{k} AS (
+      SELECT x,
+             CASE
+               WHEN abs(x - c0) <= abs(x - c1) AND abs(x - c0) <= abs(x - c2) THEN 0
+               WHEN abs(x - c1) <= abs(x - c2) THEN 1
+               ELSE 2
+             END AS cl
+      FROM pts CROSS JOIN it{p}
+    )
+"""
+_KM_STEP = """
+    it{k} AS (
+      SELECT
+        coalesce(sum(x) FILTER (WHERE cl = 0) // nullif(count(*) FILTER (WHERE cl = 0), 0),
+                 any_value(c0)) AS c0,
+        coalesce(sum(x) FILTER (WHERE cl = 1) // nullif(count(*) FILTER (WHERE cl = 1), 0),
+                 any_value(c1)) AS c1,
+        coalesce(sum(x) FILTER (WHERE cl = 2) // nullif(count(*) FILTER (WHERE cl = 2), 0),
+                 any_value(c2)) AS c2
+      FROM a{k} CROSS JOIN it{p}
+    )
+"""
+
+
+@query(
+    "ml_kmeans",
+    oracle=f"""
+    WITH {_KM_PTS},
+    it0 AS (
+      SELECT min(x) AS c0, (min(x) + max(x)) // 2 AS c1, max(x) AS c2 FROM pts
+    ),
+    {",".join(
+        _KM_ASSIGN.format(k=k, p=k - 1) + "," + _KM_STEP.format(k=k, p=k - 1)
+        for k in range(1, 4)
+    )},
+    final AS (
+      SELECT x,
+             CASE
+               WHEN abs(x - c0) <= abs(x - c1) AND abs(x - c0) <= abs(x - c2) THEN 0
+               WHEN abs(x - c1) <= abs(x - c2) THEN 1
+               ELSE 2
+             END AS cluster_id
+      FROM pts CROSS JOIN it3
+    )
+    SELECT f.cluster_id,
+           count(*) AS n,
+           any_value(CASE f.cluster_id WHEN 0 THEN c0 WHEN 1 THEN c1 ELSE c2 END)
+             - 100000 AS centroid_cents
+    FROM final f CROSS JOIN it3
+    GROUP BY f.cluster_id
+    """,
+)
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D k-means (k=3, 3 Lloyd iterations) over customer account balance
+    in integer cents — deterministic min/mid/max init, nearest-centroid
+    assignment with a fixed low-id tie-break, truncating-division means.
+    The oracle unrolls the same three iterations as chained CTEs (same
+    recipe as graph_pagerank), so CENTROID VALUES are verified bit-exactly,
+    not just cluster shapes.
+
+    Spark shape: per iteration, one conditional-aggregate scan produces the
+    k=3 (sum, count) pairs, which are collected (k rows, not data rows) and
+    re-broadcast as literals in the next iteration's CASE — the canonical
+    MLlib k-means loop. The +100000 shift keeps every value non-negative so
+    Spark's truncating DIV and DuckDB's flooring // agree."""
+    pts = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            (F.round(F.col("c_acctbal") * 100).cast("long") + 100000).alias("x")
+        )
+        .localCheckpoint()
+    )
+    row = pts.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
+    cents = [int(row.mn), (int(row.mn) + int(row.mx)) // 2, int(row.mx)]
+
+    def assign(c: list[int]):
+        d = [F.abs(F.col("x") - F.lit(ci)) for ci in c]
+        return (
+            F.when((d[0] <= d[1]) & (d[0] <= d[2]), 0)
+            .when(d[1] <= d[2], 1)
+            .otherwise(2)
+        )
+
+    for _ in range(3):
+        stats = (
+            pts.select("x", assign(cents).alias("cl"))
+            .groupBy("cl")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for r in stats:
+            cents[r.cl] = int(r.s) // int(r.n)
+    final = pts.select("x", assign(cents).alias("cluster_id"))
+    cmap = F.when(F.col("cluster_id") == 0, F.lit(cents[0])).when(
+        F.col("cluster_id") == 1, F.lit(cents[1])
+    ).otherwise(F.lit(cents[2]))
+    return (
+        final.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "cluster_id", "n", (cmap - 100000).cast("long").alias("centroid_cents")
+        )
+    )
+
+
+@query(
+    "ml_naive_bayes",
+    oracle="""
+    WITH cls AS (
+      SELECT o_orderstatus AS c, count(*) AS nc FROM orders GROUP BY 1
+    ),
+    joint AS (
+      SELECT o_orderpriority AS v, o_orderstatus AS c, count(*) AS nvc
+      FROM orders GROUP BY 1, 2
+    ),
+    vocab AS (SELECT count(DISTINCT o_orderpriority) AS vsz FROM orders),
+    wide AS (
+      SELECT p.v,
+             coalesce(max(CASE WHEN j.c = 'F' THEN j.nvc END), 0) AS nF,
+             coalesce(max(CASE WHEN j.c = 'O' THEN j.nvc END), 0) AS nO,
+             coalesce(max(CASE WHEN j.c = 'P' THEN j.nvc END), 0) AS nP
+      FROM (SELECT DISTINCT v FROM joint) p
+      LEFT JOIN joint j ON j.v = p.v
+      GROUP BY p.v
+    ),
+    consts AS (
+      SELECT
+        (SELECT nc FROM cls WHERE c = 'F') AS cF,
+        (SELECT nc FROM cls WHERE c = 'O') AS cO,
+        (SELECT nc FROM cls WHERE c = 'P') AS cP,
+        (SELECT vsz FROM vocab) AS vsz
+    )
+    SELECT v, nF, nO, nP,
+           CASE
+             WHEN cF * (nF + 1) * (cO + vsz) >= cO * (nO + 1) * (cF + vsz)
+              AND cF * (nF + 1) * (cP + vsz) >= cP * (nP + 1) * (cF + vsz)
+               THEN 'F'
+             WHEN cO * (nO + 1) * (cP + vsz) >= cP * (nP + 1) * (cO + vsz)
+               THEN 'O'
+             ELSE 'P'
+           END AS pred_status
+    FROM wide CROSS JOIN consts
+    """,
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical naive Bayes trained by aggregation: class = order status,
+    feature = order priority, Laplace smoothing. The per-feature-value
+    argmax class is decided by EXACT integer cross-multiplication of the
+    smoothed score fractions nc·(nvc+1)/(nc+V) — no log(), no floats, so a
+    1-ulp libm divergence can never flip a prediction cross-engine
+    (products bounded ≈ 2^60 at sf0.1; ties break toward 'F' then 'O' by
+    the fixed CASE order).
+
+    Scale: training is two conditional-aggregate passes (class counts +
+    joint counts) with map-side partials; the 3-class constants broadcast.
+    Scoring any table is then a stateless expression — the deployable
+    quality-classifier shape for a curation pipeline."""
+    o = load_table(spark, sf_dir, "orders")
+    joint = (
+        o.groupBy(F.col("o_orderpriority").alias("v"))
+        .agg(
+            F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("nF"),
+            F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("nO"),
+            F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("nP"),
+        )
+    )
+    consts = o.agg(
+        F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("cF"),
+        F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("cO"),
+        F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("cP"),
+        F.countDistinct("o_orderpriority").alias("vsz"),
+    )
+    scored = joint.crossJoin(F.broadcast(consts))
+    sF = F.col("cF") * (F.col("nF") + 1)
+    sO = F.col("cO") * (F.col("nO") + 1)
+    sP = F.col("cP") * (F.col("nP") + 1)
+    dF, dO, dP = (
+        F.col("cF") + F.col("vsz"),
+        F.col("cO") + F.col("vsz"),
+        F.col("cP") + F.col("vsz"),
+    )
+    pred = (
+        F.when((sF * dO >= sO * dF) & (sF * dP >= sP * dF), "F")
+        .when(sO * dP >= sP * dO, "O")
+        .otherwise("P")
+    )
+    return scored.select("v", "nF", "nO", "nP", pred.alias("pred_status"))
+
+
+@query(
+    "ml_decision_stump",
+    oracle="""
+    WITH cand AS (
+      SELECT 50000.0 * t AS thr FROM range(1, 10) r(t)
+    ),
+    split AS (
+      SELECT thr,
+             count(*) FILTER (WHERE o_totalprice < thr) AS n_l,
+             count(*) FILTER (WHERE o_totalprice < thr AND o_orderstatus = 'F') AS pos_l,
+             count(*) FILTER (WHERE o_totalprice >= thr) AS n_r,
+             count(*) FILTER (WHERE o_totalprice >= thr AND o_orderstatus = 'F') AS pos_r
+      FROM orders CROSS JOIN cand
+      GROUP BY thr
+    ),
+    scored AS (
+      SELECT thr, n_l, pos_l, n_r, pos_r,
+             CASE WHEN n_l = 0 THEN 0
+                  ELSE 1000000 - (pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l)) * 1000000 // (n_l * n_l)
+             END AS g_l,
+             CASE WHEN n_r = 0 THEN 0
+                  ELSE 1000000 - (pos_r * pos_r + (n_r - pos_r) * (n_r - pos_r)) * 1000000 // (n_r * n_r)
+             END AS g_r
+      FROM split
+    )
+    SELECT thr, n_l, pos_l, n_r, pos_r,
+           (n_l * g_l + n_r * g_r) // (n_l + n_r) AS gini_split_micro,
+           row_number() OVER (
+             ORDER BY (n_l * g_l + n_r * g_r) // (n_l + n_r), thr
+           ) AS rnk
+    FROM scored
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump learner: evaluate 9 candidate thresholds on order
+    total price against the label (status = 'F') and score each split with
+    weighted Gini impurity in integer MICRO-units — (pos²+neg²)·10⁶ // n²
+    is pure int64 arithmetic, so the split ranking (rnk 1 = best, ties to
+    the lower threshold) is bit-deterministic. This is one boosting-round /
+    one tree-node of a distributed GBDT expressed as SQL.
+
+    Scale: a constant 9-row candidate list broadcast-cross-joined onto the
+    fact scan, then ONE hash aggregate keyed by threshold — the candidate
+    sweep costs one pass regardless of data size (this is how Spark MLlib's
+    tree learner evaluates binned splits too)."""
+    o = load_table(spark, sf_dir, "orders")
+    cand = spark.range(1, 10).select((F.lit(50000.0) * F.col("id")).alias("thr"))
+    left = F.col("o_totalprice") < F.col("thr")
+    pos = F.col("o_orderstatus") == "F"
+    split = (
+        o.crossJoin(F.broadcast(cand))
+        .groupBy("thr")
+        .agg(
+            F.sum(left.cast("long")).alias("n_l"),
+            F.sum((left & pos).cast("long")).alias("pos_l"),
+            F.sum((~left).cast("long")).alias("n_r"),
+            F.sum(((~left) & pos).cast("long")).alias("pos_r"),
+        )
+    )
+    gini = lambda n, p: F.when(F.col(n) == 0, F.lit(0)).otherwise(  # noqa: E731
+        F.lit(1000000)
+        - F.expr(
+            f"({p} * {p} + ({n} - {p}) * ({n} - {p})) * 1000000 DIV ({n} * {n})"
+        )
+    )
+    scored = split.withColumn("g_l", gini("n_l", "pos_l")).withColumn(
+        "g_r", gini("n_r", "pos_r")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("gini_split_micro", "thr")
+    return (
+        scored.withColumn(
+            "gini_split_micro",
+            F.expr("(n_l * g_l + n_r * g_r) DIV (n_l + n_r)"),
+        )
+        .select(
+            "thr", "n_l", "pos_l", "n_r", "pos_r", "gini_split_micro",
+            F.row_number().over(w).alias("rnk"),
+        )
+    )
+
+
+@query(
+    "stats_ks_test",
+    oracle="""
+    WITH vals AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 2 END AS s
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    g AS (
+      SELECT v,
+             count(*) FILTER (WHERE s = 1) AS c1,
+             count(*) FILTER (WHERE s = 2) AS c2
+      FROM vals GROUP BY v
+    ),
+    c AS (
+      SELECT v,
+             sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
+             sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+      FROM g
+    ),
+    tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g)
+    SELECT n1, n2,
+           max(abs(r1 * n2 - r2 * n1)) AS d_num,
+           max(abs(r1 * n2 - r2 * n1)) * 1000000 // (n1 * n2) AS ks_ppm
+    FROM c CROSS JOIN tot
+    GROUP BY n1, n2
+    """,
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the total-price
+    distributions of finished vs open orders — the continuous-distribution
+    drift test (sibling of ts_distribution_drift's categorical L1). The
+    ECDF difference is computed over INTEGER cumulative counts — KS·n1·n2 =
+    max |r1·n2 − r2·n1| — so the supremum and its ppm scaling are exact;
+    no float ECDF division ever happens.
+
+    Scale: group-by-value collapses the data to distinct values before the
+    single ordered cumulative-sum window (one exchange); at 100 TB you'd
+    pre-bin values to a fixed grid first — same plan, bounded cardinality."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    g = (
+        o.select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(2).alias("s"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum((F.col("s") == 1).cast("long")).alias("c1"),
+            F.sum((F.col("s") == 2).cast("long")).alias("c2"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "v", F.sum("c1").over(w).alias("r1"), F.sum("c2").over(w).alias("r2")
+    )
+    tot = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(F.max(F.abs(F.col("r1") * F.col("n2") - F.col("r2") * F.col("n1"))).alias("d_num"))
+        .select(
+            "n1", "n2", "d_num",
+            F.expr("d_num * 1000000 DIV (n1 * n2)").alias("ks_ppm"),
+        )
+    )
+
+
+@query(
+    "stat_chi_square",
+    oracle="""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderstatus AS st, count(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT seg, st, n,
+             sum(n) OVER (PARTITION BY seg) AS rt,
+             sum(n) OVER (PARTITION BY st) AS ct,
+             sum(n) OVER () AS tot
+      FROM obs
+    ),
+    cell AS (
+      SELECT seg, st, n, rt, ct, tot,
+             CAST(rt AS DOUBLE) * ct / tot AS exp,
+             CAST(round(
+               (n - CAST(rt AS DOUBLE) * ct / tot)
+               * (n - CAST(rt AS DOUBLE) * ct / tot)
+               / (CAST(rt AS DOUBLE) * ct / tot) * 1000000
+             ) AS BIGINT) AS contrib_micro
+      FROM m
+    )
+    SELECT seg, st, n, round(exp, 4) AS expected_r4, contrib_micro,
+           sum(contrib_micro) OVER () AS chi2_micro
+    FROM cell
+    """,
+)
+def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for market segment × order status —
+    the categorical-association audit behind stratification checks. Every
+    arithmetic step is an IEEE basic op (+,−,×,÷ are correctly rounded and
+    therefore engine-identical; no libm), the expected counts come from
+    exact integer marginals (rt·ct < 2^53, an exact double product), and
+    per-cell contributions are rounded to integer micro-units BEFORE the
+    order-insensitive integer total — so the full statistic is
+    bit-deterministic despite being float-valued math.
+
+    Scale: one fact-dim broadcast join + one 15-row contingency aggregate;
+    the marginal windows run over 15 rows. Nothing here grows with data."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cst = load_table(spark, sf_dir, "customer")
+    obs = (
+        o.join(F.broadcast(cst), o.o_custkey == cst.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderstatus").alias("st"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = obs.select(
+        "seg", "st", "n",
+        F.sum("n").over(Window.partitionBy("seg")).alias("rt"),
+        F.sum("n").over(Window.partitionBy("st")).alias("ct"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    exp = F.col("rt").cast("double") * F.col("ct") / F.col("tot")
+    contrib = F.round((F.col("n") - exp) * (F.col("n") - exp) / exp * 1000000).cast(
+        "long"
+    )
+    cell = m.select(
+        "seg", "st", "n",
+        F.round(exp, 4).alias("expected_r4"),
+        contrib.alias("contrib_micro"),
+    )
+    return cell.select(
+        "*", F.sum("contrib_micro").over(Window.partitionBy()).alias("chi2_micro")
+    )

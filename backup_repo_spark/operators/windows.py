@@ -329,3 +329,44 @@ def pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"),
         )
     )
+
+
+@query(
+    "win_count_distinct",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS types_seen
+    FROM events
+    WHERE user_id < 40
+    """,
+)
+def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user ("how many distinct event types has
+    this user produced so far") — Spark's Window does not accept DISTINCT
+    aggregates, so this is the standard first-occurrence emulation: flag the
+    first row of each (user, type) in event order, then running-sum the
+    flags over the user's timeline. DuckDB supports windowed DISTINCT
+    natively, making this a true cross-engine differential of the rewrite.
+
+    Scale: two window specs over the same (user_id) partitioning — Catalyst
+    plans ONE exchange (hash by user_id) with two sorts; no extra shuffle
+    for the flag pass. The emulation is what you'd deploy at 100 TB anyway:
+    native windowed DISTINCT (engines that have it) rescans the frame per
+    row, O(n·frame), while this is O(n log n) in the sort."""
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 40)
+    first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "event_type", "ts",
+        (F.row_number().over(first) == 1).cast("int").alias("is_first"),
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.sum("is_first").over(run).alias("types_seen"),
+    )

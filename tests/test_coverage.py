@@ -232,6 +232,15 @@ EXTENSION_KEYS = [
     "dq_schema_contract", "dq_volume_profile",
     # round 3: exponential smoothing via closed-form cumsum window
     "ts_ewma",
+    # round 3: windowed DISTINCT count (first-occurrence emulation vs
+    # DuckDB's native windowed DISTINCT — a true rewrite differential)
+    "win_count_distinct",
+    # round 3: weighted SSSP + neighbor-Jaccard link prediction
+    "graph_sssp_weighted", "graph_jaccard_similarity",
+    # round 3: ML-on-SQL — integer-deterministic k-means / naive Bayes /
+    # decision stump, plus exact-integer KS and chi-square tests
+    "ml_kmeans", "ml_naive_bayes", "ml_decision_stump",
+    "stats_ks_test", "stat_chi_square",
 ]
 
 
