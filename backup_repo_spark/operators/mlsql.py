@@ -464,3 +464,252 @@ def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell.select(
         "*", F.sum("contrib_micro").over(Window.partitionBy()).alias("chi2_micro")
     )
+
+
+# Reusable oracle CTE: the naive-Bayes per-priority prediction table (same
+# construction as ml_naive_bayes, kept in sync with _nb_pred_table below).
+_NB_PRED_SQL = """
+    cls AS (
+      SELECT o_orderstatus AS c, count(*) AS nc FROM orders GROUP BY 1
+    ),
+    joint AS (
+      SELECT o_orderpriority AS v, o_orderstatus AS c, count(*) AS nvc
+      FROM orders GROUP BY 1, 2
+    ),
+    vocab AS (SELECT count(DISTINCT o_orderpriority) AS vsz FROM orders),
+    wide AS (
+      SELECT p.v,
+             coalesce(max(CASE WHEN j.c = 'F' THEN j.nvc END), 0) AS nF,
+             coalesce(max(CASE WHEN j.c = 'O' THEN j.nvc END), 0) AS nO,
+             coalesce(max(CASE WHEN j.c = 'P' THEN j.nvc END), 0) AS nP
+      FROM (SELECT DISTINCT v FROM joint) p
+      LEFT JOIN joint j ON j.v = p.v
+      GROUP BY p.v
+    ),
+    consts AS (
+      SELECT
+        (SELECT nc FROM cls WHERE c = 'F') AS cF,
+        (SELECT nc FROM cls WHERE c = 'O') AS cO,
+        (SELECT nc FROM cls WHERE c = 'P') AS cP,
+        (SELECT vsz FROM vocab) AS vsz
+    ),
+    pred AS (
+      SELECT v,
+             CASE
+               WHEN cF * (nF + 1) * (cO + vsz) >= cO * (nO + 1) * (cF + vsz)
+                AND cF * (nF + 1) * (cP + vsz) >= cP * (nP + 1) * (cF + vsz)
+                 THEN 'F'
+               WHEN cO * (nO + 1) * (cP + vsz) >= cP * (nP + 1) * (cO + vsz)
+                 THEN 'O'
+               ELSE 'P'
+             END AS pred_status
+      FROM wide CROSS JOIN consts
+    )
+"""
+
+
+def _nb_pred_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(priority, pred_status) — the ml_naive_bayes decision table."""
+    return ml_naive_bayes(spark, sf_dir).select(
+        "v", "pred_status"
+    )
+
+
+@query(
+    "ml_confusion_matrix",
+    oracle=f"""
+    WITH {_NB_PRED_SQL}
+    SELECT o.o_orderstatus AS actual, p.pred_status AS predicted,
+           count(*) AS n
+    FROM orders o JOIN pred p ON o.o_orderpriority = p.v
+    GROUP BY 1, 2
+    """,
+)
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the naive-Bayes classifier scored over its own
+    training table — the evaluation loop every model-gated curation
+    pipeline closes. Pure integer counts over an exact-integer decision
+    rule; broadcast of the 5-row prediction table onto the fact scan.
+
+    Scale: scoring is a broadcast map-side join + one tiny aggregate;
+    nothing shuffles but the <=9-cell matrix."""
+    o = load_table(spark, sf_dir, "orders")
+    pred = _nb_pred_table(spark, sf_dir)
+    return (
+        o.join(F.broadcast(pred), o.o_orderpriority == pred.v)
+        .groupBy(
+            F.col("o_orderstatus").alias("actual"),
+            F.col("pred_status").alias("predicted"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "ml_auc_roc",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS v,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS cp,
+             count(*) FILTER (WHERE o_orderstatus <> 'F') AS cn
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT cp, cn,
+             coalesce(sum(cp + cn) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS prev
+      FROM g
+    ),
+    s AS (
+      SELECT sum(cp * (2 * prev + cp + cn + 1)) AS two_rs,
+             sum(cp) AS np, sum(cn) AS nn
+      FROM c
+    )
+    SELECT np, nn,
+           two_rs - np * (np + 1) AS two_u,
+           (two_rs - np * (np + 1)) * 1000000 // (2 * np * nn) AS auc_ppm
+    FROM s
+    """,
+)
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of total price as a score for order status 'F', via
+    the Mann-Whitney rank-sum identity with tie-corrected average ranks —
+    kept ENTIRELY in integers by working with 2× the rank-sum (a value
+    group occupying ranks prev+1..prev+c contributes cp·(2·prev+c+1)), so
+    the AUC in ppm is bit-exact; no float ranks, no sort-order sensitivity.
+
+    Scale: one group-by-score collapse, one ordered cumulative window over
+    distinct scores, one final aggregate — the same single-exchange shape
+    as stats_ks_test; at 100 TB pre-bin scores to a grid first."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    g = (
+        o.groupBy(F.col("o_totalprice").alias("v"))
+        .agg(
+            F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("cp"),
+            F.sum((F.col("o_orderstatus") != "F").cast("long")).alias("cn"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "cp", "cn",
+        F.coalesce(F.sum(F.col("cp") + F.col("cn")).over(w), F.lit(0)).alias("prev"),
+    )
+    s = c.agg(
+        F.sum(F.col("cp") * (2 * F.col("prev") + F.col("cp") + F.col("cn") + 1)).alias(
+            "two_rs"
+        ),
+        F.sum("cp").alias("np"),
+        F.sum("cn").alias("nn"),
+    )
+    return s.select(
+        "np", "nn",
+        (F.col("two_rs") - F.col("np") * (F.col("np") + 1)).alias("two_u"),
+        F.expr("(two_rs - np * (np + 1)) * 1000000 DIV (2 * np * nn)").alias(
+            "auc_ppm"
+        ),
+    )
+
+
+@query(
+    "ml_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS score_cents,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT bin, count(*) AS n, sum(y) AS n_pos,
+           sum(y) * 1000000 // count(*) AS pos_rate_ppm,
+           sum(score_cents) // count(*) AS mean_score_cents
+    FROM scored GROUP BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile calibration table for the price-as-score classifier: per
+    score bin, observed positive rate vs mean score — the
+    reliability-diagram input. ntile gets a unique (score, orderkey) order
+    so bin boundaries are deterministic; rates and mean scores are integer
+    ppm / cents (truncating division), never float averages.
+
+    Scale: ntile over a global order is the one genuinely global sort here
+    — at 100 TB replace with fixed score-range bins (width_bucket), same
+    downstream aggregate; kept as ntile to exercise equal-frequency
+    binning."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("score_cents"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("bin"),
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"),
+             F.sum("score_cents").alias("sc"))
+        .select(
+            "bin", "n", "n_pos",
+            F.expr("n_pos * 1000000 DIV n").alias("pos_rate_ppm"),
+            F.expr("sc DIV n").alias("mean_score_cents"),
+        )
+    )
+
+
+@query(
+    "ml_feature_stats",
+    oracle="""
+    WITH x AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    m AS (
+      SELECT seg, count(*) AS n, sum(cents) // count(*) AS mean_cents,
+             min(cents) AS min_cents, max(cents) AS max_cents
+      FROM x GROUP BY seg
+    )
+    SELECT m.seg, m.n, m.mean_cents, m.min_cents, m.max_cents,
+           sum(abs(x.cents - m.mean_cents)) // m.n AS mad_cents
+    FROM x JOIN m USING (seg)
+    GROUP BY m.seg, m.n, m.mean_cents, m.min_cents, m.max_cents
+    """,
+)
+def ml_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment feature-scaling statistics (mean / min / max / mean
+    absolute deviation) for account balance in integer cents — the
+    normalization constants a feature pipeline ships to training. MAD
+    replaces stddev deliberately: Σ|x−μ| stays in exact int64 (stddev's
+    Σx² would overflow, and float partial sums are reassociation-
+    dependent), and it's the robust scale estimate anyway.
+
+    Scale: two conditional-aggregate passes over the dim table (means,
+    then deviations vs the 5-row broadcast means) — both map-side."""
+    x = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+    )
+    m = (
+        x.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("sum(cents) DIV count(*)").alias("mean_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+    return (
+        x.join(F.broadcast(m), "seg")
+        .groupBy("seg", "n", "mean_cents", "min_cents", "max_cents")
+        .agg(F.sum(F.abs(F.col("cents") - F.col("mean_cents"))).alias("sad"))
+        .select(
+            "seg", "n", "mean_cents", "min_cents", "max_cents",
+            F.expr("sad DIV n").alias("mad_cents"),
+        )
+    )

@@ -241,6 +241,11 @@ EXTENSION_KEYS = [
     # decision stump, plus exact-integer KS and chi-square tests
     "ml_kmeans", "ml_naive_bayes", "ml_decision_stump",
     "stats_ks_test", "stat_chi_square",
+    # round 3: model-evaluation suite — confusion matrix over the exact-
+    # integer NB decision rule, tie-corrected exact AUC (Mann-Whitney in
+    # doubled-rank integers), decile calibration, per-segment scaling stats
+    "ml_confusion_matrix", "ml_auc_roc", "ml_calibration_bins",
+    "ml_feature_stats",
 ]
 
 
