@@ -160,14 +160,10 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ml_naive_bayes",
     oracle="""
-    WITH cls AS (
-      SELECT o_orderstatus AS c, count(*) AS nc FROM orders GROUP BY 1
-    ),
-    joint AS (
+    WITH joint AS (
       SELECT o_orderpriority AS v, o_orderstatus AS c, count(*) AS nvc
       FROM orders GROUP BY 1, 2
     ),
-    vocab AS (SELECT count(DISTINCT o_orderpriority) AS vsz FROM orders),
     wide AS (
       SELECT p.v,
              coalesce(max(CASE WHEN j.c = 'F' THEN j.nvc END), 0) AS nF,
@@ -179,10 +175,11 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     consts AS (
       SELECT
-        (SELECT nc FROM cls WHERE c = 'F') AS cF,
-        (SELECT nc FROM cls WHERE c = 'O') AS cO,
-        (SELECT nc FROM cls WHERE c = 'P') AS cP,
-        (SELECT vsz FROM vocab) AS vsz
+        count(*) FILTER (WHERE o_orderstatus = 'F') AS cF,
+        count(*) FILTER (WHERE o_orderstatus = 'O') AS cO,
+        count(*) FILTER (WHERE o_orderstatus = 'P') AS cP,
+        count(DISTINCT o_orderpriority) AS vsz
+      FROM orders
     )
     SELECT v, nF, nO, nP,
            CASE
@@ -469,14 +466,10 @@ def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reusable oracle CTE: the naive-Bayes per-priority prediction table (same
 # construction as ml_naive_bayes, kept in sync with _nb_pred_table below).
 _NB_PRED_SQL = """
-    cls AS (
-      SELECT o_orderstatus AS c, count(*) AS nc FROM orders GROUP BY 1
-    ),
     joint AS (
       SELECT o_orderpriority AS v, o_orderstatus AS c, count(*) AS nvc
       FROM orders GROUP BY 1, 2
     ),
-    vocab AS (SELECT count(DISTINCT o_orderpriority) AS vsz FROM orders),
     wide AS (
       SELECT p.v,
              coalesce(max(CASE WHEN j.c = 'F' THEN j.nvc END), 0) AS nF,
@@ -488,10 +481,11 @@ _NB_PRED_SQL = """
     ),
     consts AS (
       SELECT
-        (SELECT nc FROM cls WHERE c = 'F') AS cF,
-        (SELECT nc FROM cls WHERE c = 'O') AS cO,
-        (SELECT nc FROM cls WHERE c = 'P') AS cP,
-        (SELECT vsz FROM vocab) AS vsz
+        count(*) FILTER (WHERE o_orderstatus = 'F') AS cF,
+        count(*) FILTER (WHERE o_orderstatus = 'O') AS cO,
+        count(*) FILTER (WHERE o_orderstatus = 'P') AS cP,
+        count(DISTINCT o_orderpriority) AS vsz
+      FROM orders
     ),
     pred AS (
       SELECT v,
