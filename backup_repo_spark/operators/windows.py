@@ -351,21 +351,25 @@ def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags over the user's timeline. DuckDB supports windowed DISTINCT
     natively, making this a true cross-engine differential of the rewrite.
 
-    Scale: two window specs over the same (user_id) partitioning — Catalyst
-    plans ONE exchange (hash by user_id) with two sorts; no extra shuffle
-    for the flag pass. The emulation is what you'd deploy at 100 TB anyway:
-    native windowed DISTINCT (engines that have it) rescans the frame per
-    row, O(n·frame), while this is O(n log n) in the sort."""
+    Scale: both window specs partition by user_id ONLY — the flag pass
+    sorts (event_type, ts) inside the user partition and marks run starts
+    with lag(), instead of the naive partitionBy(user, type) which would
+    cost a SECOND exchange (plan-asserted in tests/test_plans.py). One
+    hash(user_id) shuffle, two in-partition sorts. The emulation is what
+    you'd deploy at 100 TB anyway: native windowed DISTINCT (engines that
+    have it) rescans the frame per row, O(n·frame), while this is
+    O(n log n) in the sort."""
     ev = load_events(spark, sf_dir).filter(F.col("user_id") < 40)
-    first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = Window.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
     run = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    prev = F.lag("event_type").over(runs)
     return ev.select(
         "event_id", "user_id", "event_type", "ts",
-        (F.row_number().over(first) == 1).cast("int").alias("is_first"),
+        (prev.isNull() | (prev != F.col("event_type"))).cast("int").alias("is_first"),
     ).select(
         "event_id", "user_id", "event_type",
         F.sum("is_first").over(run).alias("types_seen"),

@@ -505,3 +505,43 @@ def test_ann_partitioned_probe_prunes_partitions(spark):
     plan = plan_of(df)
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "bucket" in pf and ("IN" in pf or "in" in pf), pf
+
+
+def test_decision_stump_single_aggregate_pass(spark):
+    """The 9-candidate split sweep must cost ONE scan of orders feeding one
+    hash aggregate (after the broadcast cross join) — candidate count must
+    never multiply exchanges."""
+    plan = plan_of(registry.QUERIES["ml_decision_stump"](spark, SF_DIR))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_chi_square_broadcasts_dim(spark):
+    """orders⋈customer must be a broadcast hash join — the contingency
+    aggregate shuffles at most 15 rows afterwards."""
+    plan = plan_of(registry.QUERIES["stat_chi_square"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_feature_stats_broadcasts_means(spark):
+    """The second (deviation) pass joins the 5-row means table back onto
+    the dim scan via broadcast, not a shuffle join."""
+    plan = plan_of(registry.QUERIES["ml_feature_stats"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_auc_single_exchange_window(spark):
+    """AUC's ordered cumulative window runs over the distinct-score rollup:
+    exactly one global-sort window, no join anywhere."""
+    plan = plan_of(registry.QUERIES["ml_auc_roc"](spark, SF_DIR))
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
+
+
+def test_windowed_distinct_shares_one_exchange(spark):
+    """Both window specs of win_count_distinct partition by user_id — the
+    plan must carry ONE hash-partition exchange (two sorts are fine)."""
+    plan = plan_of(registry.QUERIES["win_count_distinct"](spark, SF_DIR))
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
