@@ -16,6 +16,7 @@ from backup_repo_spark.llm import (  # noqa: F401
     lm,
     multimodal,
     pipeline,
+    pq,
     simsearch,
     textstats,
 )

@@ -246,6 +246,10 @@ EXTENSION_KEYS = [
     # doubled-rank integers), decile calibration, per-segment scaling stats
     "ml_confusion_matrix", "ml_auc_roc", "ml_calibration_bins",
     "ml_feature_stats",
+    # round 3: product quantization — fixed-point codebook training,
+    # asymmetric-distance search, recall audit (completes the ANN family:
+    # exact -> IVF prune -> partitioned multi-probe -> PQ compress)
+    "llm_pq_codebook", "llm_pq_search", "llm_pq_recall",
 ]
 
 
