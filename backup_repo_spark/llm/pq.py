@@ -10,9 +10,13 @@ PQ compresses it — a 64-dim float vector becomes m=8 small codes (one per
 billion-vector indexes fit in RAM (Jégou et al., "Product Quantization
 for Nearest Neighbor Search", TPAMI 2011 — public literature).
 
-Determinism strategy: embeddings are quantized to integer MICRO-units
-(round(x·10⁶)) before any math. Centroid init takes the subvectors of
-vec_ids 1..4 (deterministic), assignment is an integer squared-distance
+Determinism strategy: embeddings are clamped to [-100, 100] (an ingest
+guard that never binds on real unit-scale embeddings but bounds every
+squared-distance sum below 2^63 — found by the adversarial corpus's
+×1000-scaled vector, which overflowed int64 unclamped) and quantized to
+integer MICRO-units (round(x·10⁶)) before any math. Centroid init takes
+the subvectors of vec_ids 1..8 (deterministic), assignment is an integer
+squared-distance
 argmin with ties to the lowest code, centroid update is truncating
 integer mean per dimension, and the search ranks by exact integer ADC
 distances — no float enters the pipeline after the initial rounding.
@@ -49,7 +53,7 @@ _PQ_TRAIN_SQL = """
       SELECT vec_id,
              (p - 1) // 8 AS sub,
              (p - 1) % 8 AS pos,
-             CAST(round(CAST(embedding[p] AS DOUBLE) * 1000000) AS BIGINT) AS val
+             CAST(round(least(greatest(CAST(embedding[p] AS DOUBLE), -100.0), 100.0) * 1000000) AS BIGINT) AS val
       FROM embeddings, generate_series(1, 64) g(p)
     ),
     cent0 AS MATERIALIZED (
@@ -104,7 +108,9 @@ def _subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (F.col("p") / _SUBDIM).cast("int").alias("sub"),
         (F.col("p") % _SUBDIM).alias("pos"),
-        F.round(F.col("x") * 1000000).cast("long").alias("val"),
+        F.round(F.least(F.greatest(F.col("x"), F.lit(-100.0)), F.lit(100.0)) * 1000000)
+        .cast("long")
+        .alias("val"),
     )
 
 

@@ -56,6 +56,12 @@ _EMB_KEYS = [
     "llm_embed_neardup",
     "llm_hard_negatives",
     "llm_contrastive_triplets",
+    # PQ: init centroids are vec_ids 1..8, which here include the exact
+    # duplicate, the antipodal copy, and the ZERO vector — so a centroid
+    # sits at the origin and distance ties hit the lowest-code tie-break
+    "llm_pq_codebook",
+    "llm_pq_search",
+    "llm_pq_recall",
 ]
 
 
