@@ -1058,3 +1058,115 @@ def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi2 = (na - exp) * (na - exp) / exp + (nb - exp) * (nb - exp) / exp
     return c.select("na", "nb", chi2.alias("chi2"),
                     (chi2 > 3.841).cast("int").alias("srm_alarm"))
+
+
+@query(
+    "events_ab_cuped",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('exp1-' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant,
+             count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16') AS x,
+             coalesce(sum(CAST(round(value * 100) AS BIGINT)) FILTER (
+               WHERE ts >= TIMESTAMP '2024-01-16' AND event_type = 'purchase'
+             ), 0) AS y
+      FROM events GROUP BY 1
+    ),
+    pooled AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM per_user
+    ),
+    arms AS (
+      SELECT
+        count(*) FILTER (WHERE variant = 'A') AS n_a,
+        count(*) FILTER (WHERE variant = 'B') AS n_b,
+        sum(x) FILTER (WHERE variant = 'A') AS sx_a,
+        sum(x) FILTER (WHERE variant = 'B') AS sx_b,
+        sum(y) FILTER (WHERE variant = 'A') AS sy_a,
+        sum(y) FILTER (WHERE variant = 'B') AS sy_b
+      FROM per_user
+    )
+    SELECT n_a, n_b,
+           round(CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b, 4)
+             AS diff_raw_cents,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)
+             AS theta_r6,
+           round(
+             (CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b)
+             - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+               * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b), 4)
+             AS diff_cuped_cents
+    FROM arms CROSS JOIN pooled
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013 — public
+    literature): covariate x = each user's PRE-period activity count,
+    metric y = POST-period purchase value in cents, pooled
+    θ = Cov(x,y)/Var(x), adjusted lift = Δy − θ·Δx. The experimentation
+    primitive that cuts required sample sizes 30-50% in practice.
+
+    Determinism: per-user x and y are exact integers (per-row cents BEFORE
+    summing), all moment sums are int64 (bounds checked at sf0.1 ≈ 10¹⁶ <
+    2⁶³), and θ / lifts are ratios of exact integers — IEEE basic ops
+    only, rounded at the end. Same md5 salt-hash assignment as
+    events_ab_analysis: reproducible across engines and cluster sizes.
+
+    Scale: one groupBy(user_id) with conditional partial aggregates, then
+    two one-row rollups — map-side combine does the heavy lifting; no
+    joins, no windows."""
+    ev = load_events(spark, sf_dir)
+    cut = F.lit("2024-01-16").cast("timestamp")
+    variant = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp1-"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(variant).alias("variant"),
+        F.sum((F.col("ts") < cut).cast("long")).alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("ts") >= cut) & (F.col("event_type") == "purchase"),
+                    F.round(F.col("value") * 100).cast("long"),
+                )
+            ),
+            F.lit(0),
+        ).alias("y"),
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    isA = F.col("variant") == "A"
+    arms = per_user.agg(
+        F.sum(isA.cast("long")).alias("n_a"),
+        F.sum((~isA).cast("long")).alias("n_b"),
+        F.sum(F.when(isA, F.col("x"))).alias("sx_a"),
+        F.sum(F.when(~isA, F.col("x"))).alias("sx_b"),
+        F.sum(F.when(isA, F.col("y"))).alias("sy_a"),
+        F.sum(F.when(~isA, F.col("y"))).alias("sy_b"),
+    )
+    dy = F.col("sy_a").cast("double") / F.col("n_a") - F.col("sy_b").cast(
+        "double"
+    ) / F.col("n_b")
+    dx = F.col("sx_a").cast("double") / F.col("n_a") - F.col("sx_b").cast(
+        "double"
+    ) / F.col("n_b")
+    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return arms.crossJoin(F.broadcast(pooled)).select(
+        "n_a", "n_b",
+        F.round(dy, 4).alias("diff_raw_cents"),
+        F.round(theta, 6).alias("theta_r6"),
+        F.round(dy - theta * dx, 4).alias("diff_cuped_cents"),
+    )

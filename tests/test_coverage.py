@@ -250,6 +250,9 @@ EXTENSION_KEYS = [
     # asymmetric-distance search, recall audit (completes the ANN family:
     # exact -> IVF prune -> partitioned multi-probe -> PQ compress)
     "llm_pq_codebook", "llm_pq_search", "llm_pq_recall",
+    # round 3: CUPED variance-reduced A/B readout (pooled-theta adjustment
+    # over exact-integer per-user moments)
+    "events_ab_cuped",
 ]
 
 
