@@ -14,7 +14,7 @@ ops are exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from backup_repo_spark.registry import query
@@ -1003,4 +1003,85 @@ def fn_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_csv.alias("as_csv"),
         parsed.getField("u").alias("parsed_user"),
         parsed.getField("t").alias("parsed_type"),
+    )
+
+
+@query(
+    "fn_soundex_blocking",
+    oracle="""
+    WITH words AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    clean AS (SELECT w FROM words WHERE regexp_matches(w, '^[a-z]+$')),
+    chars AS (
+      SELECT w, i, substr(upper(w), i, 1) AS ch
+      FROM clean, generate_series(1, 30) g(i)
+      WHERE i <= length(w)
+    ),
+    coded AS (
+      SELECT w, i,
+             CASE WHEN ch IN ('B','F','P','V') THEN '1'
+                  WHEN ch IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+                  WHEN ch IN ('D','T') THEN '3'
+                  WHEN ch = 'L' THEN '4'
+                  WHEN ch IN ('M','N') THEN '5'
+                  WHEN ch = 'R' THEN '6'
+                  WHEN ch IN ('H','W') THEN NULL
+                  ELSE '0' END AS code
+      FROM chars
+    ),
+    seq AS (
+      SELECT w, i, code, lag(code) OVER (PARTITION BY w ORDER BY i) AS prev
+      FROM coded WHERE code IS NOT NULL
+    ),
+    kept AS (
+      SELECT w, i, code,
+             row_number() OVER (PARTITION BY w ORDER BY i) AS rn
+      FROM seq
+      WHERE i > 1 AND code BETWEEN '1' AND '6' AND code IS DISTINCT FROM prev
+    ),
+    sx AS (
+      SELECT c.w,
+             rpad(substr(
+               upper(substr(c.w, 1, 1)) ||
+               coalesce(string_agg(k.code, '' ORDER BY k.i)
+                        FILTER (WHERE k.rn <= 3), ''),
+               1, 4), 4, '0') AS sx
+      FROM clean c LEFT JOIN kept k ON k.w = c.w
+      GROUP BY c.w
+    )
+    SELECT w AS word, sx,
+           count(*) OVER (PARTITION BY sx) AS block_n
+    FROM sx
+    """,
+)
+def fn_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking for fuzzy entity resolution: soundex() over the
+    document vocabulary, plus per-block sizes — the classic cheap blocking
+    key that bounds pairwise fuzzy matching (a phonetic sibling of
+    join_editdist_symspell's deletion signatures and join_fuzzy_blocked's
+    prefix blocks).
+
+    The oracle REIMPLEMENTS Spark's soundex from scratch in SQL (DuckDB has
+    no soundex): char explode → code map → H/W rows dropped (transparent:
+    consonants separated only by h/w collapse — verified against Spark on
+    'ashcraft'→A261, 'bhb'→B000), vowels+y kept as code-0 separators
+    ('byb'→B100), lag-collapse of equal adjacent codes, first 3 kept
+    digits zero-padded. Every behavioral edge was probed against Spark
+    before encoding, making this a true algorithm-level differential, not
+    a function-name passthrough.
+
+    Scale: vocabulary extraction is explode+distinct (shuffle bounded by
+    vocabulary size, not corpus size); the blocking window runs over the
+    vocabulary. At 100 TB you'd block record KEYS, same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    sx = words.select("word", F.soundex("word").alias("sx"))
+    return sx.select(
+        "word", "sx",
+        F.count(F.lit(1)).over(Window.partitionBy("sx")).alias("block_n"),
     )

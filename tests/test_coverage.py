@@ -253,6 +253,9 @@ EXTENSION_KEYS = [
     # round 3: CUPED variance-reduced A/B readout (pooled-theta adjustment
     # over exact-integer per-user moments)
     "events_ab_cuped",
+    # round 3: phonetic blocking — Spark soundex vs a from-scratch SQL
+    # reimplementation of the algorithm (H/W transparency, vowel resets)
+    "fn_soundex_blocking",
 ]
 
 

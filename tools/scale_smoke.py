@@ -129,9 +129,9 @@ def generate(spark: SparkSession, out: str, mult: int) -> None:
     ).repartition(parts).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
 
-def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+def time_queries(spark: SparkSession, sf_dir: str, queries=None) -> dict[str, float]:
     out = {}
-    for metric, key in BENCH_QUERIES.items():
+    for metric, key in (queries or BENCH_QUERIES).items():
         fn = registry.QUERIES[key]
         fn(spark, sf_dir).collect()  # warm
         best = min(
@@ -148,7 +148,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--regen", action="store_true")
+    ap.add_argument(
+        "--keys", nargs="*", default=None,
+        help="registry keys to time instead of the six BENCH queries",
+    )
     args = ap.parse_args()
+    queries = {k: k for k in args.keys} if args.keys else None
     out = os.path.join(_REPO, "spark-warehouse", f"scale_smoke_{args.mult}x")
 
     spark = get_spark("scale-smoke", shuffle_partitions=32)
@@ -159,8 +164,8 @@ def main() -> None:
         generate(spark, out, args.mult)
     _session._TABLE_CACHE.clear()
 
-    base = time_queries(spark, "/root/testdata/sf0.1")
-    scaled = time_queries(spark, out)
+    base = time_queries(spark, "/root/testdata/sf0.1", queries)
+    scaled = time_queries(spark, out, queries)
     report = {
         "mult": args.mult,
         "base_total": round(sum(base.values()), 3),
