@@ -1170,3 +1170,72 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(theta, 6).alias("theta_r6"),
         F.round(dy - theta * dx, 4).alias("diff_cuped_cents"),
     )
+
+
+@query(
+    "events_ab_power",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             coalesce(sum(CAST(round(value * 100) AS BIGINT)) FILTER (
+               WHERE event_type = 'purchase'
+             ), 0) AS y
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(y) AS sy, sum(y * y) AS syy FROM per_user
+    )
+    SELECT n,
+           sy // n AS mean_cents,
+           round(CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1), 2) AS var_cents2,
+           round(sqrt(16.0 * (CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1))
+                      / ((0.05 * sy / n) * (0.05 * sy / n))), 2) AS n_per_arm_mde5pct,
+           round(sqrt(16.0 * (CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1))
+                      / CAST(n AS DOUBLE)), 2) AS mde_cents_at_n
+    FROM m
+    """,
+)
+def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B pre-experiment power analysis over per-user purchase value: the
+    rule-of-16 sizing (n/arm ≈ 16σ²/Δ² for α=0.05, power=0.8 — Kohavi et
+    al., public literature) for a 5% minimum detectable effect, and the
+    MDE achievable at the current population. Pairs with events_ab_cuped:
+    CUPED shrinks the σ² that enters this formula.
+
+    Determinism: sample variance is assembled from exact integer moments
+    (n·Σy² − (Σy)² in int64, bounds ≈ 10^16 at sf0.1), then only IEEE
+    basic ops + sqrt — bit-stable, same recipe as ts_acf/stats_ks_test.
+
+    Scale: one groupBy(user) with map-side partials + a one-row rollup."""
+    ev = load_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                )
+            ),
+            F.lit(0),
+        ).alias("y")
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    var = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double") / F.col(
+        "n"
+    ) / (F.col("n") - 1)
+    mean = F.col("sy") / F.col("n")
+    return m.select(
+        "n",
+        F.expr("sy DIV n").alias("mean_cents"),
+        F.round(var, 2).alias("var_cents2"),
+        F.round(F.sqrt(F.lit(16.0) * var / ((F.lit(0.05) * mean) * (F.lit(0.05) * mean))), 2).alias(
+            "n_per_arm_mde5pct"
+        ),
+        F.round(F.sqrt(F.lit(16.0) * var / F.col("n").cast("double")), 2).alias(
+            "mde_cents_at_n"
+        ),
+    )

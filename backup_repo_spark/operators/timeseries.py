@@ -714,3 +714,71 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc.select(
         "day", F.col("n").cast("bigint").alias("n"), F.round(ewma, 4).alias("ewma")
     ).orderBy("day")
+
+
+@query(
+    "ts_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT k FROM generate_series(1, 7) g(k)),
+    pairs AS (
+      SELECT l.k, a.y AS x, b.y AS yy
+      FROM daily a JOIN lags l ON TRUE
+      JOIN daily b ON b.d = a.d + CAST(l.k AS INTEGER)
+    ),
+    m AS (
+      SELECT k, count(*) AS n, sum(x) AS sx, sum(yy) AS sy,
+             sum(x * yy) AS sxy, sum(x * x) AS sxx, sum(yy * yy) AS syy
+      FROM pairs GROUP BY k
+    )
+    SELECT k AS lag, n,
+           round(
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf_r6
+    FROM m ORDER BY k
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..7 — the seasonality/persistence diagnostic behind forecast-model
+    selection (sibling of ts_cross_correlation, which is cross-series at
+    lag 1). Deliberately NOT the engines' corr() aggregate: its streaming
+    accumulator merges are partition-order-dependent; instead Pearson is
+    assembled from EXACT integer moment sums (daily counts are ints;
+    products bounded ≈ 10^10 at sf0.1), so the only floats are one
+    division and two IEEE sqrt's on identical integers — bit-stable.
+
+    Scale: one day-rollup (partial-aggregable), a 7-row lag-constant
+    broadcast join, one self-join on shifted day keys (30×7 rows), one
+    moment aggregate. Nothing scales with raw event count but the first
+    rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count(F.lit(1)).alias("y"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yy"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.expr("date_add(da, k)"))
+    )
+    m = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yy").alias("sy"),
+        F.sum(F.col("x") * F.col("yy")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("yy") * F.col("yy")).alias("syy"),
+    )
+    return m.select(
+        F.col("k").alias("lag"), "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+            6,
+        ).alias("acf_r6"),
+    )

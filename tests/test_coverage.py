@@ -256,6 +256,9 @@ EXTENSION_KEYS = [
     # round 3: phonetic blocking — Spark soundex vs a from-scratch SQL
     # reimplementation of the algorithm (H/W transparency, vowel resets)
     "fn_soundex_blocking",
+    # round 3: multi-lag ACF from exact integer moments; rule-of-16 A/B
+    # power/MDE sizing (the pre-experiment companion of events_ab_cuped)
+    "ts_acf", "events_ab_power",
 ]
 
 
