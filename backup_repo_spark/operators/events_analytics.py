@@ -1239,3 +1239,100 @@ def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mde_cents_at_n"
         ),
     )
+
+
+@query(
+    "events_did",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('exp1-' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'T' ELSE 'C' END AS grp,
+             coalesce(sum(CAST(round(value * 100) AS BIGINT)) FILTER (
+               WHERE ts < TIMESTAMP '2024-01-16' AND event_type = 'purchase'
+             ), 0) AS y_pre,
+             coalesce(sum(CAST(round(value * 100) AS BIGINT)) FILTER (
+               WHERE ts >= TIMESTAMP '2024-01-16' AND event_type = 'purchase'
+             ), 0) AS y_post
+      FROM events GROUP BY 1
+    ),
+    cells AS (
+      SELECT grp, count(*) AS n, sum(y_pre) AS sp, sum(y_post) AS so
+      FROM per_user GROUP BY grp
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN grp = 'T' THEN n END) AS n_t,
+        max(CASE WHEN grp = 'C' THEN n END) AS n_c,
+        max(CASE WHEN grp = 'T' THEN sp END) AS sp_t,
+        max(CASE WHEN grp = 'C' THEN sp END) AS sp_c,
+        max(CASE WHEN grp = 'T' THEN so END) AS so_t,
+        max(CASE WHEN grp = 'C' THEN so END) AS so_c
+      FROM cells
+    )
+    SELECT n_t, n_c,
+           round(CAST(sp_t AS DOUBLE) / n_t, 4) AS pre_t,
+           round(CAST(sp_c AS DOUBLE) / n_c, 4) AS pre_c,
+           round(CAST(so_t AS DOUBLE) / n_t, 4) AS post_t,
+           round(CAST(so_c AS DOUBLE) / n_c, 4) AS post_c,
+           round((CAST(so_t AS DOUBLE) / n_t - CAST(sp_t AS DOUBLE) / n_t)
+               - (CAST(so_c AS DOUBLE) / n_c - CAST(sp_c AS DOUBLE) / n_c), 4)
+             AS did_cents
+    FROM wide
+    """,
+)
+def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator on per-user purchase value: the
+    2×2 (treat/control × pre/post) cell means and the DiD effect
+    (ΔT − ΔC) — the quasi-experimental readout when randomization isn't
+    available (staged rollouts, geo launches). Completes the
+    experimentation trio: events_ab_power sizes, events_ab_cuped
+    variance-reduces, events_did handles non-randomized designs.
+
+    Determinism: per-user cents are exact integers, cell sums are int64,
+    and every mean/difference is IEEE basic ops on exact integers —
+    rounded only at the end. Same md5 salt-hash group assignment.
+
+    Scale: one groupBy(user) with conditional partials + a 2-row rollup."""
+    ev = load_events(spark, sf_dir)
+    cut = F.lit("2024-01-16").cast("timestamp")
+    grp = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp1-"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "T",
+    ).otherwise("C")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(grp).alias("grp"),
+        F.coalesce(
+            F.sum(F.when((F.col("ts") < cut) & (F.col("event_type") == "purchase"), cents)),
+            F.lit(0),
+        ).alias("y_pre"),
+        F.coalesce(
+            F.sum(F.when((F.col("ts") >= cut) & (F.col("event_type") == "purchase"), cents)),
+            F.lit(0),
+        ).alias("y_post"),
+    )
+    isT = F.col("grp") == "T"
+    wide = per_user.agg(
+        F.sum(isT.cast("long")).alias("n_t"),
+        F.sum((~isT).cast("long")).alias("n_c"),
+        F.sum(F.when(isT, F.col("y_pre"))).alias("sp_t"),
+        F.sum(F.when(~isT, F.col("y_pre"))).alias("sp_c"),
+        F.sum(F.when(isT, F.col("y_post"))).alias("so_t"),
+        F.sum(F.when(~isT, F.col("y_post"))).alias("so_c"),
+    )
+    pre_t = F.col("sp_t").cast("double") / F.col("n_t")
+    pre_c = F.col("sp_c").cast("double") / F.col("n_c")
+    post_t = F.col("so_t").cast("double") / F.col("n_t")
+    post_c = F.col("so_c").cast("double") / F.col("n_c")
+    return wide.select(
+        "n_t", "n_c",
+        F.round(pre_t, 4).alias("pre_t"),
+        F.round(pre_c, 4).alias("pre_c"),
+        F.round(post_t, 4).alias("post_t"),
+        F.round(post_c, 4).alias("post_c"),
+        F.round((post_t - pre_t) - (post_c - pre_c), 4).alias("did_cents"),
+    )

@@ -707,3 +707,49 @@ def ml_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sad DIV n").alias("mad_cents"),
         )
     )
+
+
+@query(
+    "ml_calibration_width_bucket",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS score_cents,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             CASE WHEN o_totalprice < 0 THEN 0
+                  WHEN o_totalprice >= 600000.0 THEN 11
+                  ELSE CAST(floor(o_totalprice / 60000.0) AS INTEGER) + 1
+             END AS bin
+      FROM orders
+    )
+    SELECT bin, count(*) AS n, sum(y) AS n_pos,
+           sum(y) * 1000000 // count(*) AS pos_rate_ppm,
+           sum(score_cents) // count(*) AS mean_score_cents
+    FROM scored GROUP BY bin
+    """,
+)
+def ml_calibration_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of ml_calibration_bins: FIXED-RANGE score bins
+    via width_bucket (emulated in the oracle: DuckDB 1.0 lacks it; the
+    formula floor(v/width)+1 with an exact-double width reproduces Spark's
+    implementation bit-for-bit) instead of equal-frequency ntile — same
+    downstream
+    aggregate, but binning is a stateless map expression, so the global
+    sort (measured 5.55× at 10× data in SCALING.md) disappears entirely
+    and the whole query is one partial-aggregable pass. This pair is the
+    documented mitigation, verified as its own key."""
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("score_cents"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+        F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(10)).alias("bin"),
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"),
+             F.sum("score_cents").alias("sc"))
+        .select(
+            "bin", "n", "n_pos",
+            F.expr("n_pos * 1000000 DIV n").alias("pos_rate_ppm"),
+            F.expr("sc DIV n").alias("mean_score_cents"),
+        )
+    )

@@ -259,6 +259,10 @@ EXTENSION_KEYS = [
     # round 3: multi-lag ACF from exact integer moments; rule-of-16 A/B
     # power/MDE sizing (the pre-experiment companion of events_ab_cuped)
     "ts_acf", "events_ab_power",
+    # round 3: the documented scale path for calibration (fixed-range
+    # width_bucket, no global sort) and difference-in-differences — the
+    # quasi-experimental member of the experimentation trio
+    "ml_calibration_width_bucket", "events_did",
 ]
 
 
