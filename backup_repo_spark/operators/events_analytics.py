@@ -1089,15 +1089,18 @@ def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_user
     )
     SELECT n_a, n_b,
-           round(CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b, 4)
-             AS diff_raw_cents,
-           round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)
-             AS theta_r6,
-           round(
-             (CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b)
-             - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
-               * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b), 4)
-             AS diff_cuped_cents
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             round(CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b, 4)
+           END AS diff_raw_cents,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)
+           END AS theta_r6,
+           CASE WHEN n_a > 0 AND n_b > 0 AND n * sxx - sx * sx > 0 THEN
+             round(
+               (CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b)
+               - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+                 * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b), 4)
+           END AS diff_cuped_cents
     FROM arms CROSS JOIN pooled
     """,
 )
@@ -1164,11 +1167,15 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
         "double"
     ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    arms_ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    var_ok = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
     return arms.crossJoin(F.broadcast(pooled)).select(
         "n_a", "n_b",
-        F.round(dy, 4).alias("diff_raw_cents"),
-        F.round(theta, 6).alias("theta_r6"),
-        F.round(dy - theta * dx, 4).alias("diff_cuped_cents"),
+        F.when(arms_ok, F.round(dy, 4)).alias("diff_raw_cents"),
+        F.when(var_ok, F.round(theta, 6)).alias("theta_r6"),
+        F.when(arms_ok & var_ok, F.round(dy - theta * dx, 4)).alias(
+            "diff_cuped_cents"
+        ),
     )
 
 
@@ -1187,11 +1194,17 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n,
            sy // n AS mean_cents,
-           round(CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1), 2) AS var_cents2,
-           round(sqrt(16.0 * (CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1))
-                      / ((0.05 * sy / n) * (0.05 * sy / n))), 2) AS n_per_arm_mde5pct,
-           round(sqrt(16.0 * (CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1))
-                      / CAST(n AS DOUBLE)), 2) AS mde_cents_at_n
+           CASE WHEN n >= 2 THEN
+             round(CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1), 2)
+           END AS var_cents2,
+           CASE WHEN n >= 2 AND sy > 0 THEN
+             round(sqrt(16.0 * (CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1))
+                        / ((0.05 * sy / n) * (0.05 * sy / n))), 2)
+           END AS n_per_arm_mde5pct,
+           CASE WHEN n >= 2 THEN
+             round(sqrt(16.0 * (CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1))
+                        / CAST(n AS DOUBLE)), 2)
+           END AS mde_cents_at_n
     FROM m
     """,
 )
@@ -1228,16 +1241,21 @@ def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n"
     ) / (F.col("n") - 1)
     mean = F.col("sy") / F.col("n")
+    n_ok = F.col("n") >= 2
     return m.select(
         "n",
         F.expr("sy DIV n").alias("mean_cents"),
-        F.round(var, 2).alias("var_cents2"),
-        F.round(F.sqrt(F.lit(16.0) * var / ((F.lit(0.05) * mean) * (F.lit(0.05) * mean))), 2).alias(
-            "n_per_arm_mde5pct"
-        ),
-        F.round(F.sqrt(F.lit(16.0) * var / F.col("n").cast("double")), 2).alias(
-            "mde_cents_at_n"
-        ),
+        F.when(n_ok, F.round(var, 2)).alias("var_cents2"),
+        F.when(
+            n_ok & (F.col("sy") > 0),
+            F.round(
+                F.sqrt(F.lit(16.0) * var / ((F.lit(0.05) * mean) * (F.lit(0.05) * mean))),
+                2,
+            ),
+        ).alias("n_per_arm_mde5pct"),
+        F.when(
+            n_ok, F.round(F.sqrt(F.lit(16.0) * var / F.col("n").cast("double")), 2)
+        ).alias("mde_cents_at_n"),
     )
 
 
@@ -1270,14 +1288,15 @@ def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         max(CASE WHEN grp = 'C' THEN so END) AS so_c
       FROM cells
     )
-    SELECT n_t, n_c,
-           round(CAST(sp_t AS DOUBLE) / n_t, 4) AS pre_t,
-           round(CAST(sp_c AS DOUBLE) / n_c, 4) AS pre_c,
-           round(CAST(so_t AS DOUBLE) / n_t, 4) AS post_t,
-           round(CAST(so_c AS DOUBLE) / n_c, 4) AS post_c,
-           round((CAST(so_t AS DOUBLE) / n_t - CAST(sp_t AS DOUBLE) / n_t)
-               - (CAST(so_c AS DOUBLE) / n_c - CAST(sp_c AS DOUBLE) / n_c), 4)
-             AS did_cents
+    SELECT coalesce(n_t, 0) AS n_t, coalesce(n_c, 0) AS n_c,
+           CASE WHEN n_t > 0 THEN round(CAST(sp_t AS DOUBLE) / n_t, 4) END AS pre_t,
+           CASE WHEN n_c > 0 THEN round(CAST(sp_c AS DOUBLE) / n_c, 4) END AS pre_c,
+           CASE WHEN n_t > 0 THEN round(CAST(so_t AS DOUBLE) / n_t, 4) END AS post_t,
+           CASE WHEN n_c > 0 THEN round(CAST(so_c AS DOUBLE) / n_c, 4) END AS post_c,
+           CASE WHEN n_t > 0 AND n_c > 0 THEN
+             round((CAST(so_t AS DOUBLE) / n_t - CAST(sp_t AS DOUBLE) / n_t)
+                 - (CAST(so_c AS DOUBLE) / n_c - CAST(sp_c AS DOUBLE) / n_c), 4)
+           END AS did_cents
     FROM wide
     """,
 )
@@ -1328,11 +1347,14 @@ def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre_c = F.col("sp_c").cast("double") / F.col("n_c")
     post_t = F.col("so_t").cast("double") / F.col("n_t")
     post_c = F.col("so_c").cast("double") / F.col("n_c")
+    t_ok, c_ok = F.col("n_t") > 0, F.col("n_c") > 0
     return wide.select(
         "n_t", "n_c",
-        F.round(pre_t, 4).alias("pre_t"),
-        F.round(pre_c, 4).alias("pre_c"),
-        F.round(post_t, 4).alias("post_t"),
-        F.round(post_c, 4).alias("post_c"),
-        F.round((post_t - pre_t) - (post_c - pre_c), 4).alias("did_cents"),
+        F.when(t_ok, F.round(pre_t, 4)).alias("pre_t"),
+        F.when(c_ok, F.round(pre_c, 4)).alias("pre_c"),
+        F.when(t_ok, F.round(post_t, 4)).alias("post_t"),
+        F.when(c_ok, F.round(post_c, 4)).alias("post_c"),
+        F.when(t_ok & c_ok, F.round((post_t - pre_t) - (post_c - pre_c), 4)).alias(
+            "did_cents"
+        ),
     )

@@ -739,7 +739,9 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(n * sxy - sx * sy AS DOUBLE)
              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
              / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf_r6
-    FROM m ORDER BY k
+    FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY k
     """,
 )
 def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -754,8 +756,11 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one day-rollup (partial-aggregable), a 7-row lag-constant
     broadcast join, one self-join on shifted day keys (30×7 rows), one
-    moment aggregate. Nothing scales with raw event count but the first
-    rollup."""
+    moment aggregate. Degenerate lags (fewer than 2 pairs, or a constant
+    series with zero variance — 0/0 is NaN in Spark but NULL in DuckDB)
+    are filtered identically in both engines rather than emitted as
+    engine-specific non-values. Nothing scales with raw event count but
+    the first rollup."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count(F.lit(1)).alias("y"))
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
@@ -773,7 +778,10 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("yy") * F.col("yy")).alias("syy"),
     )
-    return m.select(
+    return m.filter(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    ).select(
         F.col("k").alias("lag"), "n",
         F.round(
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")

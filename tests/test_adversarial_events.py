@@ -84,6 +84,13 @@ _EVENTS_KEYS = [
     "ts_cusum_changepoint",
     "ts_distribution_drift",
     "ts_ewma",
+    # round-3 additions: degenerate-input guards (empty arms, zero-variance
+    # lags, single-user periods) must yield IDENTICAL nulls/filtered rows
+    "ts_acf",
+    "events_ab_cuped",
+    "events_did",
+    "events_ab_power",
+    "win_count_distinct",
 ]
 
 
