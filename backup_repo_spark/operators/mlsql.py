@@ -125,6 +125,12 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     row = pts.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
+    if row.mn is None:
+        # empty input: the oracle's CTE chain yields zero rows; mirror it
+        # with an empty frame of the same schema instead of crashing
+        return spark.createDataFrame(
+            [], "cluster_id int, n bigint, centroid_cents bigint"
+        )
     cents = [int(row.mn), (int(row.mn) + int(row.mx)) // 2, int(row.mx)]
 
     def assign(c: list[int]):

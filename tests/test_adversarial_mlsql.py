@@ -145,3 +145,62 @@ def test_kmeans_outlier_isolated(spark, adv_ml_dir):
     rows = {r.cluster_id: r for r in registry.QUERIES["ml_kmeans"](spark, adv_ml_dir).collect()}
     assert rows[2].n == 1 and rows[2].centroid_cents == 999999
     assert rows[0].n == len(CUSTOMERS) - 1
+
+
+@pytest.fixture(scope="module")
+def empty_ml_dir(tmp_path_factory):
+    """customer/orders with ZERO rows (schema-only parquet)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("empty_ml_sf")
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string()),
+                "c_nationkey": pa.array([], pa.int32()),
+                "c_acctbal": pa.array([], pa.float64()),
+                "c_mktsegment": pa.array([], pa.string()),
+            }
+        ),
+        str(d / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderstatus": pa.array([], pa.string()),
+                "o_totalprice": pa.array([], pa.float64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_orderpriority": pa.array([], pa.string()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    for t in TABLES:
+        if t not in ("customer", "orders"):
+            os.symlink(f"{SF_DIR}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["ml_kmeans", "ml_naive_bayes", "ml_confusion_matrix", "ml_decision_stump",
+     "ml_feature_stats", "stat_chi_square", "ml_calibration_bins",
+     "ml_calibration_width_bucket"],
+)
+def test_ml_key_on_empty_tables(name, spark, empty_ml_dir):
+    """Zero-row inputs must not crash and must agree with the oracle
+    (typically: zero rows out, or a stump table of all-zero splits)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{empty_ml_dir}/{t}.parquet')"
+        )
+    sp = registry.QUERIES[name](spark, empty_ml_dir).toPandas()
+    du = con.execute(registry.ORACLES[name]).fetchdf()
+    con.close()
+    problems = hard_problems(compare(sp, du))
+    assert not problems, f"{name} diverges on empty tables: {problems}"
