@@ -514,3 +514,66 @@ def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("inter * 1000000 DIV (da + db - inter)").alias("jacc_ppm"),
         )
     )
+
+
+@query(
+    "graph_closeness",
+    oracle=f"""
+    WITH RECURSIVE {_COST_EDGES_SQL},
+    nodes AS (SELECT DISTINCT src AS s FROM sparse),
+    walk(s, node, d, hop) AS (
+      SELECT s, CAST(s AS INTEGER), CAST(0 AS BIGINT), 0 FROM nodes
+      UNION
+      SELECT w.s, CAST(e.dst AS INTEGER), w.d + e.cost, w.hop + 1
+      FROM walk w JOIN sparse e ON e.src = w.node
+      WHERE w.hop < 8
+    ),
+    best AS (
+      SELECT s, node, min(d) AS d FROM walk GROUP BY s, node
+    )
+    SELECT s AS src,
+           count(*) - 1 AS n_reached,
+           sum(d) AS total_dist,
+           CASE WHEN sum(d) > 0
+                THEN (count(*) - 1) * 1000000 // sum(d)
+           END AS closeness_ppm
+    FROM best GROUP BY s
+    """,
+)
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality within an 8-hop horizon, computed for ALL
+    source nodes SIMULTANEOUSLY — the multi-source generalization of
+    graph_sssp_weighted: frontier state is keyed by (src, node), so one
+    distributed loop relaxes every node's tree at once instead of |V|
+    sequential runs. Closeness = reached/Σdist in integer ppm (harmonic-
+    style guard: isolated sources emit NULL, identically cross-engine).
+
+    Scale: state size is O(V·V) worst case — fine for entity graphs with
+    bounded reach (the 8-hop horizon caps it); for web-scale graphs the
+    standard move is landmark sampling (run this exact plan from k sampled
+    sources), which is THIS query with a filter on the node list."""
+    edges = _sparse_cost_edges(spark, sf_dir).localCheckpoint()
+    dist = edges.select(F.col("src").alias("s")).distinct().select(
+        "s", F.col("s").alias("node"), F.lit(0).cast("long").alias("d")
+    )
+    for _ in range(8):
+        cand = (
+            dist.join(edges, dist.node == edges.src)
+            .select("s", F.col("dst").alias("node"), (F.col("d") + F.col("cost")).alias("d"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("s", "node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return dist.groupBy(F.col("s").alias("src")).agg(
+        (F.count(F.lit(1)) - 1).alias("n_reached"),
+        F.sum("d").alias("total_dist"),
+    ).select(
+        "src", "n_reached", "total_dist",
+        F.when(
+            F.col("total_dist") > 0,
+            F.expr("n_reached * 1000000 DIV total_dist"),
+        ).alias("closeness_ppm"),
+    )

@@ -263,6 +263,8 @@ EXTENSION_KEYS = [
     # width_bucket, no global sort) and difference-in-differences — the
     # quasi-experimental member of the experimentation trio
     "ml_calibration_width_bucket", "events_did",
+    # round 3: multi-source closeness centrality (landmark-samplable shape)
+    "graph_closeness",
 ]
 
 
