@@ -1055,3 +1055,62 @@ def dq_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("table_name")
+
+
+@query(
+    "dq_outlier_iqr",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority AS prio,
+             count(*) AS n,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY 1
+    )
+    SELECT q.prio, q.n,
+           round(q.q1, 4) AS q1_r4, round(q.q3, 4) AS q3_r4,
+           count(*) FILTER (
+             WHERE o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                OR o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+           ) AS n_outliers,
+           count(*) FILTER (
+             WHERE o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                OR o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+           ) * 1000000 // q.n AS outlier_ppm
+    FROM orders o JOIN q ON o.o_orderpriority = q.prio
+    GROUP BY q.prio, q.n, q.q1, q.q3
+    """,
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier gate per group: exact interpolated quartiles
+    (same convention both engines — the agg_percentile_exact recipe), then
+    integer counts outside [q1 − 1.5·IQR, q3 + 1.5·IQR] and the rate in
+    ppm — the numeric-column sibling of dq_volume_profile's row-count
+    checks. Fences are IEEE basic ops on bit-identical quartiles, so the
+    boundary comparisons agree cross-engine.
+
+    Scale: exact quartiles need a per-group sort — fine for gate-sized
+    groups; at 100 TB swap percentile_approx into the same plan (the
+    fence-count join is a broadcast of |groups| rows either way)."""
+    o = load_table(spark, sf_dir, "orders")
+    q = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    j = o.join(F.broadcast(q), o.o_orderpriority == q.prio)
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("o_totalprice") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        j.groupBy("prio", "n", "q1", "q3")
+        .agg(F.sum(is_out.cast("long")).alias("n_outliers"))
+        .select(
+            "prio", "n",
+            F.round("q1", 4).alias("q1_r4"),
+            F.round("q3", 4).alias("q3_r4"),
+            "n_outliers",
+            F.expr("n_outliers * 1000000 DIV n").alias("outlier_ppm"),
+        )
+    )

@@ -265,6 +265,8 @@ EXTENSION_KEYS = [
     "ml_calibration_width_bucket", "events_did",
     # round 3: multi-source closeness centrality (landmark-samplable shape)
     "graph_closeness",
+    # round 3: Tukey-fence numeric outlier gate (dq family)
+    "dq_outlier_iqr",
 ]
 
 
