@@ -1193,7 +1193,7 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT count(*) AS n, sum(y) AS sy, sum(y * y) AS syy FROM per_user
     )
     SELECT n,
-           sy // n AS mean_cents,
+           CAST(sy // n AS BIGINT) AS mean_cents,
            CASE WHEN n >= 2 THEN
              round(CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1), 2)
            END AS var_cents2,

@@ -533,9 +533,9 @@ def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s AS src,
            count(*) - 1 AS n_reached,
-           sum(d) AS total_dist,
+           CAST(sum(d) AS BIGINT) AS total_dist,
            CASE WHEN sum(d) > 0
-                THEN (count(*) - 1) * 1000000 // sum(d)
+                THEN CAST((count(*) - 1) * 1000000 // sum(d) AS BIGINT)
            END AS closeness_ppm
     FROM best GROUP BY s
     """,

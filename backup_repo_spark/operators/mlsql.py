@@ -98,8 +98,8 @@ _KM_STEP = """
     )
     SELECT f.cluster_id,
            count(*) AS n,
-           any_value(CASE f.cluster_id WHEN 0 THEN c0 WHEN 1 THEN c1 ELSE c2 END)
-             - 100000 AS centroid_cents
+           CAST(any_value(CASE f.cluster_id WHEN 0 THEN c0 WHEN 1 THEN c1 ELSE c2 END)
+             - 100000 AS BIGINT) AS centroid_cents
     FROM final f CROSS JOIN it3
     GROUP BY f.cluster_id
     """,
@@ -347,10 +347,12 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
       FROM g
     ),
-    tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g)
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM g
+    )
     SELECT n1, n2,
-           max(abs(r1 * n2 - r2 * n1)) AS d_num,
-           max(abs(r1 * n2 - r2 * n1)) * 1000000 // (n1 * n2) AS ks_ppm
+           CAST(max(abs(r1 * n2 - r2 * n1)) AS BIGINT) AS d_num,
+           CAST(max(abs(r1 * n2 - r2 * n1)) * 1000000 // (n1 * n2) AS BIGINT) AS ks_ppm
     FROM c CROSS JOIN tot
     GROUP BY n1, n2
     """,
@@ -424,7 +426,7 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     )
     SELECT seg, st, n, round(exp, 4) AS expected_r4, contrib_micro,
-           sum(contrib_micro) OVER () AS chi2_micro
+           CAST(sum(contrib_micro) OVER () AS BIGINT) AS chi2_micro
     FROM cell
     """,
 )
@@ -562,8 +564,8 @@ def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     ),
     s AS (
-      SELECT sum(cp * (2 * prev + cp + cn + 1)) AS two_rs,
-             sum(cp) AS np, sum(cn) AS nn
+      SELECT CAST(sum(cp * (2 * prev + cp + cn + 1)) AS BIGINT) AS two_rs,
+             CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn
       FROM c
     )
     SELECT np, nn,
@@ -622,9 +624,9 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
              ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
       FROM orders
     )
-    SELECT bin, count(*) AS n, sum(y) AS n_pos,
-           sum(y) * 1000000 // count(*) AS pos_rate_ppm,
-           sum(score_cents) // count(*) AS mean_score_cents
+    SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm,
+           CAST(sum(score_cents) // count(*) AS BIGINT) AS mean_score_cents
     FROM scored GROUP BY bin
     """,
 )
@@ -668,12 +670,13 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     ),
     m AS (
-      SELECT seg, count(*) AS n, sum(cents) // count(*) AS mean_cents,
+      SELECT seg, count(*) AS n,
+             CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents,
              min(cents) AS min_cents, max(cents) AS max_cents
       FROM x GROUP BY seg
     )
     SELECT m.seg, m.n, m.mean_cents, m.min_cents, m.max_cents,
-           sum(abs(x.cents - m.mean_cents)) // m.n AS mad_cents
+           CAST(sum(abs(x.cents - m.mean_cents)) // m.n AS BIGINT) AS mad_cents
     FROM x JOIN m USING (seg)
     GROUP BY m.seg, m.n, m.mean_cents, m.min_cents, m.max_cents
     """,
@@ -727,9 +730,9 @@ def ml_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS bin
       FROM orders
     )
-    SELECT bin, count(*) AS n, sum(y) AS n_pos,
-           sum(y) * 1000000 // count(*) AS pos_rate_ppm,
-           sum(score_cents) // count(*) AS mean_score_cents
+    SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm,
+           CAST(sum(score_cents) // count(*) AS BIGINT) AS mean_score_cents
     FROM scored GROUP BY bin
     """,
 )
