@@ -79,7 +79,7 @@ _PQ_ITER_SQL = """
     ),
     cent{k} AS MATERIALIZED (
       SELECT g.sub, g.cid, g.pos,
-             coalesce(u.cval, g.cval) AS cval
+             CAST(coalesce(u.cval, g.cval) AS BIGINT) AS cval
       FROM cent{p} g
       LEFT JOIN (
         SELECT a.sub, a.cid, s.pos, sum(s.val) // count(*) AS cval
@@ -195,7 +195,7 @@ def llm_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY c.sub, c.cid
     )
     SELECT vec_id, adc_dist FROM (
-      SELECT k.vec_id, sum(l.qd) AS adc_dist
+      SELECT k.vec_id, CAST(sum(l.qd) AS BIGINT) AS adc_dist
       FROM codes k JOIN lut l ON l.sub = k.sub AND l.cid = k.cid
       WHERE k.vec_id <> 0
       GROUP BY k.vec_id
