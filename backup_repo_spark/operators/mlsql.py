@@ -762,3 +762,52 @@ def ml_calibration_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sc DIV n").alias("mean_score_cents"),
         )
     )
+
+
+@query(
+    "ml_roc_points",
+    oracle="""
+    WITH cand AS (
+      SELECT 50000.0 * t AS thr FROM range(1, 12) r(t)
+    ),
+    pts AS (
+      SELECT thr,
+             count(*) FILTER (WHERE o_orderstatus = 'F' AND o_totalprice >= thr) AS tp,
+             count(*) FILTER (WHERE o_orderstatus <> 'F' AND o_totalprice >= thr) AS fp,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS np,
+             count(*) FILTER (WHERE o_orderstatus <> 'F') AS nn
+      FROM orders CROSS JOIN cand
+      GROUP BY thr
+    )
+    SELECT thr, tp, fp,
+           CAST(tp * 1000000 // np AS BIGINT) AS tpr_ppm,
+           CAST(fp * 1000000 // nn AS BIGINT) AS fpr_ppm
+    FROM pts
+    """,
+)
+def ml_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC operating points at 11 fixed score thresholds (price >= t
+    predicts status 'F'): TP/FP counts and TPR/FPR in exact integer ppm —
+    the curve behind ml_auc_roc's scalar, for threshold selection. Same
+    single-pass shape as ml_decision_stump: a constant candidate list
+    broadcast-crossed onto one scan, one hash aggregate; integer rates
+    make every point bit-deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    cand = spark.range(1, 12).select((F.lit(50000.0) * F.col("id")).alias("thr"))
+    pos = F.col("o_orderstatus") == "F"
+    hit = F.col("o_totalprice") >= F.col("thr")
+    pts = (
+        o.crossJoin(F.broadcast(cand))
+        .groupBy("thr")
+        .agg(
+            F.sum((pos & hit).cast("long")).alias("tp"),
+            F.sum(((~pos) & hit).cast("long")).alias("fp"),
+            F.sum(pos.cast("long")).alias("np"),
+            F.sum((~pos).cast("long")).alias("nn"),
+        )
+    )
+    return pts.select(
+        "thr", "tp", "fp",
+        F.expr("tp * 1000000 DIV np").alias("tpr_ppm"),
+        F.expr("fp * 1000000 DIV nn").alias("fpr_ppm"),
+    )

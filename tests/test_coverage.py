@@ -267,6 +267,8 @@ EXTENSION_KEYS = [
     "graph_closeness",
     # round 3: Tukey-fence numeric outlier gate (dq family)
     "dq_outlier_iqr",
+    # round 3: ROC operating points (the curve behind ml_auc_roc's scalar)
+    "ml_roc_points",
 ]
 
 
