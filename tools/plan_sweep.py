@@ -35,6 +35,7 @@ WHITELIST = {
     "join_theta": "theta join with pure inequality predicate — BNLJ is the only strategy",
     "ml_decision_stump": "constant 9-row candidate list broadcast-crossed onto the scan",
     "ts_acf": "constant 7-row lag list broadcast-crossed onto the 30-row daily rollup",
+    "ml_roc_points": "constant 11-row threshold list broadcast-crossed onto the scan",
     "skyline_frontier": "1-row aggregate broadcast (crossJoin(broadcast(tot)) pattern)",
     # tiny-constant-side broadcasts (audited by hand — build side bounded
     # by construction, not by data volume):
