@@ -1358,3 +1358,60 @@ def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             "did_cents"
         ),
     )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'signup') AS t_signup,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    gaps AS (
+      SELECT CAST(date_diff('second', t_signup, t_purchase) AS BIGINT) AS gap_s
+      FROM firsts
+      WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+        AND t_purchase >= t_signup
+    )
+    SELECT count(*) AS n_converted,
+           CAST(min(gap_s) AS BIGINT) AS min_s,
+           quantile_cont(gap_s, 0.5) AS median_s,
+           quantile_cont(gap_s, 0.9) AS p90_s,
+           CAST(max(gap_s) AS BIGINT) AS max_s
+    FROM gaps
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the gap between FIRST
+    signup and FIRST subsequent purchase, summarized as exact integer
+    second quantiles — the activation-latency metric product teams page
+    on. Gap seconds are exact integers (µs timestamps divide evenly);
+    quantile interpolation is the agg_percentile_exact convention.
+
+    Scale: one groupBy(user) with min-filters (map-side partials), one
+    small rollup; no joins, no windows."""
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    gaps = firsts.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_signup"))
+    ).select(
+        (
+            F.unix_timestamp("t_purchase") - F.unix_timestamp("t_signup")
+        ).alias("gap_s")
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("gap_s").alias("min_s"),
+        F.percentile("gap_s", F.lit(0.5)).alias("median_s"),
+        F.percentile("gap_s", F.lit(0.9)).alias("p90_s"),
+        F.max("gap_s").alias("max_s"),
+    )

@@ -811,3 +811,65 @@ def ml_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("tp * 1000000 DIV np").alias("tpr_ppm"),
         F.expr("fp * 1000000 DIV nn").alias("fpr_ppm"),
     )
+
+
+@query(
+    "ml_lift_gains",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile
+      FROM orders
+    ),
+    bins AS (
+      SELECT decile, count(*) AS n, sum(y) AS pos FROM scored GROUP BY decile
+    ),
+    tot AS (SELECT sum(n) AS nt, CAST(sum(pos) AS BIGINT) AS pt FROM bins)
+    SELECT decile, n, CAST(pos AS BIGINT) AS pos,
+           CAST(sum(pos) OVER w AS BIGINT) AS cum_pos,
+           CAST(sum(pos) OVER w * 1000000 // pt AS BIGINT) AS cum_gain_ppm,
+           CAST((sum(pos) OVER w * nt * 1000000) // (sum(n) OVER w * pt) AS BIGINT)
+             AS cum_lift_ppm
+    FROM bins CROSS JOIN tot
+    WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift by score decile (highest scores first) —
+    the targeting-efficiency readout behind campaign sizing ("the top 20%
+    of scores capture X% of positives at Y× lift"). Integer end-to-end:
+    counts, cumulative sums over the 10-row bin table, gains and lift in
+    truncating ppm. Deterministic ntile boundaries via the (score,
+    orderkey) tie-break.
+
+    Scale: the ranked-decile form needs the same global sort as
+    ml_calibration_bins; the documented scale path is identical — fixed
+    score-range bins via width_bucket (same downstream windows)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("o_totalprice"), "o_orderkey"))
+        .alias("decile"),
+    )
+    bins = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    tot = bins.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n", "pos",
+            F.sum("pos").over(w).alias("cum_pos"),
+            F.sum("n").over(w).alias("cum_n"),
+            "nt", "pt",
+        )
+        .select(
+            "decile", "n", "pos", "cum_pos",
+            F.expr("cum_pos * 1000000 DIV pt").alias("cum_gain_ppm"),
+            F.expr("(cum_pos * nt * 1000000) DIV (cum_n * pt)").alias("cum_lift_ppm"),
+        )
+    )

@@ -790,3 +790,53 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf_r6"),
     )
+
+
+@query(
+    "ts_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS y
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT y, CAST(d - DATE '2024-01-01' AS BIGINT) AS t FROM daily
+    ),
+    slopes AS (
+      SELECT (b.y - a.y) * 1000000 // (b.t - a.t) AS slope_ppm
+      FROM idx a JOIN idx b ON b.t > a.t
+    )
+    SELECT count(*) AS n_pairs,
+           CAST(quantile_disc(slope_ppm, 0.5) AS BIGINT) AS theil_sen_slope_ppm
+    FROM slopes
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator over the daily event-count series:
+    the MEDIAN of all pairwise slopes — immune to the outlier days that
+    wreck least-squares (the robust sibling of agg_regression). Slopes are
+    truncating-integer ppm (exact: integer Δy·10⁶ // integer Δdays) and
+    the median is the DISCRETE quantile (an actual observed slope), so
+    the estimate is bit-deterministic with no interpolation convention to
+    align.
+
+    Scale: pairwise slopes are O(days²) — 435 pairs on a 30-day rollup;
+    at years of history pre-aggregate to weeks or use the repeated-median
+    variant per bounded window. The fact-table scan collapses to the day
+    rollup first, so data volume never enters the quadratic term."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count(F.lit(1)).alias("y"))
+    idx = daily.select(
+        "y", F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")).cast("long").alias("t")
+    )
+    a = idx.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = idx.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    slopes = a.join(b, F.col("tb") > F.col("ta")).select(
+        F.expr("(yb - ya) * 1000000 DIV (tb - ta)").alias("slope_ppm")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_ppm) AS BIGINT)").alias(
+            "theil_sen_slope_ppm"
+        ),
+    )

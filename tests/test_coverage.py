@@ -269,6 +269,8 @@ EXTENSION_KEYS = [
     "dq_outlier_iqr",
     # round 3: ROC operating points (the curve behind ml_auc_roc's scalar)
     "ml_roc_points",
+    # round 3: activation latency, robust trend, targeting efficiency
+    "events_time_to_convert", "ts_theil_sen", "ml_lift_gains",
 ]
 
 
