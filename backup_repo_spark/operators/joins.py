@@ -489,3 +489,63 @@ def mba_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "p1", "p2")
         .limit(25)
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             max(c.ts) AS last_click_ts
+      FROM purchases p LEFT JOIN clicks c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+      GROUP BY p.event_id, p.user_id, p.ts
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN last_click_ts IS NOT NULL
+                 AND date_diff('second', last_click_ts, ts) <= 3600
+                THEN CAST(date_diff('second', last_click_ts, ts) AS BIGINT)
+           END AS gap_s,
+           CASE WHEN last_click_ts IS NOT NULL
+                 AND date_diff('second', last_click_ts, ts) <= 3600
+                THEN 1 ELSE 0 END AS within_tolerance
+    FROM matched
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas merge_asof's `tolerance`
+    parameter): each purchase matches its latest preceding click only if
+    the gap is <= 1 hour — stale matches are nulled, the attribution-
+    window semantics ad systems bill on. Same single-shuffle union+window
+    plan as join_asof (the merge-style formulation that scales); the
+    tolerance is one stateless CASE after the carry-forward, so the scale
+    shape is unchanged. Gap in exact integer seconds; the oracle's
+    join+max formulation is quadratic and exists only for verification."""
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click").withColumn("kind", F.lit(0))
+    purchases = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "kind", F.lit(1)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")
+    ok = F.col("last_click_ts").isNotNull() & (gap <= 3600)
+    return merged.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(ok, gap).alias("gap_s"),
+        ok.cast("int").alias("within_tolerance"),
+    )

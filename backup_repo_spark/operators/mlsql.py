@@ -873,3 +873,82 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(cum_pos * nt * 1000000) DIV (cum_n * pt)").alias("cum_lift_ppm"),
         )
     )
+
+
+@query(
+    "ml_psi_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT CASE WHEN o_totalprice < 0 THEN 0
+                  WHEN o_totalprice >= 600000.0 THEN 11
+                  ELSE CAST(floor(o_totalprice / 60000.0) AS INTEGER) + 1
+             END AS bin,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS c_ref,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS c_cur
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+             CAST(sum(c_cur) AS BIGINT) AS n_cur,
+             count(*) AS k
+      FROM binned
+    ),
+    cell AS (
+      SELECT bin, c_ref, c_cur,
+             (c_ref + 1.0) / (n_ref + k) AS p,
+             (c_cur + 1.0) / (n_cur + k) AS q
+      FROM binned CROSS JOIN tot
+    )
+    SELECT bin, CAST(c_ref AS BIGINT) AS c_ref, CAST(c_cur AS BIGINT) AS c_cur,
+           CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT) AS psi_micro,
+           CAST(sum(CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT)) OVER ()
+                AS BIGINT) AS psi_total_micro
+    FROM cell
+    """,
+)
+def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the reference (finished) and
+    current (open) score distributions over fixed-range bins — THE
+    deployed-model drift monitor (PSI > 0.2 = retrain alarm). Laplace
+    add-one smoothing guards empty bins; per-bin contributions are
+    rounded to integer micro-units BEFORE the order-insensitive window
+    total (the stat_chi_square recipe). ln() is libm but feeds only a
+    rounded VALUE (never a selection boundary), the same exposure as the
+    established lm-score/tfidf keys.
+
+    Scale: stateless width_bucket binning (no global sort), one 12-row
+    contingency aggregate — the production shape for scheduled drift
+    checks."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    bin_ = (
+        F.when(F.col("o_totalprice") < 0, 0)
+        .when(F.col("o_totalprice") >= 600000.0, 11)
+        .otherwise(F.floor(F.col("o_totalprice") / 60000.0).cast("int") + 1)
+    )
+    binned = o.groupBy(bin_.alias("bin")).agg(
+        F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("c_ref"),
+        F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("c_cur"),
+    )
+    tot = binned.agg(
+        F.sum("c_ref").alias("n_ref"),
+        F.sum("c_cur").alias("n_cur"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    cell = binned.crossJoin(F.broadcast(tot)).select(
+        "bin", "c_ref", "c_cur",
+        ((F.col("c_ref") + 1.0) / (F.col("n_ref") + F.col("k"))).alias("p"),
+        ((F.col("c_cur") + 1.0) / (F.col("n_cur") + F.col("k"))).alias("q"),
+    )
+    contrib = F.round(
+        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")) * 1000000
+    ).cast("long")
+    return cell.select(
+        "bin", "c_ref", "c_cur", contrib.alias("psi_micro")
+    ).select(
+        "*", F.sum("psi_micro").over(Window.partitionBy()).alias("psi_total_micro")
+    )

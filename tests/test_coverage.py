@@ -271,6 +271,8 @@ EXTENSION_KEYS = [
     "ml_roc_points",
     # round 3: activation latency, robust trend, targeting efficiency
     "events_time_to_convert", "ts_theil_sen", "ml_lift_gains",
+    # round 3: PSI model-drift monitor; as-of join with tolerance window
+    "ml_psi_drift", "join_asof_tolerance",
 ]
 
 
