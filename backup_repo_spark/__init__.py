@@ -29,6 +29,7 @@ from backup_repo_spark.operators import (  # noqa: F401
     modern_sql,
     nested,
     projections,
+    rankstats,
     scans,
     reshape,
     setops,

@@ -577,3 +577,104 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_reached * 1000000 DIV total_dist"),
         ).alias("closeness_ppm"),
     )
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    sparse AS (
+      SELECT src, dst FROM base
+      WHERE src <> dst
+        AND substr(md5(CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR)), 1, 1) < '4'
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM sparse
+    ),
+    d1 AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY 1
+    ),
+    n1 AS (SELECT node FROM d1 WHERE deg >= 3),
+    e2 AS (
+      SELECT a, b FROM und
+      WHERE a IN (SELECT node FROM n1) AND b IN (SELECT node FROM n1)
+    ),
+    d2 AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2
+      ) GROUP BY 1
+    ),
+    n2 AS (SELECT node FROM d2 WHERE deg >= 3),
+    e3 AS (
+      SELECT a, b FROM und
+      WHERE a IN (SELECT node FROM n2) AND b IN (SELECT node FROM n2)
+    ),
+    d3 AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3
+      ) GROUP BY 1
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(deg AS BIGINT) AS core_deg
+    FROM d3 WHERE deg >= 3 ORDER BY node
+    """,
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core by iterative degree peeling (3 synchronous rounds) on the
+    md5-sampled undirected trade graph: each round drops nodes whose
+    degree in the SURVIVING subgraph is < 3, the standard k-core
+    computation (and the dense-subgraph filter spam/bot-ring detection
+    runs on user-interaction graphs).
+
+    Spark side: per-round = two semi-joins (edge endpoints against the
+    surviving node set) + one explode-and-count degree aggregate —
+    iteration cost scales with the EDGE LIST, never the fact table (the
+    heavy fact->edge rollup runs once, before the loop).  The oracle
+    unrolls the same three rounds as chained CTEs; degrees and node ids
+    are exact integers, so the comparison is bit-exact."""
+    base = _trade_edges(spark, sf_dir)
+    sparse = base.where(
+        (F.col("src") != F.col("dst"))
+        & (
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("src").cast("string"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "4"
+        )
+    )
+    und = (
+        sparse.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = und
+    deg = None
+    for _ in range(3):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.where(F.col("deg") >= 3).select("node").localCheckpoint()
+        edges = und.join(
+            F.broadcast(alive), und.a == alive.node, "left_semi"
+        ).join(F.broadcast(alive), und.b == alive.node, "left_semi")
+    return (
+        deg.where(F.col("deg") >= 3)
+        .select(
+            F.col("node").cast("bigint"), F.col("deg").cast("bigint").alias("core_deg")
+        )
+        .orderBy("node")
+    )

@@ -549,3 +549,51 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, gap).alias("gap_s"),
         ok.cast("int").alias("within_tolerance"),
     )
+
+
+@query(
+    "join_bloom_filtered",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join reduction — the scale path for a
+    fact x selectively-filtered dim join where the dim is TOO BIG to
+    broadcast (the 100 TB case autoBroadcastJoinThreshold can't save).
+
+    Spark's InjectRuntimeFilter plants a BloomFilterAggregate over the
+    filtered orders keys and a might_contain() probe on the lineitem scan
+    side, so ~80% of fact rows die BEFORE the join shuffle — shuffled
+    bytes drop by the dim filter's selectivity, the same reduction a
+    semi-join pre-pass buys but with no extra shuffle.  Injection demands
+    a probably-shuffled join, so the key runs in an isolated newSession()
+    (broadcast disabled + app-side scan threshold 0 to model the 100 TB
+    size ratios at test SF) — session isolation keeps those confs from
+    leaking into other registry keys.  tests/test_plans.py asserts the
+    bloom_filter_agg / might_contain pair in the physical plan."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    li = s2.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = s2.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("rev"),
+        )
+    )

@@ -1,0 +1,405 @@
+"""Rank-based statistics and exact-integer multiple regression —
+Mann-Whitney U, Spearman rank correlation, two-feature OLS via integer
+normal equations, plus a runtime-Bloom-filter join-reduction key.
+
+Not in the reference (Astro exposes no statistics surface); included
+because a 100 TB curation pipeline A/B-gates and drift-tests with exactly
+these nonparametric primitives (median-shift tests that survive outliers,
+monotonic-association checks that survive nonlinearity), and because each
+one exercises a distinct deterministic-cross-engine technique:
+
+- Mann-Whitney runs on the *value histogram*, not per-row ranks: groupBy
+  on integer cents (map-side combinable), then one window over DISTINCT
+  values only.  Doubled average ranks (2·cnt_less + cnt_eq + 1) keep every
+  rank an exact BIGINT, so U is integer-exact; only the final z-score
+  touches floats (rounded to micro).
+- Spearman converts both variables to doubled average ranks (exact
+  integers) and applies corr() — Pearson on ranks.  corr is
+  scale-invariant so the doubling cancels; the only float is the final
+  moment accumulation, rounded to 6 dp like agg_regression.
+- OLS with two regressors solves the 2x2 normal equations entirely in
+  exact integer arithmetic (DECIMAL(38) on the Spark side, HUGEINT in the
+  DuckDB oracle): every N-term (n·Sxy − Sx·Sy) is an exact integer, and
+  the coefficient is one deterministic double division of two exactly-
+  rounded integers — no accumulated float error to diverge across engines.
+
+Scale notes (100 TB): the Mann-Whitney histogram is a map-combinable
+groupBy whose output is bounded by the value-grid cardinality (price
+cents), not the row count; the single-partition window runs over that
+reduced set (the standard scale-out for an unbounded grid is
+range-partitioned prefix sums — partial sums per partition + broadcast
+offsets).  Spearman's per-group rank windows shuffle once on the group
+key.  The OLS sums are one map-side-combinable aggregate pass; the solve
+is O(1) on the driver-free 1-row result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from backup_repo_spark.registry import query
+from backup_repo_spark.session import load_table
+
+
+@query(
+    "stats_mann_whitney",
+    oracle="""
+    WITH hist AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS cf,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS co
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cf, co, cf + co AS ce,
+             2 * coalesce(sum(cf + co) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (cf + co) + 1 AS dr
+      FROM hist
+    ),
+    s AS (
+      SELECT CAST(sum(cf) AS BIGINT) AS n1, CAST(sum(co) AS BIGINT) AS n2,
+             CAST(sum(cf * dr) AS BIGINT) AS r1d,
+             CAST(sum(ce * ce * ce - ce) AS BIGINT) AS ties
+      FROM ranked
+    )
+    SELECT n1, n2,
+           r1d AS r1_doubled,
+           r1d - n1 * (n1 + 1) AS u1_doubled,
+           2 * n1 * n2 - (r1d - n1 * (n1 + 1)) AS u2_doubled,
+           CAST(round(
+             ((r1d - n1 * (n1 + 1)) - n1 * n2)
+             / (2 * sqrt(n1 * n2 / 12.0
+                 * ((n1 + n2 + 1) - ties / ((n1 + n2) * (n1 + n2 - 1.0)))))
+             * 1000000) AS BIGINT) AS z_micro
+    FROM s
+    """,
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the F and O order
+    cohorts on o_totalprice, with the tie-corrected normal z.
+
+    Histogram-first: ranks are derived from the grouped value histogram
+    (one distinct row per price), so the window cost scales with value
+    cardinality, not row count.  Doubled average ranks keep U exact."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    hist = o.groupBy(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    ).agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("cf"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("co"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ce = F.col("cf") + F.col("co")
+    ranked = hist.select(
+        "cf",
+        "co",
+        ce.alias("ce"),
+        (2 * F.coalesce(F.sum(ce).over(w), F.lit(0)) + ce + 1).alias("dr"),
+    )
+    s = ranked.agg(
+        F.sum("cf").cast("bigint").alias("n1"),
+        F.sum("co").cast("bigint").alias("n2"),
+        F.sum(F.col("cf") * F.col("dr")).cast("bigint").alias("r1d"),
+        F.sum(F.col("ce") * F.col("ce") * F.col("ce") - F.col("ce"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    n1, n2, r1d, ties = F.col("n1"), F.col("n2"), F.col("r1d"), F.col("ties")
+    u1d = r1d - n1 * (n1 + 1)
+    var = (
+        n1
+        * n2
+        / 12.0
+        * ((n1 + n2 + 1) - ties / ((n1 + n2) * (n1 + n2 - F.lit(1.0))))
+    )
+    return s.select(
+        n1,
+        n2,
+        r1d.alias("r1_doubled"),
+        u1d.alias("u1_doubled"),
+        (2 * n1 * n2 - u1d).alias("u2_doubled"),
+        F.round((u1d - n1 * n2) / (2 * F.sqrt(var)) * 1000000)
+        .cast("bigint")
+        .alias("z_micro"),
+    )
+
+
+@query(
+    "stats_spearman",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS rf,
+             2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx2,
+             2 * rank() OVER (PARTITION BY l_returnflag
+                              ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT))
+               + count(*) OVER (PARTITION BY l_returnflag,
+                                CAST(round(l_extendedprice * 100) AS BIGINT)) - 1 AS ry2
+      FROM lineitem
+    )
+    SELECT rf, round(corr(rx2, ry2), 6) AS rho_spearman,
+           count(*) AS n
+    FROM r GROUP BY rf ORDER BY rf
+    """,
+)
+def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price per return
+    flag: both variables become doubled average ranks (exact integers —
+    2·rank() + tie_count − 1), then Pearson corr() on the ranks.  The
+    doubling cancels inside corr; rounding to 6 dp absorbs the engine-
+    specific moment-accumulation order, exactly as agg_regression does."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    wx = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wxe = Window.partitionBy("l_returnflag", "l_quantity")
+    wy = Window.partitionBy("l_returnflag").orderBy(cents)
+    wye = Window.partitionBy(F.col("l_returnflag"), cents)
+    r = li.select(
+        F.col("l_returnflag").alias("rf"),
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxe) - 1).alias("rx2"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wye) - 1).alias("ry2"),
+    )
+    return (
+        r.groupBy("rf")
+        .agg(
+            F.round(F.corr("rx2", "ry2"), 6).alias("rho_spearman"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("rf")
+    )
+
+
+@query(
+    "ml_ols_multi",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+             CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+             CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+             CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+             CAST(sum(x2 * y) AS HUGEINT) AS s2y,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM t
+    ),
+    nterm AS (
+      SELECT n, s1, s2, sy,
+             n * s11 - s1 * s1 AS n11,
+             n * s22 - s2 * s2 AS n22,
+             n * s12 - s1 * s2 AS n12,
+             n * s1y - s1 * sy AS n1y,
+             n * s2y - s2 * sy AS n2y,
+             n * syy - sy * sy AS nyy
+      FROM s
+    ),
+    sol AS (
+      SELECT CAST(n AS BIGINT) AS n, s1, s2, sy, n1y, n2y, nyy,
+             (CAST(n22 * n1y - n12 * n2y AS DOUBLE))
+               / (CAST(n11 * n22 - n12 * n12 AS DOUBLE)) AS b1,
+             (CAST(n11 * n2y - n12 * n1y AS DOUBLE))
+               / (CAST(n11 * n22 - n12 * n12 AS DOUBLE)) AS b2
+      FROM nterm
+    )
+    SELECT n,
+           round(b1 / 100, 6) AS beta_qty,
+           round(b2 / 100, 6) AS beta_disc_pt,
+           round((CAST(sy AS DOUBLE) - b1 * CAST(s1 AS DOUBLE)
+                  - b2 * CAST(s2 AS DOUBLE)) / n / 100, 4) AS intercept,
+           round((b1 * CAST(n1y AS DOUBLE) + b2 * CAST(n2y AS DOUBLE))
+                 / CAST(nyy AS DOUBLE), 6) AS r2
+    FROM sol
+    """,
+)
+def ml_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS (extendedprice ~ quantity + discount) solved by the
+    2x2 normal equations in EXACT integer arithmetic.
+
+    All nine sufficient statistics are exact integers (cents / discount
+    points); the centered N-terms (n·Sxy − Sx·Sy) and the 2x2 determinant
+    are computed in DECIMAL(38,0) (HUGEINT in the oracle), so each
+    coefficient is a single double division of two exactly-represented
+    integers — deterministic across engines with no accumulated float
+    error.  One map-combinable aggregate pass; the solve is O(1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("x1").cast("decimal(19,0)").alias("s1"),
+        F.sum("x2").cast("decimal(19,0)").alias("s2"),
+        F.sum("y").cast("decimal(19,0)").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("decimal(19,0)").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("decimal(19,0)").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("decimal(19,0)").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("decimal(19,0)").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("decimal(19,0)").alias("s2y"),
+        F.sum(F.col("y").cast("decimal(20,0)") * F.col("y"))
+        .cast("decimal(25,0)")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    nterm = s.select(
+        n,
+        "s1",
+        "s2",
+        "sy",
+        (n * F.col("s11") - F.col("s1") * F.col("s1")).alias("n11"),
+        (n * F.col("s22") - F.col("s2") * F.col("s2")).alias("n22"),
+        (n * F.col("s12") - F.col("s1") * F.col("s2")).alias("n12"),
+        (n * F.col("s1y") - F.col("s1") * F.col("sy")).alias("n1y"),
+        (n * F.col("s2y") - F.col("s2") * F.col("sy")).alias("n2y"),
+        (n * F.col("syy") - F.col("sy") * F.col("sy")).alias("nyy"),
+    )
+    det = (
+        F.col("n11") * F.col("n22") - F.col("n12") * F.col("n12")
+    ).cast("double")
+    b1 = (F.col("n22") * F.col("n1y") - F.col("n12") * F.col("n2y")).cast(
+        "double"
+    ) / det
+    b2 = (F.col("n11") * F.col("n2y") - F.col("n12") * F.col("n1y")).cast(
+        "double"
+    ) / det
+    sol = nterm.select(
+        n.cast("bigint").alias("n"),
+        F.col("s1").cast("double").alias("s1d"),
+        F.col("s2").cast("double").alias("s2d"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("n1y").cast("double").alias("n1yd"),
+        F.col("n2y").cast("double").alias("n2yd"),
+        F.col("nyy").cast("double").alias("nyyd"),
+        b1.alias("b1"),
+        b2.alias("b2"),
+    )
+    return sol.select(
+        "n",
+        F.round(F.col("b1") / 100, 6).alias("beta_qty"),
+        F.round(F.col("b2") / 100, 6).alias("beta_disc_pt"),
+        F.round(
+            (F.col("syd") - F.col("b1") * F.col("s1d") - F.col("b2") * F.col("s2d"))
+            / F.col("n")
+            / 100,
+            4,
+        ).alias("intercept"),
+        F.round(
+            (F.col("b1") * F.col("n1yd") + F.col("b2") * F.col("n2yd"))
+            / F.col("nyyd"),
+            6,
+        ).alias("r2"),
+    )
+
+
+@query(
+    "stats_kendall_tau",
+    oracle="""
+    WITH grid AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) // 500000 AS yb,
+             count(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT CAST(sum(a.c * b.c) FILTER (WHERE a.yb < b.yb) AS BIGINT) AS conc,
+             CAST(sum(a.c * b.c) FILTER (WHERE a.yb > b.yb) AS BIGINT) AS disc
+      FROM grid a JOIN grid b ON a.x < b.x
+    ),
+    tx AS (
+      SELECT CAST(sum(nx * (nx - 1) / 2) AS BIGINT) AS ties_x,
+             CAST(sum(nx) AS BIGINT) AS n
+      FROM (SELECT sum(c) AS nx FROM grid GROUP BY x)
+    ),
+    ty AS (
+      SELECT CAST(sum(ny * (ny - 1) / 2) AS BIGINT) AS ties_y
+      FROM (SELECT sum(c) AS ny FROM grid GROUP BY yb)
+    )
+    SELECT n, conc, disc, ties_x, ties_y,
+           CAST(round((conc - disc)
+             / (sqrt(n * (n - 1) / 2 - ties_x) * sqrt(n * (n - 1) / 2 - ties_y))
+             * 1000000) AS BIGINT) AS tau_b_micro
+    FROM pairs CROSS JOIN tx CROSS JOIN ty
+    """,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between quantity and banded extended price, computed
+    on the VALUE GRID, never on row pairs: the (x, y-band) histogram has
+    <= 50 x ~22 cells regardless of row count, so the concordant/
+    discordant pair join is bounded by the grid (a deliberate, whitelisted
+    constant-size BNLJ), while the naive formulation is O(n^2) row pairs.
+    Concordant/discordant/tie counts are exact BIGINTs (products of cell
+    counts); only the final tau normalization touches doubles — two
+    correctly-rounded sqrts of exact integers — rounded to micro.  Price
+    is banded ($5000 cents-width buckets) to keep the grid bounded; the
+    key's declared semantics are tau-b of the DISCRETIZED pair, same on
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grid = (
+        li.select(
+            F.col("l_quantity").cast("bigint").alias("x"),
+            (F.round(F.col("l_extendedprice") * 100).cast("bigint") / F.lit(500000))
+            .cast("bigint")
+            .alias("yb"),
+        )
+        .groupBy("x", "yb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    pairs = a.join(b, F.col("a.x") < F.col("b.x")).agg(
+        F.sum(
+            F.when(F.col("a.yb") < F.col("b.yb"), F.col("a.c") * F.col("b.c"))
+        )
+        .cast("bigint")
+        .alias("conc"),
+        F.sum(
+            F.when(F.col("a.yb") > F.col("b.yb"), F.col("a.c") * F.col("b.c"))
+        )
+        .cast("bigint")
+        .alias("disc"),
+    )
+    tx = (
+        grid.groupBy("x")
+        .agg(F.sum("c").alias("nx"))
+        .agg(
+            F.sum(F.col("nx") * (F.col("nx") - 1) / 2).cast("bigint").alias("ties_x"),
+            F.sum("nx").cast("bigint").alias("n"),
+        )
+    )
+    ty = (
+        grid.groupBy("yb")
+        .agg(F.sum("c").alias("ny"))
+        .agg(F.sum(F.col("ny") * (F.col("ny") - 1) / 2).cast("bigint").alias("ties_y"))
+    )
+    n = F.col("n")
+    n0 = n * (n - 1) / 2
+    return (
+        pairs.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "n",
+            "conc",
+            "disc",
+            "ties_x",
+            "ties_y",
+            F.round(
+                (F.col("conc") - F.col("disc"))
+                / (F.sqrt(n0 - F.col("ties_x")) * F.sqrt(n0 - F.col("ties_y")))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("tau_b_micro"),
+        )
+    )

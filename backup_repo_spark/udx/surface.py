@@ -424,3 +424,28 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM brs_status_stats(TABLE(orders_udtf) PARTITION BY o_orderstatus)
         """
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(n_chars * 100 // greatest(length(text), 1) AS BIGINT) AS chars_per_100
+    FROM documents
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 3.5+/4.x `useArrow=True`):
+    the same row-wise signature as udf_scalar but serialized in Arrow
+    batches instead of pickled rows — the drop-in upgrade path when a
+    row-at-a-time UDF can't be vectorized but its transfer cost can.
+    Integer-exact arithmetic so the oracle comparison is bit-exact."""
+
+    @udf(returnType=T.LongType(), useArrow=True)
+    def chars_per_100(n_chars: int, text: str) -> int:
+        return n_chars * 100 // max(len(text), 1)
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "n_chars", chars_per_100("n_chars", "text").alias("chars_per_100")
+    )

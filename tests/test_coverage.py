@@ -273,6 +273,14 @@ EXTENSION_KEYS = [
     "events_time_to_convert", "ts_theil_sen", "ml_lift_gains",
     # round 3: PSI model-drift monitor; as-of join with tolerance window
     "ml_psi_drift", "join_asof_tolerance",
+    # round 3: rank-based statistics (histogram-first Mann-Whitney U,
+    # Spearman via doubled-rank corr, value-grid Kendall tau-b) and
+    # exact-integer two-feature OLS normal equations
+    "stats_mann_whitney", "stats_spearman", "stats_kendall_tau",
+    "ml_ols_multi",
+    # round 3: runtime Bloom-filter join reduction (plan-asserted);
+    # 3-core degree peeling; Arrow-optimized scalar UDF (useArrow=True)
+    "join_bloom_filtered", "graph_kcore_peel", "udf_arrow_scalar",
 ]
 
 

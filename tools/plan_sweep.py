@@ -46,6 +46,8 @@ WHITELIST = {
     "llm_contrastive_triplets": "anchor vectors (fixed id filter) broadcast",
     "llm_hard_negatives": "anchor vectors (fixed id filter) broadcast",
     "sort_keyset_pagination": "1-row cursor (keyset anchor) broadcast",
+    "stats_kendall_tau": "value-grid pair join: <=50x~22-cell histogram BNLJ, "
+    "bounded by the quantity x price-band grid, never by row count",
 }
 # the crossJoin(broadcast(1-row-aggregate)) pattern is pervasive and safe;
 # detect it by the build side being a broadcast of an aggregate.
