@@ -14,9 +14,18 @@ one exercises a distinct deterministic-cross-engine technique:
   rank an exact BIGINT, so U is integer-exact; only the final z-score
   touches floats (rounded to micro).
 - Spearman converts both variables to doubled average ranks (exact
-  integers) and applies corr() — Pearson on ranks.  corr is
-  scale-invariant so the doubling cancels; the only float is the final
-  moment accumulation, rounded to 6 dp like agg_regression.
+  integers) and computes Pearson on ranks from EXACT integer moments
+  (DECIMAL/HUGEINT sums): rho is one deterministic double division of two
+  exactly-rounded integers — no order-dependent corr() accumulator at
+  all.  (Deliberately NOT F.corr: under ANSI mode Spark's corr RAISES
+  DIVIDE_BY_ZERO on a zero-variance group where DuckDB returns NULL.)
+
+ANSI-mode determinism rule used throughout this module: every division
+whose denominator can be zero on degenerate input (empty cohort, all-tied
+values, collinear regressors) goes through try_divide on the Spark side —
+DuckDB's x/0.0 is already NULL — so both engines agree on NULL instead of
+Spark raising DIVIDE_BY_ZERO (Spark's Divide checks the zero divisor
+BEFORE the null numerator, so even a NULL-numerator /0 raises).
 - OLS with two regressors solves the 2x2 normal equations entirely in
   exact integer arithmetic (DECIMAL(38) on the Spark side, HUGEINT in the
   DuckDB oracle): every N-term (n·Sxy − Sx·Sy) is an exact integer, and
@@ -111,11 +120,16 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1, n2, r1d, ties = F.col("n1"), F.col("n2"), F.col("r1d"), F.col("ties")
     u1d = r1d - n1 * (n1 + 1)
+    # try_divide: n<=1 makes the tie-correction denominator 0 — DuckDB's
+    # x/0.0 is NULL, Spark's ANSI Divide would raise.
     var = (
         n1
         * n2
         / 12.0
-        * ((n1 + n2 + 1) - ties / ((n1 + n2) * (n1 + n2 - F.lit(1.0))))
+        * (
+            (n1 + n2 + 1)
+            - F.try_divide(ties, (n1 + n2) * (n1 + n2 - F.lit(1.0)))
+        )
     )
     return s.select(
         n1,
@@ -123,7 +137,7 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         r1d.alias("r1_doubled"),
         u1d.alias("u1_doubled"),
         (2 * n1 * n2 - u1d).alias("u2_doubled"),
-        F.round((u1d - n1 * n2) / (2 * F.sqrt(var)) * 1000000)
+        F.round(F.try_divide(u1d - n1 * n2, 2 * F.sqrt(var)) * 1000000)
         .cast("bigint")
         .alias("z_micro"),
     )
@@ -142,17 +156,36 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 CAST(round(l_extendedprice * 100) AS BIGINT)) - 1 AS ry2
       FROM lineitem
     )
-    SELECT rf, round(corr(rx2, ry2), 6) AS rho_spearman,
-           count(*) AS n
-    FROM r GROUP BY rf ORDER BY rf
+    , s AS (
+      SELECT rf,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(rx2) AS HUGEINT) AS s1,
+             CAST(sum(ry2) AS HUGEINT) AS s2,
+             CAST(sum(rx2 * rx2) AS HUGEINT) AS s11,
+             CAST(sum(ry2 * ry2) AS HUGEINT) AS s22,
+             CAST(sum(rx2 * ry2) AS HUGEINT) AS s12
+      FROM r GROUP BY rf
+    )
+    SELECT rf,
+           round(CAST(n * s12 - s1 * s2 AS DOUBLE)
+             / nullif(sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE))
+                      * sqrt(CAST(n * s22 - s2 * s2 AS DOUBLE)), 0), 6)
+             AS rho_spearman,
+           CAST(n AS BIGINT) AS n
+    FROM s ORDER BY rf
     """,
 )
 def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation of quantity vs extended price per return
     flag: both variables become doubled average ranks (exact integers —
-    2·rank() + tie_count − 1), then Pearson corr() on the ranks.  The
-    doubling cancels inside corr; rounding to 6 dp absorbs the engine-
-    specific moment-accumulation order, exactly as agg_regression does."""
+    2·rank() + tie_count − 1), then Pearson-on-ranks from EXACT integer
+    moments: rho = (n·S12 − S1·S2) / (sqrt(n·S11 − S1²)·sqrt(n·S22 − S2²))
+    with every N-term an exact DECIMAL(38)/HUGEINT, so rho is a single
+    deterministic double division.  Deliberately NOT F.corr: its streaming
+    accumulator is order-dependent AND raises DIVIDE_BY_ZERO under ANSI on
+    a zero-variance group (single-row or constant-column group) where
+    DuckDB's corr returns NULL — try_divide gives the NULL both engines
+    agree on."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     wx = Window.partitionBy("l_returnflag").orderBy("l_quantity")
@@ -161,17 +194,33 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     wye = Window.partitionBy(F.col("l_returnflag"), cents)
     r = li.select(
         F.col("l_returnflag").alias("rf"),
-        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxe) - 1).alias("rx2"),
-        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wye) - 1).alias("ry2"),
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxe) - 1)
+        .cast("bigint")
+        .alias("rx2"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wye) - 1)
+        .cast("bigint")
+        .alias("ry2"),
     )
-    return (
-        r.groupBy("rf")
-        .agg(
-            F.round(F.corr("rx2", "ry2"), 6).alias("rho_spearman"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("rf")
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    s = r.groupBy("rf").agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("rx2").cast("decimal(19,0)").alias("s1"),
+        F.sum("ry2").cast("decimal(19,0)").alias("s2"),
+        F.sum(dec(F.col("rx2")) * F.col("rx2")).cast("decimal(38,0)").alias("s11"),
+        F.sum(dec(F.col("ry2")) * F.col("ry2")).cast("decimal(38,0)").alias("s22"),
+        F.sum(dec(F.col("rx2")) * F.col("ry2")).cast("decimal(38,0)").alias("s12"),
     )
+    n = F.col("n")
+    n12 = (n * F.col("s12") - F.col("s1") * F.col("s2")).cast("double")
+    n11 = (n * F.col("s11") - F.col("s1") * F.col("s1")).cast("double")
+    n22 = (n * F.col("s22") - F.col("s2") * F.col("s2")).cast("double")
+    return s.select(
+        "rf",
+        F.round(F.try_divide(n12, F.sqrt(n11) * F.sqrt(n22)), 6).alias(
+            "rho_spearman"
+        ),
+        n.cast("bigint").alias("n"),
+    ).orderBy("rf")
 
 
 @query(
@@ -266,15 +315,20 @@ def ml_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * F.col("s2y") - F.col("s2") * F.col("sy")).alias("n2y"),
         (n * F.col("syy") - F.col("sy") * F.col("sy")).alias("nyy"),
     )
+    # try_divide: a collinear / constant regressor makes det 0 and an empty
+    # input makes every N-term NULL — both engines must agree on NULL
+    # (Spark's ANSI Divide would raise on the zero divisor).
     det = (
         F.col("n11") * F.col("n22") - F.col("n12") * F.col("n12")
     ).cast("double")
-    b1 = (F.col("n22") * F.col("n1y") - F.col("n12") * F.col("n2y")).cast(
-        "double"
-    ) / det
-    b2 = (F.col("n11") * F.col("n2y") - F.col("n12") * F.col("n1y")).cast(
-        "double"
-    ) / det
+    b1 = F.try_divide(
+        (F.col("n22") * F.col("n1y") - F.col("n12") * F.col("n2y")).cast("double"),
+        det,
+    )
+    b2 = F.try_divide(
+        (F.col("n11") * F.col("n2y") - F.col("n12") * F.col("n1y")).cast("double"),
+        det,
+    )
     sol = nterm.select(
         n.cast("bigint").alias("n"),
         F.col("s1").cast("double").alias("s1d"),
@@ -291,14 +345,20 @@ def ml_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("b1") / 100, 6).alias("beta_qty"),
         F.round(F.col("b2") / 100, 6).alias("beta_disc_pt"),
         F.round(
-            (F.col("syd") - F.col("b1") * F.col("s1d") - F.col("b2") * F.col("s2d"))
-            / F.col("n")
+            F.try_divide(
+                F.col("syd")
+                - F.col("b1") * F.col("s1d")
+                - F.col("b2") * F.col("s2d"),
+                F.col("n"),
+            )
             / 100,
             4,
         ).alias("intercept"),
         F.round(
-            (F.col("b1") * F.col("n1yd") + F.col("b2") * F.col("n2yd"))
-            / F.col("nyyd"),
+            F.try_divide(
+                F.col("b1") * F.col("n1yd") + F.col("b2") * F.col("n2yd"),
+                F.col("nyyd"),
+            ),
             6,
         ).alias("r2"),
     )
@@ -314,8 +374,8 @@ def ml_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1, 2
     ),
     pairs AS (
-      SELECT CAST(sum(a.c * b.c) FILTER (WHERE a.yb < b.yb) AS BIGINT) AS conc,
-             CAST(sum(a.c * b.c) FILTER (WHERE a.yb > b.yb) AS BIGINT) AS disc
+      SELECT CAST(coalesce(sum(a.c * b.c) FILTER (WHERE a.yb < b.yb), 0) AS BIGINT) AS conc,
+             CAST(coalesce(sum(a.c * b.c) FILTER (WHERE a.yb > b.yb), 0) AS BIGINT) AS disc
       FROM grid a JOIN grid b ON a.x < b.x
     ),
     tx AS (
@@ -359,13 +419,19 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = grid.alias("a"), grid.alias("b")
     pairs = a.join(b, F.col("a.x") < F.col("b.x")).agg(
-        F.sum(
-            F.when(F.col("a.yb") < F.col("b.yb"), F.col("a.c") * F.col("b.c"))
+        F.coalesce(
+            F.sum(
+                F.when(F.col("a.yb") < F.col("b.yb"), F.col("a.c") * F.col("b.c"))
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("conc"),
-        F.sum(
-            F.when(F.col("a.yb") > F.col("b.yb"), F.col("a.c") * F.col("b.c"))
+        F.coalesce(
+            F.sum(
+                F.when(F.col("a.yb") > F.col("b.yb"), F.col("a.c") * F.col("b.c"))
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("disc"),
@@ -395,8 +461,10 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ties_x",
             "ties_y",
             F.round(
-                (F.col("conc") - F.col("disc"))
-                / (F.sqrt(n0 - F.col("ties_x")) * F.sqrt(n0 - F.col("ties_y")))
+                F.try_divide(
+                    F.col("conc") - F.col("disc"),
+                    F.sqrt(n0 - F.col("ties_x")) * F.sqrt(n0 - F.col("ties_y")),
+                )
                 * 1000000
             )
             .cast("bigint")

@@ -840,3 +840,78 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theil_sen_slope_ppm"
         ),
     )
+
+
+@query(
+    "ts_hampel_filter",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, value,
+             quantile_cont(value, 0.5) OVER w AS med
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    dev AS (
+      SELECT user_id, event_id, value, med,
+             quantile_cont(abs(value - med), 0.5) OVER w AS mad
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT user_id, event_id, value, med, mad,
+           CAST(CASE WHEN abs(value - med) > 3 * 1.4826 * mad
+                THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    FROM dev
+    """,
+)
+def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter: per-user centered 7-point rolling MEDIAN and
+    rolling MAD (median of |value − local median| over the same frame);
+    a point is an outlier when it sits more than 3 scaled MADs
+    (k = 3·1.4826, the Gaussian consistency constant) from its local
+    median — the robust despiking standard for sensor/metric streams,
+    immune to the outliers a rolling z-score lets poison its own mean.
+
+    Determinism: exact interpolated percentile is selection + one IEEE
+    midpoint (bit-identical across engines, same argument as
+    win_moving_median); the threshold comparison multiplies bit-identical
+    doubles by a literal, so the boundary decision cannot diverge.  Both
+    rolling medians share ONE shuffle on user_id (the second window
+    re-sorts within the same partitioning); at 100 TB this is the keyed-
+    window pattern scaling with events per user.  The second frame orders
+    by event_id alone — deterministic because event_id embeds the ts
+    order within a user (asserted equivalent in tests)."""
+    from backup_repo_spark.session import load_events
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.expr("percentile(value, 0.5)").over(w1).alias("med"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-3, 3)
+    dev = base.withColumn(
+        "mad",
+        F.expr("percentile(abs(value - med), 0.5)").over(w2),
+    )
+    return dev.select(
+        "user_id",
+        "event_id",
+        "value",
+        "med",
+        "mad",
+        F.when(
+            F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_outlier"),
+    )

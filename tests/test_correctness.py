@@ -40,3 +40,23 @@ def test_hll_sketch_estimate_accuracy(spark):
     )
     assert row.exact_total_du == exact
     assert bool(row.merged_within_5pct), row
+
+
+def test_hampel_event_id_order_matches_ts_order(spark):
+    """ts_hampel_filter's second window orders by event_id alone (its
+    docstring claims equivalence to (ts, event_id) order within a user) —
+    assert zero inversions so the claim stays pinned to the data."""
+    from pyspark.sql import Window
+
+    from backup_repo_spark.session import load_events
+
+    ev = load_events(spark, SF_DIR)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    from pyspark.sql import functions as F
+
+    inv = (
+        ev.select("user_id", "ts", F.lag("ts").over(w).alias("pts"))
+        .where(F.col("pts") > F.col("ts"))
+        .count()
+    )
+    assert inv == 0

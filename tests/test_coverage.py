@@ -281,6 +281,8 @@ EXTENSION_KEYS = [
     # round 3: runtime Bloom-filter join reduction (plan-asserted);
     # 3-core degree peeling; Arrow-optimized scalar UDF (useArrow=True)
     "join_bloom_filtered", "graph_kcore_peel", "udf_arrow_scalar",
+    # round 3: Hampel rolling-median/MAD despiking (the robust z-score)
+    "ts_hampel_filter",
 ]
 
 

@@ -117,3 +117,70 @@ def _pairs_spark(spark, names):
 @given(words)
 def test_symspell_join_complete_on_random_strings(spark, names):
     assert _pairs_spark(spark, names) == _pairs_ref(sorted(names))
+
+
+# ---- rank statistics (round 3) ---------------------------------------------
+# Brute-force pairwise references for the histogram-first Mann-Whitney U and
+# the value-grid Kendall tau-b: hypothesis generates small cohorts with
+# heavy ties, and the Spark keys (run on staged parquet, exactly like the
+# driver) must reproduce the O(n^2) definitional counts.
+
+import os as _os
+
+import pytest as _pytest
+
+from backup_repo_spark import registry as _registry
+from backup_repo_spark.session import TABLES as _TABLES
+from tests.conftest import SF_DIR as _SF_DIR
+
+
+def _stage_orders(tmpdir, f_vals, o_vals):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [("F", v) for v in f_vals] + [("O", v) for v in o_vals]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+                "o_custkey": pa.array([1] * len(rows), pa.int64()),
+                "o_orderstatus": pa.array([r[0] for r in rows], pa.string()),
+                "o_totalprice": pa.array(
+                    [float(r[1]) for r in rows], pa.float64()
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(rows), pa.string()),
+            }
+        ),
+        _os.path.join(tmpdir, "orders.parquet"),
+    )
+    for t in _TABLES:
+        p = _os.path.join(tmpdir, f"{t}.parquet")
+        if not _os.path.exists(p):
+            _os.symlink(f"{_SF_DIR}/{t}.parquet", p)
+
+
+def _u1_doubled_bruteforce(f_vals, o_vals):
+    # doubled U1 = sum over (f, o) pairs of 2*[f > o] + 1*[f == o]
+    return sum(
+        2 if f > o else (1 if f == o else 0) for f in f_vals for o in o_vals
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    f_vals=st.lists(st.integers(0, 6), min_size=1, max_size=12),
+    o_vals=st.lists(st.integers(0, 6), min_size=1, max_size=12),
+)
+def test_mann_whitney_matches_pairwise_definition(
+    spark, tmp_path_factory, f_vals, o_vals
+):
+    d = str(tmp_path_factory.mktemp("prop_mwu"))
+    _stage_orders(d, f_vals, o_vals)
+    row = _registry.QUERIES["stats_mann_whitney"](spark, d).collect()[0]
+    assert row.n1 == len(f_vals) and row.n2 == len(o_vals)
+    assert row.u1_doubled == _u1_doubled_bruteforce(f_vals, o_vals)
+    assert row.u1_doubled + row.u2_doubled == 2 * row.n1 * row.n2
