@@ -143,6 +143,54 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doubled_ranks(h: DataFrame, bucket_width: int) -> DataFrame:
+    """(rf, v, cnt) value histogram -> (rf, v, dr) doubled average ranks
+    via TWO-PHASE bucketed prefix sums: cumulative bucket totals give each
+    bucket its global offset (a tiny per-rf window over bucket counts),
+    then within-bucket cumulative counts finish the rank — so the heavy
+    window partitions on (rf, bucket), parallelism bounded by the bucket
+    count instead of the handful of rf groups.  dr = 2·cnt_less + cnt + 1,
+    an exact BIGINT."""
+    b = h.withColumn("bkt", (F.col("v") / F.lit(bucket_width)).cast("bigint"))
+    wb = (
+        Window.partitionBy("rf")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        b.groupBy("rf", "bkt")
+        .agg(F.sum("cnt").alias("btot"))
+        .select(
+            "rf",
+            "bkt",
+            F.coalesce(F.sum("btot").over(wb), F.lit(0)).alias("off"),
+        )
+    )
+    wi = (
+        Window.partitionBy("rf", "bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(offs, ["rf", "bkt"])
+        .select(
+            "rf",
+            "v",
+            "cnt",
+            (F.col("off") + F.coalesce(F.sum("cnt").over(wi), F.lit(0))).alias(
+                "cnt_less"
+            ),
+        )
+        .select(
+            "rf",
+            "v",
+            (2 * F.col("cnt_less") + F.col("cnt") + 1)
+            .cast("bigint")
+            .alias("dr"),
+        )
+    )
+
+
 @query(
     "stats_spearman",
     oracle="""
@@ -178,37 +226,63 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation of quantity vs extended price per return
     flag: both variables become doubled average ranks (exact integers —
-    2·rank() + tie_count − 1), then Pearson-on-ranks from EXACT integer
+    2·cnt_less + tie_count + 1), then Pearson-on-ranks from EXACT integer
     moments: rho = (n·S12 − S1·S2) / (sqrt(n·S11 − S1²)·sqrt(n·S22 − S2²))
     with every N-term an exact DECIMAL(38)/HUGEINT, so rho is a single
     deterministic double division.  Deliberately NOT F.corr: its streaming
     accumulator is order-dependent AND raises DIVIDE_BY_ZERO under ANSI on
     a zero-variance group (single-row or constant-column group) where
     DuckDB's corr returns NULL — try_divide gives the NULL both engines
-    agree on."""
+    agree on.
+
+    Scale design: the naive per-rf rank window caps parallelism at the
+    NUMBER OF GROUPS (3 return flags — measured 6.4x at 10x data, the
+    few-huge-partitions anti-shape).  Ranks here come from the value
+    histogram via two-phase bucketed prefix sums (_doubled_ranks):
+    map-combinable histogram -> tiny bucket-offset window -> within-bucket
+    window partitioned on (rf, bucket) -> hash-join ranks back onto the
+    pair grid.  Every stage parallelizes; results are bit-identical to the
+    windowed formulation (the oracle still uses it — semantics, not
+    implementation)."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    wx = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    wxe = Window.partitionBy("l_returnflag", "l_quantity")
-    wy = Window.partitionBy("l_returnflag").orderBy(cents)
-    wye = Window.partitionBy(F.col("l_returnflag"), cents)
-    r = li.select(
-        F.col("l_returnflag").alias("rf"),
-        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxe) - 1)
-        .cast("bigint")
-        .alias("rx2"),
-        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wye) - 1)
-        .cast("bigint")
-        .alias("ry2"),
+    pairs = (
+        li.select(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_quantity").cast("bigint").alias("x"),
+            cents.alias("y"),
+        )
+        .groupBy("rf", "x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    rx = _doubled_ranks(
+        pairs.groupBy("rf", F.col("x").alias("v")).agg(F.sum("c").alias("cnt")),
+        bucket_width=8,
+    ).withColumnsRenamed({"v": "x", "dr": "rx2"})
+    ry = _doubled_ranks(
+        pairs.groupBy("rf", F.col("y").alias("v")).agg(F.sum("c").alias("cnt")),
+        bucket_width=1 << 17,
+    ).withColumnsRenamed({"v": "y", "dr": "ry2"})
+    r = (
+        pairs.join(F.broadcast(rx), ["rf", "x"])
+        .join(ry, ["rf", "y"])
+        .select("rf", "c", "rx2", "ry2")
+    )
+    dec = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    c = F.col("c")
     s = r.groupBy("rf").agg(
-        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
-        F.sum("rx2").cast("decimal(19,0)").alias("s1"),
-        F.sum("ry2").cast("decimal(19,0)").alias("s2"),
-        F.sum(dec(F.col("rx2")) * F.col("rx2")).cast("decimal(38,0)").alias("s11"),
-        F.sum(dec(F.col("ry2")) * F.col("ry2")).cast("decimal(38,0)").alias("s22"),
-        F.sum(dec(F.col("rx2")) * F.col("ry2")).cast("decimal(38,0)").alias("s12"),
+        F.sum("c").cast("decimal(19,0)").alias("n"),
+        F.sum(c * F.col("rx2")).cast("decimal(19,0)").alias("s1"),
+        F.sum(c * F.col("ry2")).cast("decimal(19,0)").alias("s2"),
+        F.sum(dec(c) * F.col("rx2") * F.col("rx2"))
+        .cast("decimal(38,0)")
+        .alias("s11"),
+        F.sum(dec(c) * F.col("ry2") * F.col("ry2"))
+        .cast("decimal(38,0)")
+        .alias("s22"),
+        F.sum(dec(c) * F.col("rx2") * F.col("ry2"))
+        .cast("decimal(38,0)")
+        .alias("s12"),
     )
     n = F.col("n")
     n12 = (n * F.col("s12") - F.col("s1") * F.col("s2")).cast("double")

@@ -574,3 +574,12 @@ def test_ols_multi_single_aggregate_pass(spark):
     plan = plan_of(registry.QUERIES["ml_ols_multi"](spark, SF_DIR))
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_hampel_windows_share_one_exchange(spark):
+    """ts_hampel_filter's two rolling-median windows both partition by
+    user_id — the plan must carry ONE hash-partition exchange (the second
+    window re-sorts within the same partitioning), and no join."""
+    plan = plan_of(registry.QUERIES["ts_hampel_filter"](spark, SF_DIR))
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+    assert "Join" not in plan
