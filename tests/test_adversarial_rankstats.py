@@ -216,3 +216,46 @@ def test_zero_row_inputs_never_crash(spark, tmp_path_factory):
     )
     # spearman groups by a column of an empty table -> empty result
     assert registry.QUERIES["stats_spearman"](spark, sf).count() == 0
+
+
+def test_spearman_two_phase_equals_windowed_formulation(spark):
+    """The shipped two-phase bucketed-prefix-sum ranks must be BIT-identical
+    to the naive per-group windowed ranks (the formulation the oracle uses)
+    on the real testdata — the scale rewrite may never change a value."""
+    from pyspark.sql import functions as F
+
+    from backup_repo_spark.session import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    li.createOrReplaceTempView("li_spearman_check")
+    windowed = spark.sql(
+        """
+        WITH r AS (
+          SELECT l_returnflag AS rf,
+                 2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                   + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx2
+          FROM li_spearman_check
+        )
+        SELECT rf, CAST(sum(rx2) AS DECIMAL(19,0)) AS s1 FROM r GROUP BY rf
+        """
+    ).collect()
+    want = {r.rf: int(r.s1) for r in windowed}
+    # rebuild the same rank sum from the shipped helper
+    from backup_repo_spark.operators.rankstats import _doubled_ranks
+
+    h = (
+        li.groupBy(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_quantity").cast("bigint").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    got = {
+        r.rf: int(r.s1)
+        for r in _doubled_ranks(h, bucket_width=8)
+        .join(h.withColumnRenamed("cnt", "c"), ["rf", "v"])
+        .groupBy("rf")
+        .agg(F.sum(F.col("dr") * F.col("c")).alias("s1"))
+        .collect()
+    }
+    assert got == want

@@ -274,7 +274,7 @@ EXTENSION_KEYS = [
     # round 3: PSI model-drift monitor; as-of join with tolerance window
     "ml_psi_drift", "join_asof_tolerance",
     # round 3: rank-based statistics (histogram-first Mann-Whitney U,
-    # Spearman via doubled-rank corr, value-grid Kendall tau-b) and
+    # Spearman from exact-integer rank moments, value-grid Kendall tau-b) and
     # exact-integer two-feature OLS normal equations
     "stats_mann_whitney", "stats_spearman", "stats_kendall_tau",
     "ml_ols_multi",
