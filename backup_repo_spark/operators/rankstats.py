@@ -246,6 +246,9 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation)."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    # localCheckpoint: the pair grid feeds BOTH rank builds and the final
+    # join — without materialization Catalyst re-derives it three times
+    # (4 lineitem scans, 16 exchanges; with it: 1 scan of the grid).
     pairs = (
         li.select(
             F.col("l_returnflag").alias("rf"),
@@ -254,6 +257,7 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("rf", "x", "y")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     rx = _doubled_ranks(
         pairs.groupBy("rf", F.col("x").alias("v")).agg(F.sum("c").alias("cnt")),
