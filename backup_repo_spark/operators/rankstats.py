@@ -549,3 +549,127 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tau_b_micro"),
         )
     )
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH hist AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             o_orderpriority AS grp, count(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    vh AS (
+      SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM hist GROUP BY v
+    ),
+    dr AS (
+      SELECT v, cv,
+             2 * coalesce(sum(cv) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cv + 1 AS d
+      FROM vh
+    ),
+    rj AS (
+      SELECT h.grp, CAST(sum(h.c) AS BIGINT) AS nj,
+             CAST(sum(h.c * dr.d) AS BIGINT) AS rjd
+      FROM hist h JOIN dr ON h.v = dr.v
+      GROUP BY h.grp
+    ),
+    tot AS (
+      SELECT CAST(sum(nj) AS BIGINT) AS n,
+             (SELECT CAST(sum(cv*cv*cv - cv) AS BIGINT) FROM vh) AS ties
+      FROM rj
+    ),
+    ordered AS (
+      SELECT grp, nj, rjd,
+             sum(CAST(rjd AS DOUBLE) * rjd / (4.0 * nj)) OVER (
+               ORDER BY grp ROWS UNBOUNDED PRECEDING) AS s_cum,
+             row_number() OVER (ORDER BY grp) AS rn,
+             count(*) OVER () AS k
+      FROM rj
+    ),
+    s AS (SELECT s_cum AS s2 FROM ordered WHERE rn = k)
+    SELECT grp, nj, rjd AS rank_sum_doubled,
+           CAST(round(
+             (12.0 * s2 / (n * (n + 1.0)) - 3.0 * (n + 1))
+             / (1.0 - ties / (CAST(n AS DOUBLE)*n*n - n))
+             * 1000000) AS BIGINT) AS h_micro
+    FROM rj CROSS JOIN tot CROSS JOIN s
+    ORDER BY grp
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (k-sample rank ANOVA) across the five order
+    priorities on o_totalprice, tie-corrected — the k-group extension of
+    stats_mann_whitney, closing the nonparametric family (2-sample U,
+    paired rank rho/tau, k-sample H).
+
+    Same histogram-first architecture: global doubled average ranks come
+    from the per-value histogram (window over DISTINCT prices), per-group
+    rank sums from one grid⨝rank equi-join + groupBy — never per-row rank
+    windows.  Exact BIGINTs until the final H; the k per-group float terms
+    R_j²/(4n_j) are summed in a FIXED ORDER (cumulative window ordered by
+    group, last row) so both engines round identically — a groupBy sum of
+    doubles would be accumulation-order-nondeterministic.  try_divide
+    guards the all-tied (ties == n³−n) and n<=1 denominators."""
+    o = load_table(spark, sf_dir, "orders")
+    hist = o.groupBy(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        F.col("o_orderpriority").alias("grp"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    vh = hist.groupBy("v").agg(F.sum("c").cast("bigint").alias("cv"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    dr = vh.select(
+        "v",
+        "cv",
+        (2 * F.coalesce(F.sum("cv").over(w), F.lit(0)) + F.col("cv") + 1).alias(
+            "d"
+        ),
+    )
+    rj = (
+        hist.join(dr, "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("bigint").alias("nj"),
+            F.sum(F.col("c") * F.col("d")).cast("bigint").alias("rjd"),
+        )
+    )
+    tot = rj.agg(F.sum("nj").cast("bigint").alias("n")).crossJoin(
+        vh.agg(
+            F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv"))
+            .cast("bigint")
+            .alias("ties")
+        )
+    )
+    wg = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, 0)
+    ordered = rj.select(
+        "grp",
+        "nj",
+        "rjd",
+        F.sum(
+            F.col("rjd").cast("double") * F.col("rjd") / (4.0 * F.col("nj"))
+        )
+        .over(wg)
+        .alias("s_cum"),
+        F.row_number().over(Window.orderBy("grp")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("k"),
+    )
+    s = ordered.where(F.col("rn") == F.col("k")).select(
+        F.col("s_cum").alias("s2")
+    )
+    n, ties = F.col("n"), F.col("ties")
+    h = F.try_divide(
+        12.0 * F.col("s2") / (n * (n + F.lit(1.0))) - 3.0 * (n + 1),
+        1.0 - F.try_divide(ties, n.cast("double") * n * n - n),
+    )
+    return (
+        rj.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "grp",
+            "nj",
+            F.col("rjd").alias("rank_sum_doubled"),
+            F.round(h * 1000000).cast("bigint").alias("h_micro"),
+        )
+        .orderBy("grp")
+    )

@@ -259,3 +259,20 @@ def test_spearman_two_phase_equals_windowed_formulation(spark):
         .collect()
     }
     assert got == want
+
+
+def test_kruskal_wallis_degenerate_inputs(spark, tmp_path_factory):
+    """All-tied values: the tie correction denominator (1 - T/(n^3-n))
+    is EXACTLY zero -> H NULL on both engines; empty orders -> empty
+    result on both engines; the heavy-tie table exercises shared ranks
+    across groups."""
+    for name, orders in [
+        ("adv_kw_tied", ORDERS_TIED),
+        ("adv_kw_allsame", ORDERS_ALL_SAME),
+        ("adv_kw_empty", []),
+    ]:
+        sf = _stage(tmp_path_factory, name, orders=orders)
+        _assert_matches(spark, sf, ["stats_kruskal_wallis"])
+    sf = _stage(tmp_path_factory, "adv_kw_allsame2", orders=ORDERS_ALL_SAME)
+    rows = registry.QUERIES["stats_kruskal_wallis"](spark, sf).collect()
+    assert rows and all(r.h_micro is None for r in rows)

@@ -283,6 +283,8 @@ EXTENSION_KEYS = [
     "join_bloom_filtered", "graph_kcore_peel", "udf_arrow_scalar",
     # round 3: Hampel rolling-median/MAD despiking (the robust z-score)
     "ts_hampel_filter",
+    # round 3: k-sample rank ANOVA closing the nonparametric family
+    "stats_kruskal_wallis",
 ]
 
 
