@@ -551,7 +551,10 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     consuming them sequentially. The within-source window shuffles on
     source; at 100 TB the final global position would be assigned
     per-shard (rank, source, hash-bucket) rather than one total order —
-    the interleave KEY is the portable part. First 100 positions shown."""
+    the interleave KEY is the portable part. First 100 positions shown,
+    and the top-100 is taken FIRST (TakeOrderedAndProject — per-partition
+    local top-k, no global sort), so the single-partition position window
+    runs over a 100-row input by construction at any corpus size."""
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -564,8 +567,9 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("source").orderBy(F.desc(cpt), "doc_id"))
         .alias("rnk"),
     )
+    top = ranked.orderBy("rnk", "source", "doc_id").limit(100)
     return (
-        ranked.select(
+        top.select(
             F.row_number()
             .over(Window.orderBy("rnk", "source", "doc_id"))
             .alias("train_pos"),
@@ -574,7 +578,6 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality",
         )
         .orderBy("train_pos")
-        .limit(100)
     )
 
 

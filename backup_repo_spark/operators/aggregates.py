@@ -671,15 +671,18 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per column — row count, null count, exact NDV, and the most frequent
     value with min-value tie-break. Each profile is two partial-aggregable
     passes; profiles for different columns run as one unioned job so the
-    table is scanned once per source table, not once per metric."""
-    from pyspark.sql.window import Window
+    table is scanned once per source table, not once per metric. The mode
+    is found by joining the 1-row broadcast max back onto the value
+    histogram (not `max OVER ()`, which would funnel a large-NDV histogram
+    through one window task)."""
 
     def profile(df: DataFrame, col: str) -> DataFrame:
         c = df.groupBy(F.col(col).cast("string").alias("val")).agg(
             F.count(F.lit(1)).alias("c")
         )
+        mx = c.agg(F.max("c").alias("mc"))
         top = (
-            c.withColumn("mc", F.max("c").over(Window.partitionBy()))
+            c.crossJoin(F.broadcast(mx))
             .filter(F.col("c") == F.col("mc"))
             .agg(F.min("val").alias("top_value"), F.min("c").alias("top_count"))
         )

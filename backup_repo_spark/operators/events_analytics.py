@@ -405,10 +405,11 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintiles. ntile() is made deterministic by the user_id tie-break
     (without it, equal metrics straddle bucket boundaries arbitrarily).
     Monetary is the only float aggregate — rounded per the cross-engine
-    sum policy. Global ntile implies a single-partition sort over the
-    (small) per-user rollup, not the raw stream; at 100 TB replace with
-    percentile-threshold joins to keep it fully parallel."""
-    from pyspark.sql.window import Window
+    sum policy. Scale: the three quintiles come from ntile_nosort
+    (operators/prefix.py — two-phase bucketed prefix sums + within-value
+    row_number, bit-identical to ntile) so no global sort ever runs over
+    the per-user rollup; DESC metrics pass the negated value (exact)."""
+    from backup_repo_spark.operators.prefix import ntile_nosort
 
     ev = load_events(spark, sf_dir)
     p = (
@@ -422,11 +423,21 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("monetary"),
         )
     )
-    return p.select(
+    q = ntile_nosort(
+        p.withColumn("_v", F.col("recency_days")),
+        "_v", "user_id", tiles=5, bucket_width=8,
+    ).withColumnRenamed("bin", "r_quintile").drop("_v")
+    q = ntile_nosort(
+        q.withColumn("_v", -F.col("frequency")),
+        "_v", "user_id", tiles=5, bucket_width=8,
+    ).withColumnRenamed("bin", "f_quintile").drop("_v")
+    q = ntile_nosort(
+        q.withColumn("_v", -F.col("monetary")),
+        "_v", "user_id", tiles=5, bucket_width=512,
+    ).withColumnRenamed("bin", "m_quintile").drop("_v")
+    return q.select(
         "user_id", "recency_days", "frequency", "monetary",
-        F.ntile(5).over(Window.orderBy("recency_days", "user_id")).alias("r_quintile"),
-        F.ntile(5).over(Window.orderBy(F.desc("frequency"), "user_id")).alias("f_quintile"),
-        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "user_id")).alias("m_quintile"),
+        "r_quintile", "f_quintile", "m_quintile",
     )
 
 

@@ -37,6 +37,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from backup_repo_spark.operators.prefix import (
+    bucketed_prefix_sums,
+    ntile_nosort,
+)
 from backup_repo_spark.registry import query
 from backup_repo_spark.session import load_table
 
@@ -365,11 +369,11 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     max |r1·n2 − r2·n1| — so the supremum and its ppm scaling are exact;
     no float ECDF division ever happens.
 
-    Scale: group-by-value collapses the data to distinct values before the
-    single ordered cumulative-sum window (one exchange); at 100 TB you'd
-    pre-bin values to a fixed grid first — same plan, bounded cardinality."""
-    from pyspark.sql import Window
-
+    Scale: group-by-value collapses the data to distinct values, then the
+    ECDF cumulative counts come from TWO-PHASE bucketed prefix sums
+    (operators/prefix.py) — parallelism = bucket count, never one ordered
+    partition — so an unbounded value grid at 100 TB still fans out.
+    Bit-identical to the windowed oracle (integer sums)."""
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus").isin("F", "O")
     )
@@ -384,9 +388,12 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("s") == 2).cast("long")).alias("c2"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    c = g.select(
-        "v", F.sum("c1").over(w).alias("r1"), F.sum("c2").over(w).alias("r2")
+    # o_totalprice spans ~[1e3, 6e5] dollars; 4096-dollar buckets bound
+    # the offset window at ~150 rows while phase 2 fans out per bucket.
+    c = bucketed_prefix_sums(
+        g, "v", ["c1", "c2"], bucket_width=4096, inclusive=True
+    ).select(
+        "v", F.col("cum_c1").alias("r1"), F.col("cum_c2").alias("r2")
     )
     tot = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     return (
@@ -581,11 +588,10 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     group occupying ranks prev+1..prev+c contributes cp·(2·prev+c+1)), so
     the AUC in ppm is bit-exact; no float ranks, no sort-order sensitivity.
 
-    Scale: one group-by-score collapse, one ordered cumulative window over
-    distinct scores, one final aggregate — the same single-exchange shape
-    as stats_ks_test; at 100 TB pre-bin scores to a grid first."""
-    from pyspark.sql import Window
-
+    Scale: one group-by-score collapse, then the rank prefix comes from
+    TWO-PHASE bucketed prefix sums (operators/prefix.py) — per-bucket
+    windows, never a single ordered partition — then one final aggregate.
+    Bit-identical to the windowed oracle (integer sums)."""
     o = load_table(spark, sf_dir, "orders")
     g = (
         o.groupBy(F.col("o_totalprice").alias("v"))
@@ -594,11 +600,10 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("o_orderstatus") != "F").cast("long")).alias("cn"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    c = g.select(
-        "cp", "cn",
-        F.coalesce(F.sum(F.col("cp") + F.col("cn")).over(w), F.lit(0)).alias("prev"),
-    )
+    c = bucketed_prefix_sums(
+        g.withColumn("ce", F.col("cp") + F.col("cn")),
+        "v", ["ce"], bucket_width=4096,
+    ).select("cp", "cn", F.col("cum_ce").alias("prev"))
     s = c.agg(
         F.sum(F.col("cp") * (2 * F.col("prev") + F.col("cp") + F.col("cn") + 1)).alias(
             "two_rs"
@@ -633,24 +638,30 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile calibration table for the price-as-score classifier: per
     score bin, observed positive rate vs mean score — the
-    reliability-diagram input. ntile gets a unique (score, orderkey) order
-    so bin boundaries are deterministic; rates and mean scores are integer
+    reliability-diagram input.  The (score, orderkey) order is unique, so
+    bin boundaries are deterministic; rates and mean scores are integer
     ppm / cents (truncating division), never float averages.
 
-    Scale: ntile over a global order is the one genuinely global sort here
-    — at 100 TB replace with fixed score-range bins (width_bucket), same
-    downstream aggregate; kept as ntile to exercise equal-frequency
-    binning."""
-    from pyspark.sql import Window
-
+    Scale: equal-frequency binning WITHOUT the global ntile sort (the old
+    form measured 5.55x per 10x data — the registry's worst).  The global
+    row number decomposes as rows-before-this-score + rank-within-score:
+    the first comes from two-phase bucketed prefix sums over the score
+    histogram (operators/prefix.py), the second from a row_number window
+    PARTITIONED BY score — every stage fans out.  The bin is then ntile's
+    published fill rule applied to that row number (first n%10 bins take
+    one extra row), in exact integer arithmetic — bit-identical to the
+    oracle's ntile."""
     o = load_table(spark, sf_dir, "orders")
     scored = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderkey").alias("okey"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("score_cents"),
         (F.col("o_orderstatus") == "F").cast("long").alias("y"),
-        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("bin"),
     )
     return (
-        scored.groupBy("bin")
+        ntile_nosort(scored, "v", "okey", tiles=10, bucket_width=4096)
+        .select("score_cents", "y", "bin")
+        .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"),
              F.sum("score_cents").alias("sc"))
         .select(
@@ -842,19 +853,24 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating ppm. Deterministic ntile boundaries via the (score,
     orderkey) tie-break.
 
-    Scale: the ranked-decile form needs the same global sort as
-    ml_calibration_bins; the documented scale path is identical — fixed
-    score-range bins via width_bucket (same downstream windows)."""
+    Scale: deciles come from _ntile_nosort (two-phase bucketed prefix sums
+    + within-score row_number — no global sort; the DESC score order is
+    the ASC order of the NEGATED price, an exact double negation), so the
+    ranked-decile form now scales like ml_calibration_bins' rewrite
+    (1.71x per 10x data vs 5.55x for the global ntile; SCALING.md).  The
+    10-row cumulative windows downstream are bounded by construction."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
     scored = o.select(
         (F.col("o_orderstatus") == "F").cast("long").alias("y"),
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("o_totalprice"), "o_orderkey"))
-        .alias("decile"),
+        (-F.col("o_totalprice")).alias("v"),
+        F.col("o_orderkey").alias("okey"),
     )
-    bins = scored.groupBy("decile").agg(
+    deciled = ntile_nosort(
+        scored, "v", "okey", tiles=10, bucket_width=4096
+    ).withColumnRenamed("bin", "decile")
+    bins = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
     )
     tot = bins.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))

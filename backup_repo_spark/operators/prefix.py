@@ -1,0 +1,144 @@
+"""Two-phase bucketed prefix sums — the scale-out for ordered cumulative
+windows over value histograms.
+
+A single `Window.orderBy(v)` (no partition key) forces ALL rows through one
+task: fine when the input is a bounded aggregate (k groups, fixed threshold
+list), a scale-killer when the input is a value histogram whose cardinality
+grows with the data (price cents at 100 TB reach 10^7-10^8 distinct
+values).  The classic fix is range-partitioned prefix sums, done here in
+two windowed phases so it stays one declarative plan:
+
+  phase 1  bucket totals:   groupBy(bucket) -> tiny per-bucket sums, then
+           an EXCLUSIVE cumulative window over buckets (rows == bucket
+           count, thousands at most) gives each bucket its global offset;
+  phase 2  within-bucket:   a cumulative window partitioned by bucket —
+           parallelism = bucket count, not 1 — finishes the prefix;
+  result   global prefix = bucket offset + within-bucket prefix,
+           bit-identical to the single-window formulation (integer sums,
+           no reassociation hazard).
+
+Used by stats_mann_whitney / stats_kruskal_wallis / stats_spearman (rank
+construction), stats_ks_test (ECDF cumulative counts), ml_auc_roc
+(rank-sum AUC), and ml_calibration_bins (global row-number without a
+global sort).  Measured on stats_spearman: naive windowed form 6.36x per
+10x data (parallelism = 3 groups), two-phase 1.80x (SCALING.md).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucketed_prefix_sums(
+    h: DataFrame,
+    value_col: str,
+    sum_cols: Sequence[str],
+    bucket_width: int,
+    by: Iterable[str] = (),
+    inclusive: bool = False,
+) -> DataFrame:
+    """Add `cum_<c>` columns to a value histogram: the cumulative sum of
+    each column in `sum_cols` over rows ordered by `value_col` (within the
+    optional `by` partition), computed via two-phase bucketed prefix sums.
+
+    `inclusive=False` (default) is the exclusive prefix (UNBOUNDED
+    PRECEDING AND 1 PRECEDING, coalesced to 0); `inclusive=True` includes
+    the current row.  `bucket_width` buckets `value_col` by truncating
+    division — truncation (vs floor) is monotone, so bucket order follows
+    value order; pick a width that yields O(10^2..10^3) buckets at the
+    target scale.  Results are bit-identical to the single-window form:
+    every sum is integer, so association order cannot change the answer.
+    """
+    by = list(by)
+    b = h.withColumn(
+        "_bkt", (F.col(value_col) / F.lit(bucket_width)).cast("bigint")
+    )
+    wb = (
+        Window.partitionBy(*by)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = b.groupBy(*by, "_bkt").agg(
+        *[F.sum(c).alias(f"_bt_{c}") for c in sum_cols]
+    )
+    offs = offs.select(
+        *by,
+        "_bkt",
+        *[
+            F.coalesce(F.sum(f"_bt_{c}").over(wb), F.lit(0)).alias(f"_off_{c}")
+            for c in sum_cols
+        ],
+    )
+    wi = (
+        Window.partitionBy(*by, "_bkt")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    out = b.join(offs, [*by, "_bkt"]).select(
+        *h.columns,
+        *[
+            (
+                F.col(f"_off_{c}")
+                + F.coalesce(F.sum(c).over(wi), F.lit(0))
+            ).alias(f"cum_{c}")
+            for c in sum_cols
+        ],
+    )
+    return out
+
+
+def ntile_nosort(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    tiles: int,
+    bucket_width: int,
+) -> DataFrame:
+    """Add an exact ``ntile(tiles) OVER (ORDER BY value_col, tie_col)``
+    column named ``bin`` WITHOUT a global sort.
+
+    The global row number decomposes as rows-before-this-value (two-phase
+    bucketed prefix sums over the value histogram, operators/prefix.py) +
+    rank-within-value (row_number window PARTITIONED BY value — (value,
+    tie) is unique per row, so the rank is well-defined).  The bin is then
+    ntile's published fill rule — base = n DIV tiles rows per bin, the
+    first n % tiles bins take one extra — applied to that row number in
+    exact integer arithmetic, bit-identical to the engine's ntile.  Every
+    stage fans out; the old global-ntile form measured 5.55x per 10x data
+    (SCALING.md), this one 1.71x.  For DESC order pass the negated value."""
+    # localCheckpoint: the histogram feeds the bucket offsets (twice,
+    # inside bucketed_prefix_sums) and the total count — materializing it
+    # once keeps the plan at two fact scans instead of four.
+    hist = (
+        df.groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint()
+    )
+    offs = bucketed_prefix_sums(
+        hist, value_col, ["_cnt"], bucket_width=bucket_width
+    ).select(value_col, F.col("cum__cnt").alias("_off"))
+    wv = Window.partitionBy(value_col).orderBy(tie_col)
+    tot = hist.agg(F.sum("_cnt").alias("_ntot"))
+    numbered = (
+        df.join(offs, value_col)
+        .withColumn("_rn", F.col("_off") + F.row_number().over(wv))
+        .crossJoin(F.broadcast(tot))
+    )
+    base = (F.col("_ntot") / tiles).cast("long")
+    rem = F.col("_ntot") % tiles
+    big = rem * (base + 1)
+    # greatest(base,1) keeps the (never-taken) otherwise branch safe from
+    # a zero divisor when n < tiles.
+    binc = F.when(
+        F.col("_rn") <= big, ((F.col("_rn") - 1) / (base + 1)).cast("long") + 1
+    ).otherwise(
+        rem
+        + ((F.col("_rn") - big - 1) / F.greatest(base, F.lit(1))).cast("long")
+        + 1
+    )
+    return numbered.withColumn("bin", binc.cast("int")).drop(
+        "_off", "_rn", "_ntot"
+    )

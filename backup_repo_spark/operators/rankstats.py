@@ -34,12 +34,13 @@ BEFORE the null numerator, so even a NULL-numerator /0 raises).
 
 Scale notes (100 TB): the Mann-Whitney histogram is a map-combinable
 groupBy whose output is bounded by the value-grid cardinality (price
-cents), not the row count; the single-partition window runs over that
-reduced set (the standard scale-out for an unbounded grid is
-range-partitioned prefix sums — partial sums per partition + broadcast
-offsets).  Spearman's per-group rank windows shuffle once on the group
-key.  The OLS sums are one map-side-combinable aggregate pass; the solve
-is O(1) on the driver-free 1-row result.
+cents), not the row count; cumulative rank counts over that grid come
+from TWO-PHASE bucketed prefix sums (operators/prefix.py) — parallelism
+is the bucket count, never a single ordered partition, so even a
+10^7-value grid fans out.  Spearman's ranks go through the same helper
+per group.  The OLS sums are one map-side-combinable aggregate pass (all
+accumulation in DECIMAL — Σ(x·y) passes int64 at 100 TB row counts); the
+solve is O(1) on the driver-free 1-row result.
 """
 
 from __future__ import annotations
@@ -47,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from backup_repo_spark.operators.prefix import bucketed_prefix_sums
 from backup_repo_spark.registry import query
 from backup_repo_spark.session import load_table
 
@@ -92,7 +94,11 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Histogram-first: ranks are derived from the grouped value histogram
     (one distinct row per price), so the window cost scales with value
-    cardinality, not row count.  Doubled average ranks keep U exact."""
+    cardinality, not row count.  Doubled average ranks keep U exact, and
+    the cumulative count comes from TWO-PHASE bucketed prefix sums
+    (operators/prefix.py) — parallelism = bucket count, never a
+    single-partition ordered window, so a 10^7-value cents grid at 100 TB
+    still fans out.  Bit-identical to the windowed oracle (integer sums)."""
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus").isin("F", "O")
     )
@@ -102,13 +108,16 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_orderstatus") == "F").alias("cf"),
         F.count_if(F.col("o_orderstatus") == "O").alias("co"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     ce = F.col("cf") + F.col("co")
-    ranked = hist.select(
+    # o_totalprice spans ~[1e3, 6e5] dollars -> <=6e7 cents; 1<<19-cent
+    # buckets bound the offset window at ~115 rows while phase 2 fans out.
+    ranked = bucketed_prefix_sums(
+        hist.withColumn("ce", ce), "v", ["ce"], bucket_width=1 << 19
+    ).select(
         "cf",
         "co",
-        ce.alias("ce"),
-        (2 * F.coalesce(F.sum(ce).over(w), F.lit(0)) + ce + 1).alias("dr"),
+        "ce",
+        (2 * F.col("cum_ce") + F.col("ce") + 1).alias("dr"),
     )
     s = ranked.agg(
         F.sum("cf").cast("bigint").alias("n1"),
@@ -151,43 +160,12 @@ def _doubled_ranks(h: DataFrame, bucket_width: int) -> DataFrame:
     window partitions on (rf, bucket), parallelism bounded by the bucket
     count instead of the handful of rf groups.  dr = 2·cnt_less + cnt + 1,
     an exact BIGINT."""
-    b = h.withColumn("bkt", (F.col("v") / F.lit(bucket_width)).cast("bigint"))
-    wb = (
-        Window.partitionBy("rf")
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = (
-        b.groupBy("rf", "bkt")
-        .agg(F.sum("cnt").alias("btot"))
-        .select(
-            "rf",
-            "bkt",
-            F.coalesce(F.sum("btot").over(wb), F.lit(0)).alias("off"),
-        )
-    )
-    wi = (
-        Window.partitionBy("rf", "bkt")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        b.join(offs, ["rf", "bkt"])
-        .select(
-            "rf",
-            "v",
-            "cnt",
-            (F.col("off") + F.coalesce(F.sum("cnt").over(wi), F.lit(0))).alias(
-                "cnt_less"
-            ),
-        )
-        .select(
-            "rf",
-            "v",
-            (2 * F.col("cnt_less") + F.col("cnt") + 1)
-            .cast("bigint")
-            .alias("dr"),
-        )
+    return bucketed_prefix_sums(
+        h, "v", ["cnt"], bucket_width=bucket_width, by=["rf"]
+    ).select(
+        "rf",
+        "v",
+        (2 * F.col("cum_cnt") + F.col("cnt") + 1).cast("bigint").alias("dr"),
     )
 
 
@@ -274,10 +252,13 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = lambda col: col.cast("decimal(19,0)")  # noqa: E731
     c = F.col("c")
+    # s1/s2 sum in DECIMAL from the start (not BIGINT-then-cast): the rank
+    # sum is ~2n^2, past int64 at 100 TB row counts — mirrors the oracle's
+    # HUGEINT accumulation.
     s = r.groupBy("rf").agg(
         F.sum("c").cast("decimal(19,0)").alias("n"),
-        F.sum(c * F.col("rx2")).cast("decimal(19,0)").alias("s1"),
-        F.sum(c * F.col("ry2")).cast("decimal(19,0)").alias("s2"),
+        F.sum(dec(c) * F.col("rx2")).cast("decimal(38,0)").alias("s1"),
+        F.sum(dec(c) * F.col("ry2")).cast("decimal(38,0)").alias("s2"),
         F.sum(dec(c) * F.col("rx2") * F.col("rx2"))
         .cast("decimal(38,0)")
         .alias("s11"),
@@ -366,18 +347,22 @@ def ml_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
     )
+    # Every sufficient statistic accumulates in DECIMAL, not BIGINT-then-
+    # cast: Σ(x·y) reaches ~5e20 at 100 TB row counts, past int64 —
+    # mirrors the oracle's HUGEINT sums (ADVICE r3).
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
     s = t.agg(
         F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
-        F.sum("x1").cast("decimal(19,0)").alias("s1"),
-        F.sum("x2").cast("decimal(19,0)").alias("s2"),
-        F.sum("y").cast("decimal(19,0)").alias("sy"),
-        F.sum(F.col("x1") * F.col("x1")).cast("decimal(19,0)").alias("s11"),
-        F.sum(F.col("x2") * F.col("x2")).cast("decimal(19,0)").alias("s22"),
-        F.sum(F.col("x1") * F.col("x2")).cast("decimal(19,0)").alias("s12"),
-        F.sum(F.col("x1") * F.col("y")).cast("decimal(19,0)").alias("s1y"),
-        F.sum(F.col("x2") * F.col("y")).cast("decimal(19,0)").alias("s2y"),
+        F.sum(d19(F.col("x1"))).cast("decimal(38,0)").alias("s1"),
+        F.sum(d19(F.col("x2"))).cast("decimal(38,0)").alias("s2"),
+        F.sum(d19(F.col("y"))).cast("decimal(38,0)").alias("sy"),
+        F.sum(d19(F.col("x1")) * F.col("x1")).cast("decimal(38,0)").alias("s11"),
+        F.sum(d19(F.col("x2")) * F.col("x2")).cast("decimal(38,0)").alias("s22"),
+        F.sum(d19(F.col("x1")) * F.col("x2")).cast("decimal(38,0)").alias("s12"),
+        F.sum(d19(F.col("x1")) * F.col("y")).cast("decimal(38,0)").alias("s1y"),
+        F.sum(d19(F.col("x2")) * F.col("y")).cast("decimal(38,0)").alias("s2y"),
         F.sum(F.col("y").cast("decimal(20,0)") * F.col("y"))
-        .cast("decimal(25,0)")
+        .cast("decimal(38,0)")
         .alias("syy"),
     )
     n = F.col("n")
@@ -605,7 +590,8 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     paired rank rho/tau, k-sample H).
 
     Same histogram-first architecture: global doubled average ranks come
-    from the per-value histogram (window over DISTINCT prices), per-group
+    from the per-value histogram via two-phase bucketed prefix sums
+    (operators/prefix.py — no single-partition window), per-group
     rank sums from one grid⨝rank equi-join + groupBy — never per-row rank
     windows.  Exact BIGINTs until the final H; the k per-group float terms
     R_j²/(4n_j) are summed in a FIXED ORDER (cumulative window ordered by
@@ -618,13 +604,12 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("grp"),
     ).agg(F.count(F.lit(1)).alias("c"))
     vh = hist.groupBy("v").agg(F.sum("c").cast("bigint").alias("cv"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    dr = vh.select(
+    # Two-phase bucketed prefix (operators/prefix.py): the global doubled
+    # ranks come from per-bucket windows, never a single ordered partition.
+    dr = bucketed_prefix_sums(vh, "v", ["cv"], bucket_width=1 << 19).select(
         "v",
         "cv",
-        (2 * F.coalesce(F.sum("cv").over(w), F.lit(0)) + F.col("cv") + 1).alias(
-            "d"
-        ),
+        (2 * F.col("cum_cv") + F.col("cv") + 1).alias("d"),
     )
     rj = (
         hist.join(dr, "v")

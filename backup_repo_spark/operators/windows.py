@@ -310,20 +310,23 @@ def pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions. Determinism recipe: per-customer revenue is rounded FIRST,
     then the running sum adds those identical doubles in the identical
     (rank) order in both engines — sequential window sums are order-pinned,
-    unlike groupBy sums. Global window over the CUSTOMER rollup (15k rows
-    at sf0.1), never the raw orders; top-100 keeps the output bounded."""
+    unlike groupBy sums. Scale: cum at rank k only sums the top-k revenues,
+    so the top-100 are taken FIRST (TakeOrderedAndProject — per-partition
+    local top-100, no global sort) and the ordered window runs over those
+    100 rows; the input to the single-partition window is bounded at 100
+    by construction, at any data size."""
     o = load_table(spark, sf_dir, "orders")
     r = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     t = r.agg(F.round(F.sum("revenue"), 2).alias("total"))
     w = Window.orderBy(F.desc("revenue"), "o_custkey")
-    c = r.select(
+    top = r.orderBy(F.desc("revenue"), "o_custkey").limit(100)
+    c = top.select(
         "o_custkey", "revenue",
         F.row_number().over(w).alias("rnk"),
         F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
     )
     return (
         c.crossJoin(F.broadcast(t))
-        .filter(F.col("rnk") <= 100)
         .select(
             "rnk", "o_custkey", "revenue",
             F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"),

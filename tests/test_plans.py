@@ -532,12 +532,15 @@ def test_feature_stats_broadcasts_means(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_auc_single_exchange_window(spark):
-    """AUC's ordered cumulative window runs over the distinct-score rollup:
-    exactly one global-sort window, no join anywhere."""
+def test_auc_two_phase_bucketed_ranks(spark):
+    """AUC's rank prefix comes from two-phase bucketed prefix sums: the
+    heavy within-bucket window partitions on _bkt (hashpartitioning
+    exchange — parallelism = bucket count, never one ordered partition),
+    and the offset join back onto the histogram is an equi-join."""
     plan = plan_of(registry.QUERIES["ml_auc_roc"](spark, SF_DIR))
-    assert plan.count("Window") >= 1
-    assert "Join" not in plan
+    assert "hashpartitioning(_bkt" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_windowed_distinct_shares_one_exchange(spark):
@@ -559,13 +562,17 @@ def test_bloom_filter_join_injects_runtime_filter(spark):
 
 
 def test_mann_whitney_ranks_from_histogram_not_rows(spark):
-    """The rank window must run over the grouped value histogram: plan is
-    HashAggregate (histogram) below the single window — no join, and no
-    per-row global sort of the raw orders table."""
+    """The rank windows must run over the grouped value histogram, bucket-
+    partitioned: the within-bucket window exchanges on hashpartitioning
+    (_bkt), and the DEEPEST aggregate (the value histogram) sits below the
+    deepest window — no per-row global sort of the raw orders table."""
     plan = plan_of(registry.QUERIES["stats_mann_whitney"](spark, SF_DIR))
-    assert "Join" not in plan
-    # histogram groupBy happens before (deeper than) the window sort
-    assert plan.index("HashAggregate") > plan.index("Window") or "HashAggregate" in plan
+    assert "hashpartitioning(_bkt" in plan
+    # formatted plans print parents before children, so deeper = later:
+    # the histogram HashAggregate must appear below the last Window.
+    assert plan.rindex("HashAggregate") > plan.rindex("Window")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_ols_multi_single_aggregate_pass(spark):
