@@ -4,13 +4,19 @@ Builds (analysis only — nothing executes) the physical plan of EVERY
 batch registry key and flags the scale anti-patterns:
 
 - CartesianProduct / BroadcastNestedLoopJoin — quadratic joins,
-- SortMergeJoin against a tiny build side (should broadcast),
-- parquet scans with neither PushedFilters nor a pruned ReadSchema on
-  wide tables (full-scan smell; informational).
+- UNPARTITIONED Window nodes — `Window.orderBy(...)` with no partition
+  key funnels every row through ONE task; safe only when the input is a
+  bounded aggregate (bucket totals, k-group lists, constant threshold
+  grids), a scale-killer when it grows with the data.
 
 Deliberate exceptions are whitelisted WITH the reason, so the committed
 report (PLAN_AUDIT.md) states: every non-whitelisted key is free of
-quadratic join plans — machine-checked, not sampled.
+quadratic join plans AND of unbounded single-partition windows —
+machine-checked, not sampled.  Two auto-classifications mirror the
+pervasive safe shapes: BNLJ whose build side is a keyless (1-row)
+aggregate, and unpartitioned windows ordering by `_bkt` (the two-phase
+prefix-sum helper's bucket-offset window, operators/prefix.py — rows =
+bucket count by construction).
 
     python tools/plan_sweep.py > PLAN_AUDIT.md
 """
@@ -52,6 +58,38 @@ WHITELIST = {
 # the crossJoin(broadcast(1-row-aggregate)) pattern is pervasive and safe;
 # detect it by the build side being a broadcast of an aggregate.
 
+# key -> reason its unpartitioned (ordered or OVER()) window is deliberate:
+# every entry's window input is bounded by construction (a rollup whose
+# cardinality is fixed by the schema/calendar/algorithm, or a top-k), so the
+# single-task stage processes O(constant) rows at ANY data size.
+WINDOW_WHITELIST = {
+    "codec_sortkey": "order-equivalence PROOF key: globally ranking encoded "
+    "vs raw key order is the declared semantics (verification demo)",
+    "events_slo_burn": "ordered by day over the daily rollup (rows = days)",
+    "llm_source_gini": "Lorenz cumulative over the per-source rollup "
+    "(rows = corpus sources)",
+    "llm_source_mixture": "OVER() total over the per-source rollup",
+    "ml_decision_stump": "argmin window over the 9-row candidate-split list",
+    "ml_lift_gains": "cumulative-gains window over the 10-row decile table "
+    "(deciles themselves from ntile_nosort — no global sort)",
+    "ml_psi_drift": "OVER() total over the <=12-row width_bucket bin table",
+    "pareto_analysis": "window input pre-bounded to 100 rows by "
+    "TakeOrderedAndProject",
+    "llm_curriculum_order": "window input pre-bounded to 100 rows by "
+    "TakeOrderedAndProject",
+    "sort_keyset_pagination": "window over the page after the keyset cursor "
+    "filter + limit (page-sized input)",
+    "stat_chi_square": "OVER() totals/marginals over the <=15-cell "
+    "contingency table",
+    "stats_kruskal_wallis": "k-group ordered cumulative (fixed-order float "
+    "summation for cross-engine determinism) over the 5-row rank-sum table",
+    "ts_cross_correlation": "ordered by hour over the hourly rollup",
+    "ts_cusum_changepoint": "ordered by day over the daily rollup",
+    "ts_distribution_drift": "ordered by day over the daily rollup",
+    "ts_ewma": "EWMA recurrence over the daily rollup (rows = days; the "
+    "recurrence is inherently sequential in its grid)",
+}
+
 # streaming keys build streaming DataFrames whose plans need a query start;
 # they are exercised by the streaming tests instead.
 SKIP_PREFIXES = ("stream_",)
@@ -63,11 +101,71 @@ def plan_of(df) -> str:
     )
 
 
+def _bracket_groups(s: str) -> list[str]:
+    """Split a formatted-plan Arguments value into its top-level
+    [...] groups (bracket-depth aware — window exprs contain commas)."""
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Return a descriptor for every Window node with an EMPTY partition
+    spec — the single-task funnel hazard.  Formatted-plan Arguments carry
+    [exprs], [partition], [order]; empty specs are omitted, so:
+    3 groups = partitioned (safe); 2 groups whose last group has no
+    ASC/DESC = partition-only, no order (safe — still parallel); 2 groups
+    ending in a sort direction = UNPARTITIONED ordered window; 1 group =
+    `OVER ()` global-frame window (unpartitioned, orderless)."""
+    out = []
+    for block in plan.split("\n\n"):
+        lines = block.split("\n")
+        if not (lines and lines[0].startswith("(") and lines[0].rstrip().endswith("Window")):
+            continue
+        args = next((l for l in lines if l.startswith("Arguments: ")), None)
+        if args is None:
+            continue
+        groups = _bracket_groups(args[len("Arguments: "):])
+        if len(groups) >= 3:
+            continue  # partitioned
+        if len(groups) == 2:
+            last = groups[-1]
+            if " ASC" in last or " DESC" in last:
+                out.append(last)  # unpartitioned ordered window
+            continue  # partition spec present, no order — parallel
+        if groups:
+            out.append("<over()> " + groups[0][:60])
+    return out
+
+
+def split_auto_safe_windows(orders: list[str]) -> tuple[list[str], int]:
+    """Partition unpartitioned-window order specs into (needs-review,
+    auto-safe count): ordering by `_bkt` is the prefix-sum helper's
+    bucket-offset window — input rows = bucket count by construction."""
+    unsafe = [o for o in orders if not o.startswith("_bkt#")]
+    return unsafe, len(orders) - len(unsafe)
+
+
 def main() -> None:
     spark = get_spark("plan-sweep", shuffle_partitions=4)
     flagged: dict[str, list[str]] = {}
     whitelisted: dict[str, list[str]] = {}
     auto: dict[str, list[str]] = {}
+    win_flagged: dict[str, list[str]] = {}
+    win_whitelisted: dict[str, list[str]] = {}
+    n_win_auto = 0
     errors: list[str] = []
     n_checked = 0
     for name in sorted(registry.QUERIES):
@@ -91,28 +189,45 @@ def main() -> None:
             if "Keys: []" in plan or "Keys []" in plan:
                 hits.append("BNLJ(1-row-aggregate broadcast — safe by construction)")
                 auto[name] = hits
-                continue
-            hits.append("BroadcastNestedLoopJoin")
+                hits = None
+            else:
+                hits.append("BroadcastNestedLoopJoin")
         if hits:
             (whitelisted if name in WHITELIST else flagged)[name] = hits
-    print("# PLAN_AUDIT — registry-wide quadratic-join sweep\n")
+        wins, n_auto = split_auto_safe_windows(unpartitioned_windows(plan))
+        n_win_auto += n_auto
+        if wins:
+            (win_whitelisted if name in WINDOW_WHITELIST else win_flagged)[
+                name
+            ] = wins
+    print("# PLAN_AUDIT — registry-wide quadratic-join + global-window sweep\n")
     print(f"Checked {n_checked} batch keys (streaming keys exercised by their")
     print("own tests). Anti-patterns searched: CartesianProduct,")
-    print("BroadcastNestedLoopJoin.\n")
-    print(f"## Non-whitelisted flags: {len(flagged)}\n")
+    print("BroadcastNestedLoopJoin, unpartitioned Window (ordered or OVER()).\n")
+    print(f"## Non-whitelisted quadratic-join flags: {len(flagged)}\n")
     for k, v in sorted(flagged.items()):
         print(f"- **{k}**: {', '.join(v)}")
     print(f"\n## Auto-classified safe (1-row-aggregate broadcast): {len(auto)}\n")
     for k in sorted(auto):
         print(f"- {k}")
-    print(f"\n## Whitelisted (deliberate): {len(whitelisted)}\n")
+    print(f"\n## Whitelisted joins (deliberate): {len(whitelisted)}\n")
     for k, v in sorted(whitelisted.items()):
         print(f"- {k}: {', '.join(v)} — {WHITELIST[k]}")
+    print(f"\n## Non-whitelisted unpartitioned-window flags: {len(win_flagged)}\n")
+    for k, v in sorted(win_flagged.items()):
+        print(f"- **{k}**: {'; '.join(v)}")
+    print(
+        f"\n## Auto-classified safe windows (bucket-offset `_bkt` prefix "
+        f"windows, rows = bucket count): {n_win_auto} across the registry\n"
+    )
+    print(f"\n## Whitelisted windows (bounded input, reason given): {len(win_whitelisted)}\n")
+    for k in sorted(win_whitelisted):
+        print(f"- {k}: {WINDOW_WHITELIST[k]}")
     if errors:
         print(f"\n## Plan-build errors: {len(errors)}\n")
         for e in errors:
             print(f"- {e}")
-    sys.exit(1 if flagged else 0)
+    sys.exit(1 if flagged or win_flagged else 0)
 
 
 if __name__ == "__main__":
