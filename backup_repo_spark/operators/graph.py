@@ -667,10 +667,14 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
+        # No broadcast hint on `alive`: the surviving node set scales with
+        # the graph, so forcing a broadcast risks driver memory at scale —
+        # let AQE/autoBroadcastJoinThreshold decide per round from the
+        # materialized (localCheckpoint) size (ADVICE r3).
         alive = deg.where(F.col("deg") >= 3).select("node").localCheckpoint()
-        edges = und.join(
-            F.broadcast(alive), und.a == alive.node, "left_semi"
-        ).join(F.broadcast(alive), und.b == alive.node, "left_semi")
+        edges = und.join(alive, und.a == alive.node, "left_semi").join(
+            alive, und.b == alive.node, "left_semi"
+        )
     return (
         deg.where(F.col("deg") >= 3)
         .select(

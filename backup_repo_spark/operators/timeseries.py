@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from backup_repo_spark.registry import query
-from backup_repo_spark.session import load_table
+from backup_repo_spark.session import load_events, load_table
 
 
 @query(
@@ -51,7 +51,7 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequence(min,max) × distinct keys, left-joined against the hourly
     aggregate. The empty hours appear with n=0 — the property a naive
     groupBy cannot give."""
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_events(spark, sf_dir).select(
         "event_type", F.date_trunc("hour", "ts").alias("hour"), "value"
     )
     bounds = ev.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
@@ -93,7 +93,7 @@ def ts_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_by/max_by — one hash aggregate, no window sort. Selected values are
     projected raw (selection, not arithmetic — bit-identical cross-engine);
     sub-second ns timestamps make open/close ties practically impossible."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     return (
         ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(
@@ -130,7 +130,7 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-handled by AQE — and apply the exact band as a residual filter.
     The oracle is the naive range join: identical semantics, different
     join strategy."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     bucket = (F.unix_timestamp("ts") / (60 * _BAND_MIN)).cast("long")
     errs = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("err_id"),
@@ -216,7 +216,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (type, week) with a 1-hour overlap fringe to bound sort size."""
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     e = ev.select(
         "event_type",
         F.expr(
@@ -287,7 +287,7 @@ def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup, self-join on the lagged key, integer error arithmetic + one
     IEEE division). The rollup shrinks the fact table before the self-join
     touches anything."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -320,7 +320,7 @@ def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell — the 7x24 profile that seeds anomaly baselines and the seasonal-
     naive forecaster (`ts_seasonal_naive`). Integer counts + one division;
     partial-aggregable with the 1-row total broadcast back."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     c = ev.groupBy(
         (F.weekday(F.date_trunc("day", F.col("ts"))) + 1).alias("dow"),
         F.hour("ts").alias("hod"),
@@ -391,7 +391,7 @@ def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialize together."""
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     w = ev.groupBy("event_type", F.date_trunc("week", "ts").alias("wk")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -435,7 +435,7 @@ def ts_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partitions by user; the percentile rollup is per type."""
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     us = F.unix_micros("ts")
     gap = us - F.lag(us).over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
     g = ev.select("event_type", gap.alias("gap_us")).filter(
@@ -473,7 +473,7 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     global mean (which `events_anomaly_mad` provides). The 1.5x-average test
     is cross-multiplied into pure integers (2*n*n_days > 3*total): no
     division, no float, bit-exact. Two rollups + one broadcast join."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     slot = ev.groupBy(
         F.to_date("ts").alias("day"),
         (F.weekday(F.date_trunc("day", F.col("ts"))) + 1).alias("dow"),
@@ -518,7 +518,7 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind forecasting-feature selection, fully in-engine."""
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
         F.sum((F.col("event_type") == "click").cast("int")).cast("bigint").alias("clicks"),
         F.sum((F.col("event_type") == "purchase").cast("int")).cast("bigint").alias("buys"),
@@ -568,7 +568,7 @@ def ts_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count ratios. One rollup + one lag window over ~30 rows."""
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     cnt = lambda t: F.sum((F.col("event_type") == t).cast("int")).cast("bigint")  # noqa: E731
     d = ev.groupBy(F.to_date("ts").alias("day")).agg(
         cnt("click").alias("c1"), cnt("view").alias("c2"),
@@ -625,7 +625,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     else), not driver collect()s, so the whole statistic is one job."""
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     daily = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("day", "ts").alias("day"))
@@ -689,7 +689,7 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs over days."""
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     daily = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("day", "ts").alias("day"))
@@ -761,7 +761,7 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     are filtered identically in both engines rather than emitted as
     engine-specific non-values. Nothing scales with raw event count but
     the first rollup."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count(F.lit(1)).alias("y"))
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
     a = daily.select(F.col("d").alias("da"), F.col("y").alias("x"))
@@ -824,7 +824,7 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     at years of history pre-aggregate to weeks or use the repeated-median
     variant per bounded window. The fact-table scan collapses to the day
     rollup first, so data volume never enters the quadratic term."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count(F.lit(1)).alias("y"))
     idx = daily.select(
         "y", F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")).cast("long").alias("t")
@@ -882,7 +882,6 @@ def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     window pattern scaling with events per user.  The second frame orders
     by event_id alone — deterministic because event_id embeds the ts
     order within a user (asserted equivalent in tests)."""
-    from backup_repo_spark.session import load_events
     from pyspark.sql import Window
 
     ev = load_events(spark, sf_dir)

@@ -76,12 +76,19 @@ def _multi_file_source(spark, tmp_path, n_files=6):
     return src
 
 
-def test_stream_stateful_crash_restart_restores_state(spark, tmp_path):
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_stream_stateful_crash_restart_restores_state(spark, tmp_path, provider):
     """applyInPandasWithState: the foreachBatch sink raises on micro-batch 2
     (a simulated executor/driver crash AFTER state for batches 0-1 was
     committed). Restarting from the same checkpoint must (a) replay batch 2
     with the SAME batch id, (b) restore per-user state, so the final
-    cumulative counts equal the batch aggregate over ALL events."""
+    cumulative counts equal the batch aggregate over ALL events.
+
+    Parameterized over BOTH state-store providers: the default HDFS-backed
+    store and RocksDB (`spark.sql.streaming.stateStore.providerClass`) —
+    RocksDB is the 100 TB/day config SCALING.md names (state spills to
+    local disk instead of executor heap), so its crash-restart semantics
+    are exercised, not assumed."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -89,6 +96,15 @@ def test_stream_stateful_crash_restart_restores_state(spark, tmp_path):
     src = _multi_file_source(spark, tmp_path)
     out = str(tmp_path / "state_out")
     ckpt = str(tmp_path / "state_ckpt")
+
+    _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(_PROVIDER_CONF, None)
+    if provider == "rocksdb":
+        spark.conf.set(
+            _PROVIDER_CONF,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
 
     def build(crash_on_batch):
         ev = (
@@ -132,13 +148,19 @@ def test_stream_stateful_crash_restart_restores_state(spark, tmp_path):
             .start()
         )
 
-    # phase 1: crashes on batch 2 (batches 0-1 committed)
-    q1 = build(crash_on_batch={2})
-    with pytest.raises(Exception, match="injected crash"):
-        q1.awaitTermination()
-    # phase 2: same checkpoint, no crash — replays batch 2, finishes the rest
-    q2 = build(crash_on_batch=set())
-    q2.awaitTermination()
+    try:
+        # phase 1: crashes on batch 2 (batches 0-1 committed)
+        q1 = build(crash_on_batch={2})
+        with pytest.raises(Exception, match="injected crash"):
+            q1.awaitTermination()
+        # phase 2: same checkpoint, no crash — replays batch 2, finishes
+        q2 = build(crash_on_batch=set())
+        q2.awaitTermination()
+    finally:
+        if prior is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, prior)
 
     landed = spark.read.option("basePath", out).parquet(f"{out}/batch=*")
     from pyspark.sql.window import Window

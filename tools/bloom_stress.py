@@ -27,8 +27,12 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _rest(spark: SparkSession, path: str):
+    # Read the BOUND port from the context: if _UI_PORT is occupied Spark
+    # silently binds the next free port, and a hardcoded URL would 404
+    # every call (ADVICE r3).
     app_id = spark.sparkContext.applicationId
-    url = f"http://localhost:{_UI_PORT}/api/v1/applications/{app_id}{path}"
+    base = spark.sparkContext.uiWebUrl or f"http://localhost:{_UI_PORT}"
+    url = f"{base}/api/v1/applications/{app_id}{path}"
     with urllib.request.urlopen(url, timeout=10) as r:
         return json.load(r)
 
