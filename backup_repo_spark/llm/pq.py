@@ -337,3 +337,97 @@ def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq10.join(exact10, "vec_id").agg(
         F.count(F.lit(1)).alias("hits"), F.lit(10).alias("k")
     )
+
+
+@query(
+    "llm_pq_refine",
+    oracle=f"""
+    WITH {_train_sql()},
+    codes AS MATERIALIZED (
+      SELECT vec_id, sub, cid FROM (
+        SELECT s.vec_id, s.sub, c.cid,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.sub
+                 ORDER BY sum((s.val - c.cval) * (s.val - c.cval)), c.cid
+               ) AS rn
+        FROM subv s JOIN cent{_ITERS} c ON c.sub = s.sub AND c.pos = s.pos
+        GROUP BY s.vec_id, s.sub, c.cid
+      ) WHERE rn = 1
+    ),
+    lut AS MATERIALIZED (
+      SELECT c.sub, c.cid,
+             sum((q.val - c.cval) * (q.val - c.cval)) AS qd
+      FROM subv q JOIN cent{_ITERS} c ON c.sub = q.sub AND c.pos = q.pos
+      WHERE q.vec_id = 0
+      GROUP BY c.sub, c.cid
+    ),
+    short AS MATERIALIZED (
+      SELECT k.vec_id
+      FROM codes k JOIN lut l ON l.sub = k.sub AND l.cid = k.cid
+      WHERE k.vec_id <> 0
+      GROUP BY k.vec_id
+      ORDER BY sum(l.qd), k.vec_id LIMIT 20
+    )
+    SELECT v.vec_id, CAST(sum((v.val - q.val) * (v.val - q.val)) AS BIGINT) AS l2_dist
+    FROM subv v
+    JOIN short s ON s.vec_id = v.vec_id
+    JOIN subv q ON q.sub = v.sub AND q.pos = v.pos
+    WHERE q.vec_id = 0
+    GROUP BY v.vec_id
+    ORDER BY l2_dist, v.vec_id LIMIT 5
+    """,
+)
+def llm_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production ANN serving shape: a cheap
+    PQ-ADC pass over CODES shortlists 20 candidates, then exact integer L2
+    re-ranks only those 20 against their raw (micro-unit) vectors for the
+    final top-5.  At billion-vector scale this is the architecture that
+    makes recall affordable: the expensive exact distance touches
+    shortlist×dim values instead of corpus×dim, and the shortlist is a
+    broadcast-sized driver for the refine join.  All distances are exact
+    integers (same clamp+micro quantization as the rest of the PQ family),
+    so both the shortlist boundary and the final ranking are bit-exact
+    cross-engine."""
+    subv, cent = _train_codebook(spark, sf_dir)
+    dist = (
+        subv.join(F.broadcast(cent), ["sub", "pos"])
+        .groupBy("vec_id", "sub", "cid")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+            ).alias("d")
+        )
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d", "cid")
+    codes = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "cid")
+    )
+    lut = dist.filter(F.col("vec_id") == 0).select("sub", "cid", F.col("d").alias("qd"))
+    short = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(20)
+        .select("vec_id")
+    )
+    q = subv.filter(F.col("vec_id") == 0).select(
+        "sub", "pos", F.col("val").alias("qval")
+    )
+    return (
+        subv.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(q), ["sub", "pos"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("qval")) * (F.col("val") - F.col("qval"))
+            )
+            .cast("bigint")
+            .alias("l2_dist")
+        )
+        .orderBy("l2_dist", "vec_id")
+        .limit(5)
+    )

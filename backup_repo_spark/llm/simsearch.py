@@ -652,3 +652,93 @@ def llm_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "bucket", F.round("cos", 6).alias("cos_sim"))
     )
+
+
+@query(
+    "llm_semdedup",
+    oracle="""
+    WITH coded AS (
+      SELECT vec_id,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS cluster,
+             embedding
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb, a.cluster,
+             a.embedding AS ea, b.embedding AS eb
+      FROM coded a JOIN coded b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+      SELECT ida, idb, cluster,
+             CAST(unnest(ea) AS DOUBLE) AS x, CAST(unnest(eb) AS DOUBLE) AS y
+      FROM cand
+    ),
+    scored AS (
+      SELECT ida, idb, cluster,
+             sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+      FROM pairs GROUP BY ida, idb, cluster
+    ),
+    dropped AS (
+      SELECT DISTINCT idb AS vec_id FROM scored WHERE cos > 0.3
+    )
+    SELECT c.cluster,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(*) FILTER (WHERE d.vec_id IS NULL) AS BIGINT) AS n_kept
+    FROM coded c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    GROUP BY c.cluster ORDER BY c.cluster
+    """,
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    literature): cluster embeddings with a cheap coarse quantizer (sign
+    bits of the first 3 dimensions — 8 deterministic clusters standing in
+    for the k-means clusters of the paper), compute pairwise cosine ONLY
+    within a cluster, and drop every vector that has a higher-similarity-
+    than-threshold neighbor with a LOWER id (keep-first survivorship — a
+    deterministic tie-break instead of the paper's random keeper).  Output
+    is the per-cluster keep audit (n_vecs vs n_kept).
+
+    Scale shape: the cluster assignment is a map expression, the pair
+    space is Σ|cluster|² — bounded by the quantizer's balance, the same
+    candidate-fencing as the banded-LSH stack (at 100 TB: k-means cells
+    with per-cell caps + per-cell pair budget).  The drop rule is one
+    distinct + one left anti/semi join — no global structure."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    code = sum(
+        (
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(3)
+        ),
+        start=F.lit(0),
+    ).alias("cluster")
+    coded = emb.select("vec_id", code, "embedding")
+    a = coded.select(
+        F.col("vec_id").alias("ida"),
+        F.col("cluster").alias("ca"),
+        F.col("embedding").alias("ea"),
+    )
+    b = coded.select(
+        F.col("vec_id").alias("idb"),
+        F.col("cluster").alias("cb"),
+        F.col("embedding").alias("eb"),
+    )
+    dropped = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ida") < F.col("idb")))
+        .select("idb", _cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .filter(F.col("cos") > 0.3)
+        .select(F.col("idb").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        coded.join(dropped, "vec_id", "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.count_if(F.col("is_dup").isNull()).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
