@@ -1,0 +1,90 @@
+"""Property-based differential tests for operators/prefix.py — the
+two-phase bucketed prefix-sum machinery every former single-partition
+window now rides on. The claims under test are EQUALITIES, not sanity
+bounds:
+
+- bucketed_prefix_sums == the naive `Window.orderBy(v)` cumulative sum,
+  bit-for-bit, for any histogram, any bucket width, inclusive or
+  exclusive, with or without partition columns (integer sums cannot be
+  reassociated into different answers — that is the whole trick);
+- ntile_nosort == F.ntile(k) over the same (value, tie) order for any
+  row multiset and any k, including n < k, heavy ties, and negative
+  values (DESC emulation passes negated values through the same path).
+
+Hypothesis drives the shapes the fixed testdata cannot: empty-ish
+inputs, all-tied values, single buckets, bucket boundaries landing on
+values, n not divisible by k.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from backup_repo_spark.operators.prefix import bucketed_prefix_sums, ntile_nosort
+
+hists = st.lists(
+    st.tuples(st.integers(-50, 50), st.integers(1, 9)),  # (value, count)
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    hists,
+    st.integers(1, 16),
+    st.booleans(),
+)
+def test_bucketed_prefix_equals_naive_window(spark, hist, width, inclusive):
+    h = spark.createDataFrame(hist, "v LONG, cnt LONG").repartition(3)
+    two = {
+        r.v: r.cum_cnt
+        for r in bucketed_prefix_sums(
+            h, "v", ["cnt"], bucket_width=width, inclusive=inclusive
+        ).collect()
+    }
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0 if inclusive else -1
+    )
+    naive = {
+        r.v: r.c
+        for r in h.select(
+            "v", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("c")
+        ).collect()
+    }
+    assert two == naive
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(-20, 20), st.integers(0, 999)),  # (value, tie)
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t,
+    ),
+    st.integers(2, 10),
+    st.integers(1, 8),
+)
+def test_ntile_nosort_equals_spark_ntile(spark, rows, tiles, width):
+    df = spark.createDataFrame(rows, "v LONG, tie LONG").repartition(3)
+    ours = {
+        (r.v, r.tie): r.bin
+        for r in ntile_nosort(
+            df, "v", "tie", tiles=tiles, bucket_width=width
+        ).collect()
+    }
+    theirs = {
+        (r.v, r.tie): r.bin
+        for r in df.select(
+            "v",
+            "tie",
+            F.ntile(tiles).over(Window.orderBy("v", "tie")).alias("bin"),
+        ).collect()
+    }
+    assert ours == theirs
