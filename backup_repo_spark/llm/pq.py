@@ -116,7 +116,7 @@ def _subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _train_codebook(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Returns (subv, codebook) where codebook = (sub, cid, pos, cval)."""
-    subv = _subvectors(spark, sf_dir).localCheckpoint()
+    subv = _subvectors(spark, sf_dir).persist()
     cent = (
         subv.filter(F.col("vec_id").between(1, _K))
         .select("sub", (F.col("vec_id") - 1).alias("cid"), "pos", F.col("val").alias("cval"))

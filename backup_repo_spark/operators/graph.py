@@ -6,9 +6,13 @@ Not in the reference (Astro exposes no graph surface); included because
 large-scale data pipelines need iterative DataFrame algorithms (connected
 components already ships as `llm_dedup_cluster`). Design notes:
 
-- Each iteration is one distributed join + aggregate; ``localCheckpoint()``
-  truncates lineage so the plan doesn't grow exponentially with iterations
-  (the classic iterative-Spark failure mode).
+- Each iteration is one distributed join + aggregate; the ITERATED frame
+  goes through ``localCheckpoint()`` so lineage doesn't grow exponentially
+  with iterations (the classic iterative-Spark failure mode), while the
+  STATIC edge/node bases reused across rounds use columnar ``persist()``
+  — a deserialized-row checkpoint of a large frame thrashes GC once it
+  outgrows the heap (measured round 4, SCALING.md), the compressed
+  columnar cache spills cleanly.
 - PageRank uses ALL-INTEGER arithmetic (micro-units, truncating division)
   so results are bit-identical across engines and partitionings — float
   PageRank is order-dependent under sum reassociation. The oracle unrolls
@@ -105,7 +109,7 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             < "4"
         )
         .select(F.col("src").cast("int").alias("src"), F.col("dst").cast("int").alias("dst"))
-        .localCheckpoint()
+        .persist()
     )
     visited = spark.createDataFrame([(0, 0)], schema="node int, hop int")
     frontier = visited
@@ -160,11 +164,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the VALUES, not just the shape, which float PageRank cannot offer."""
     base = _trade_edges(spark, sf_dir)
     wout = base.groupBy("src").agg(F.sum("w").alias("wout"))
-    edges = base.join(wout, "src").localCheckpoint()
+    edges = base.join(wout, "src").persist()
     nodes = (
         load_table(spark, sf_dir, "nation")
         .select(F.col("n_nationkey").alias("node"))
-        .localCheckpoint()
+        .persist()
     )
     ranks = nodes.withColumn("rank", F.lit(1000000).cast("long"))
     for _ in range(5):
@@ -242,7 +246,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
-        .localCheckpoint()
+        .persist()
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -346,7 +350,7 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _trade_edges(spark, sf_dir)
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
-        .localCheckpoint()
+        .persist()
     )
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     recip = e.join(rev, ["src", "dst"], "left_semi").agg(
@@ -430,7 +434,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list — cost scales with the GRAPH, not the fact table that derived
     it; `localCheckpoint` truncates lineage so the 8-round plan stays flat
     (the iterative-Spark failure mode is exponential plan growth)."""
-    edges = _sparse_cost_edges(spark, sf_dir).localCheckpoint()
+    edges = _sparse_cost_edges(spark, sf_dir).persist()
     dist = spark.createDataFrame([(0, 0)], schema="node int, d long")
     for _ in range(8):
         cand = (
@@ -494,7 +498,7 @@ def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("a").alias("node"), F.col("b").alias("nb"))
         .union(und.select(F.col("b").alias("node"), F.col("a").alias("nb")))
         .distinct()
-        .localCheckpoint()
+        .persist()
     )
     deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     x, y = nbr.alias("x"), nbr.alias("y")
@@ -552,7 +556,7 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded reach (the 8-hop horizon caps it); for web-scale graphs the
     standard move is landmark sampling (run this exact plan from k sampled
     sources), which is THIS query with a filter on the node list."""
-    edges = _sparse_cost_edges(spark, sf_dir).localCheckpoint()
+    edges = _sparse_cost_edges(spark, sf_dir).persist()
     dist = edges.select(F.col("src").alias("s")).distinct().select(
         "s", F.col("s").alias("node"), F.lit(0).cast("long").alias("d")
     )
@@ -656,7 +660,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
-        .localCheckpoint()
+        .persist()
     )
     edges = und
     deg = None

@@ -126,7 +126,7 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.round(F.col("c_acctbal") * 100).cast("long") + 100000).alias("x")
         )
-        .localCheckpoint()
+        .persist()
     )
     row = pts.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
     if row.mn is None:

@@ -109,13 +109,16 @@ def ntile_nosort(
     exact integer arithmetic, bit-identical to the engine's ntile.  Every
     stage fans out; the old global-ntile form measured 5.55x per 10x data
     (SCALING.md), this one 1.71x.  For DESC order pass the negated value."""
-    # localCheckpoint: the histogram feeds the bucket offsets (twice,
-    # inside bucketed_prefix_sums) and the total count — materializing it
-    # once keeps the plan at two fact scans instead of four.
+    # persist(): the histogram feeds the bucket offsets (twice, inside
+    # bucketed_prefix_sums) and the total count — materializing it once
+    # keeps the plan at two fact scans instead of four.  Columnar cache
+    # over localCheckpoint: the deserialized-row RDD thrashes GC once the
+    # grid outgrows the heap (measured on stats_spearman's grid at 50x —
+    # SCALING.md round 4); the compressed columnar form spills cleanly.
     hist = (
         df.groupBy(value_col)
         .agg(F.count(F.lit(1)).alias("_cnt"))
-        .localCheckpoint()
+        .persist()
     )
     offs = bucketed_prefix_sums(
         hist, value_col, ["_cnt"], bucket_width=bucket_width

@@ -224,9 +224,13 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation)."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    # localCheckpoint: the pair grid feeds BOTH rank builds and the final
-    # join — without materialization Catalyst re-derives it three times
-    # (4 lineitem scans, 16 exchanges; with it: 1 scan of the grid).
+    # persist(): the pair grid feeds BOTH rank builds and the final join —
+    # without materialization Catalyst re-derives it three times (4
+    # lineitem scans, 16 exchanges).  Columnar cache (compressed, spills
+    # to disk) over localCheckpoint's deserialized-row RDD: measured at
+    # 50x data the row RDD thrashes GC (31.3 s) while the columnar cache
+    # runs 2x faster (16.0 s); at bench scale the difference is ~1 s the
+    # other way — the 100 TB regime wins the tie (SCALING.md round 4).
     pairs = (
         li.select(
             F.col("l_returnflag").alias("rf"),
@@ -235,7 +239,7 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("rf", "x", "y")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .persist()
     )
     rx = _doubled_ranks(
         pairs.groupBy("rf", F.col("x").alias("v")).agg(F.sum("c").alias("cnt")),

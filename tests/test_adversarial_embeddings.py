@@ -62,6 +62,13 @@ _EMB_KEYS = [
     "llm_pq_codebook",
     "llm_pq_search",
     "llm_pq_recall",
+    # two-stage refine: the 20-candidate shortlist here is the WHOLE
+    # corpus (23 vecs), so the exact re-rank must reproduce brute force
+    # under cos=1 ties, the zero vector, and the origin centroid
+    "llm_pq_refine",
+    # semdedup: exact duplicate (cos=1), antipodal (cos=-1), and zero
+    # vector (NULL cosine — must not count as a dup) all land in clusters
+    "llm_semdedup",
 ]
 
 
