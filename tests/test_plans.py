@@ -590,3 +590,34 @@ def test_hampel_windows_share_one_exchange(spark):
     plan = plan_of(registry.QUERIES["ts_hampel_filter"](spark, SF_DIR))
     assert plan.count("Arguments: hashpartitioning(user_id") == 1
     assert "Join" not in plan
+
+
+def test_ntile_keys_have_no_global_ntile_sort(spark):
+    """ml_calibration_bins / ml_lift_gains / events_rfm build their
+    equal-frequency bins via ntile_nosort: the plan must carry the
+    bucketed prefix machinery (hashpartitioning on _bkt and on the score
+    value) and NO ntile window function — the global single-partition
+    sort is gone."""
+    for key in ("ml_calibration_bins", "ml_lift_gains", "events_rfm"):
+        plan = plan_of(registry.QUERIES[key](spark, SF_DIR))
+        # the ntile FUNCTION (not the helper's _ntot column) must be absent
+        assert "ntile(" not in plan, key
+        assert "hashpartitioning(_bkt" in plan, key
+
+
+def test_pq_refine_exact_pass_restricted_to_shortlist(spark):
+    """llm_pq_refine's exact re-rank must join the corpus subvectors
+    against the broadcast 20-row shortlist and the broadcast query —
+    BroadcastHashJoins only, no shuffle of raw vectors for the refine."""
+    plan = plan_of(registry.QUERIES["llm_pq_refine"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_pairs_fenced_by_cluster_equijoin(spark):
+    """llm_semdedup's pair generation must be an equi-join on the cluster
+    code (SMJ/SHJ/BHJ) — never a cartesian/BNLJ over the corpus."""
+    plan = plan_of(registry.QUERIES["llm_semdedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
