@@ -423,13 +423,16 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("monetary"),
         )
     )
+    # recency/frequency are COARSE grids (tens of distinct values), so the
+    # within-value tie ranking goes two-phase as well (tie_bucket_width):
+    # no per-value window partition ever exceeds one user_id bucket.
     q = ntile_nosort(
         p.withColumn("_v", F.col("recency_days")),
-        "_v", "user_id", tiles=5, bucket_width=8,
+        "_v", "user_id", tiles=5, bucket_width=8, tie_bucket_width=1 << 14,
     ).withColumnRenamed("bin", "r_quintile").drop("_v")
     q = ntile_nosort(
         q.withColumn("_v", -F.col("frequency")),
-        "_v", "user_id", tiles=5, bucket_width=8,
+        "_v", "user_id", tiles=5, bucket_width=8, tie_bucket_width=1 << 14,
     ).withColumnRenamed("bin", "f_quintile").drop("_v")
     q = ntile_nosort(
         q.withColumn("_v", -F.col("monetary")),

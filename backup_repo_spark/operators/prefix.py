@@ -96,6 +96,7 @@ def ntile_nosort(
     tie_col: str,
     tiles: int,
     bucket_width: int,
+    tie_bucket_width: int | None = None,
 ) -> DataFrame:
     """Add an exact ``ntile(tiles) OVER (ORDER BY value_col, tie_col)``
     column named ``bin`` WITHOUT a global sort.
@@ -108,7 +109,18 @@ def ntile_nosort(
     first n % tiles bins take one extra — applied to that row number in
     exact integer arithmetic, bit-identical to the engine's ntile.  Every
     stage fans out; the old global-ntile form measured 5.55x per 10x data
-    (SCALING.md), this one 1.71x.  For DESC order pass the negated value."""
+    (SCALING.md), this one 1.71x.  For DESC order pass the negated value.
+
+    Skew caveat: TIES concentrate in the within-value row_number window —
+    fine for near-unique values (prices in cents), a hot partition when
+    the value grid is coarse (an integer 0-100 score over 10^12 rows puts
+    ~10^10 rows in one window partition).  Passing `tie_bucket_width`
+    applies the same trick one level down: range-bucket the TIE column,
+    per-value exclusive prefix over tie-bucket counts (a per-value window
+    whose rows = tie-bucket count), row_number only within (value,
+    tie-bucket) — rank within value composes from bucket offsets exactly
+    like the global rank does, still bit-identical.  Callers with a
+    coarse value grid (events_rfm's recency-days quintile) set it."""
     # persist(): the histogram feeds the bucket offsets (twice, inside
     # bucketed_prefix_sums) and the total count — materializing it once
     # keeps the plan at two fact scans instead of four.  Columnar cache
@@ -123,13 +135,46 @@ def ntile_nosort(
     offs = bucketed_prefix_sums(
         hist, value_col, ["_cnt"], bucket_width=bucket_width
     ).select(value_col, F.col("cum__cnt").alias("_off"))
-    wv = Window.partitionBy(value_col).orderBy(tie_col)
     tot = hist.agg(F.sum("_cnt").alias("_ntot"))
-    numbered = (
-        df.join(offs, value_col)
-        .withColumn("_rn", F.col("_off") + F.row_number().over(wv))
-        .crossJoin(F.broadcast(tot))
-    )
+    if tie_bucket_width is None:
+        wv = Window.partitionBy(value_col).orderBy(tie_col)
+        numbered = (
+            df.join(offs, value_col)
+            .withColumn("_rn", F.col("_off") + F.row_number().over(wv))
+            .crossJoin(F.broadcast(tot))
+        )
+    else:
+        # Coarse value grid: rank-within-value itself goes two-phase over
+        # range-buckets of the tie column, so no per-value partition ever
+        # holds more than one tie-bucket's rows.
+        b = df.withColumn(
+            "_tbkt", (F.col(tie_col) / F.lit(tie_bucket_width)).cast("bigint")
+        )
+        wtb = (
+            Window.partitionBy(value_col)
+            .orderBy("_tbkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        toffs = (
+            b.groupBy(value_col, "_tbkt")
+            .agg(F.count(F.lit(1)).alias("_tc"))
+            .select(
+                value_col,
+                "_tbkt",
+                F.coalesce(F.sum("_tc").over(wtb), F.lit(0)).alias("_toff"),
+            )
+        )
+        wvt = Window.partitionBy(value_col, "_tbkt").orderBy(tie_col)
+        numbered = (
+            b.join(toffs, [value_col, "_tbkt"])
+            .join(offs, value_col)
+            .withColumn(
+                "_rn",
+                F.col("_off") + F.col("_toff") + F.row_number().over(wvt),
+            )
+            .drop("_tbkt", "_toff")
+            .crossJoin(F.broadcast(tot))
+        )
     base = (F.col("_ntot") / tiles).cast("long")
     rem = F.col("_ntot") % tiles
     big = rem * (base + 1)

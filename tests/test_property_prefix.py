@@ -70,13 +70,15 @@ def test_bucketed_prefix_equals_naive_window(spark, hist, width, inclusive):
     ),
     st.integers(2, 10),
     st.integers(1, 8),
+    st.sampled_from([None, 1, 4, 64]),
 )
-def test_ntile_nosort_equals_spark_ntile(spark, rows, tiles, width):
+def test_ntile_nosort_equals_spark_ntile(spark, rows, tiles, width, tie_width):
     df = spark.createDataFrame(rows, "v LONG, tie LONG").repartition(3)
     ours = {
         (r.v, r.tie): r.bin
         for r in ntile_nosort(
-            df, "v", "tie", tiles=tiles, bucket_width=width
+            df, "v", "tie", tiles=tiles, bucket_width=width,
+            tie_bucket_width=tie_width,
         ).collect()
     }
     theirs = {
