@@ -17,6 +17,11 @@ two windowed phases so it stays one declarative plan:
            bit-identical to the single-window formulation (integer sums,
            no reassociation hazard).
 
+This is the classic two-level scan decomposition (Blelloch, "Prefix
+Sums and Their Applications", CMU-CS-90-190, 1990 — public literature)
+expressed as two declarative window passes instead of a parallel
+primitive.
+
 Used by stats_mann_whitney / stats_kruskal_wallis / stats_spearman (rank
 construction), stats_ks_test (ECDF cumulative counts), ml_auc_roc
 (rank-sum AUC), and ml_calibration_bins (global row-number without a
