@@ -60,6 +60,40 @@ def test_bucketed_prefix_equals_naive_window(spark, hist, width, inclusive):
     assert two == naive
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-30, 30), st.integers(1, 9)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.integers(1, 12),
+)
+def test_bucketed_prefix_partitioned_equals_naive(spark, hist, width):
+    """The `by` (partitioned) mode must equal the per-partition naive
+    window — the mode Spearman's per-returnflag ranks ride on."""
+    h = spark.createDataFrame(hist, "g LONG, v LONG, cnt LONG").repartition(3)
+    two = {
+        (r.g, r.v): r.cum_cnt
+        for r in bucketed_prefix_sums(
+            h, "v", ["cnt"], bucket_width=width, by=["g"]
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = {
+        (r.g, r.v): r.c
+        for r in h.select(
+            "g", "v", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("c")
+        ).collect()
+    }
+    assert two == naive
+
+
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
