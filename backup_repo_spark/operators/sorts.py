@@ -112,12 +112,18 @@ def sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     page 10 000 of an OFFSET plan reads the whole table). The cursor here
     is derived in-query (row 40 of the global order) so the test is
     self-contained; real callers pass the last row of the previous page.
-    The predicate pushes to the scan; the page is TakeOrderedAndProject."""
+    The predicate pushes to the scan; the page is TakeOrderedAndProject —
+    and so is the cursor derivation: top-40 via per-partition local
+    top-k FIRST, then the row_number window runs over 40 rows, so no
+    single-partition pass over the table exists anywhere in the plan."""
     o = load_table(spark, sf_dir, "orders")
     from pyspark.sql.window import Window
 
     cur = (
-        o.select(
+        o.select("o_totalprice", "o_orderkey")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(40)
+        .select(
             "o_totalprice", "o_orderkey",
             F.row_number()
             .over(Window.orderBy(F.desc("o_totalprice"), "o_orderkey"))

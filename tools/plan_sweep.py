@@ -77,8 +77,8 @@ WINDOW_WHITELIST = {
     "TakeOrderedAndProject",
     "llm_curriculum_order": "window input pre-bounded to 100 rows by "
     "TakeOrderedAndProject",
-    "sort_keyset_pagination": "window over the page after the keyset cursor "
-    "filter + limit (page-sized input)",
+    "sort_keyset_pagination": "cursor-derivation window input pre-bounded "
+    "to 40 rows by TakeOrderedAndProject",
     "stat_chi_square": "OVER() totals/marginals over the <=15-cell "
     "contingency table",
     "stats_kruskal_wallis": "k-group ordered cumulative (fixed-order float "
