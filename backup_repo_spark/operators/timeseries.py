@@ -914,3 +914,286 @@ def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_outlier"),
     )
+
+
+@query(
+    "ts_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS y
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(coalesce(sum(CASE WHEN b.y > a.y THEN 1
+                                    WHEN b.y < a.y THEN -1 ELSE 0 END), 0)
+                  AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+      FROM (SELECT count(*) AS t FROM daily GROUP BY y)
+    )
+    SELECT n, s_stat,
+           n * (n - 1) * (2 * n + 5) - tt AS var18,
+           CAST(round(
+             CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt((n * (n - 1) * (2 * n + 5) - tt) / 18.0)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt((n * (n - 1) * (2 * n + 5) - tt) / 18.0)
+                  ELSE 0.0 END * 1000000) AS BIGINT) AS z_micro
+    FROM s CROSS JOIN nn CROSS JOIN ties
+    """,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily event-count series — the
+    standard nonparametric "is there a monotonic trend" gate for metric
+    drift (companion to stats_mann_whitney's two-cohort shift test and
+    ts_cusum_changepoint's level-shift detector).  S = Σ sign(y_j − y_i)
+    over day pairs i<j and the tie term are exact BIGINTs; the only
+    floats are the final continuity-corrected z — one sqrt and one
+    division on identical integers, rounded to micro.
+
+    Scale: the pair space is the DAILY ROLLUP self-join — bounded by the
+    calendar window (≤30×30 here; ≤366² for a year), never the raw
+    stream, so the deliberate inequality join is constant-size at any
+    data volume (whitelisted like stats_kendall_tau's value grid)."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    s = a.join(b, F.col("da") < F.col("db")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tt")
+        )
+    )
+    n, ss, tt = F.col("n"), F.col("s_stat"), F.col("tt")
+    var18 = n * (n - 1) * (2 * n + 5) - tt
+    # try_divide: n<2 or an all-tied series zeroes the variance — both
+    # engines must yield NULL, not raise (module ANSI rule).
+    denom = F.sqrt(var18 / F.lit(18.0))
+    z = (
+        F.when(ss > 0, F.try_divide(ss - 1, denom))
+        .when(ss < 0, F.try_divide(ss + 1, denom))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            "s_stat",
+            var18.alias("var18"),
+            F.round(z * 1000000).cast("bigint").alias("z_micro"),
+        )
+    )
+
+
+@query(
+    "ts_pacf",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS y
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(y) AS HUGEINT) AS s,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS p0
+      FROM daily
+    ),
+    lagm AS (
+      SELECT l.k,
+             CAST(count(*) AS HUGEINT) AS m,
+             CAST(sum(CAST(a.y AS HUGEINT) * b.y) AS HUGEINT) AS p,
+             CAST(sum(a.y) AS HUGEINT) AS sa,
+             CAST(sum(b.y) AS HUGEINT) AS sb
+      FROM daily a
+      JOIN (SELECT k FROM generate_series(1, 4) g(k)) l ON TRUE
+      JOIN daily b ON b.d = a.d + CAST(l.k AS INTEGER)
+      GROUP BY l.k
+    ),
+    cov AS (
+      SELECT t.n,
+             CAST(t.n * t.n * t.p0 - 2 * t.n * t.s * t.s + t.n * t.s * t.s
+                  AS DOUBLE) AS c0,
+             max(CASE WHEN k = 1 THEN CAST(t.n*t.n*p - t.n*t.s*(sa+sb) + m*t.s*t.s AS DOUBLE) END) AS c1,
+             max(CASE WHEN k = 2 THEN CAST(t.n*t.n*p - t.n*t.s*(sa+sb) + m*t.s*t.s AS DOUBLE) END) AS c2,
+             max(CASE WHEN k = 3 THEN CAST(t.n*t.n*p - t.n*t.s*(sa+sb) + m*t.s*t.s AS DOUBLE) END) AS c3,
+             max(CASE WHEN k = 4 THEN CAST(t.n*t.n*p - t.n*t.s*(sa+sb) + m*t.s*t.s AS DOUBLE) END) AS c4
+      FROM lagm CROSS JOIN tot t
+      GROUP BY t.n, t.p0, t.s
+    ),
+    r AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             c1 / nullif(c0, 0) AS r1, c2 / nullif(c0, 0) AS r2,
+             c3 / nullif(c0, 0) AS r3, c4 / nullif(c0, 0) AS r4
+      FROM cov
+    ),
+    l2 AS (
+      SELECT n, r1, r2, r3, r4, r1 AS p11,
+             (r2 - (r1 * r1)) / nullif(1 - (r1 * r1), 0) AS p22
+      FROM r
+    ),
+    l3 AS (
+      SELECT n, r1, r2, r3, r4, p11, p22,
+             (p11 - (p22 * p11)) AS f21
+      FROM l2
+    ),
+    l4 AS (
+      SELECT n, r1, r2, r3, r4, p11, p22, f21,
+             (r3 - ((f21 * r2) + (p22 * r1)))
+               / nullif(1 - ((f21 * r1) + (p22 * r2)), 0) AS p33
+      FROM l3
+    ),
+    l5 AS (
+      SELECT n, r1, r2, r3, r4, p11, p22, p33,
+             (f21 - (p33 * p22)) AS f31,
+             (p22 - (p33 * f21)) AS f32
+      FROM l4
+    ),
+    l6 AS (
+      SELECT n, p11, p22, p33,
+             (r4 - (((f31 * r3) + (f32 * r2)) + (p33 * r1)))
+               / nullif(1 - (((f31 * r1) + (f32 * r2)) + (p33 * r3)), 0) AS p44
+      FROM l5
+    )
+    SELECT n,
+           CAST(round(p11 * 1000000) AS BIGINT) AS pacf1_micro,
+           CAST(round(p22 * 1000000) AS BIGINT) AS pacf2_micro,
+           CAST(round(p33 * 1000000) AS BIGINT) AS pacf3_micro,
+           CAST(round(p44 * 1000000) AS BIGINT) AS pacf4_micro
+    FROM l6
+    """,
+)
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily event-count series at lags
+    1..4 via the Durbin-Levinson recursion — the AR-order selection
+    diagnostic that complements ts_acf (ACF tails off for AR processes;
+    PACF cuts off at the true order).
+
+    Determinism recipe: the autocovariances are computed EXACTLY first —
+    n²·c_k = n²·Σ(y_t·y_{t+k}) − n·S·(ΣA + ΣB) + m_k·S², all HUGEINT/
+    DECIMAL(38) integer arithmetic — so each r_k is ONE double division
+    of identical integers; the DL recursion to lag 4 is then an explicit
+    scalar chain of IEEE basic ops with IDENTICAL parenthesization in
+    both engines (each op correctly rounded, same tree → same doubles),
+    rounded to micro at the end.  Division guards (nullif / try_divide)
+    make the constant-series case NULL on both engines.
+
+    Scale: one daily rollup (partial-aggregable) + a 4-lag shifted
+    self-join of <=30 rows + one 1-row scalar chain — nothing but the
+    rollup touches raw data volume."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("s"),
+        F.sum(d38(F.col("y")) * F.col("y")).cast("decimal(38,0)").alias("p0"),
+    )
+    lags = spark.range(1, 5).select(F.col("id").cast("int").alias("k"))
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    lagm = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.expr("date_add(da, k)"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+            F.sum(d38(F.col("ya")) * F.col("yb")).cast("decimal(38,0)").alias("p"),
+            F.sum("ya").cast("decimal(38,0)").alias("sa"),
+            F.sum("yb").cast("decimal(38,0)").alias("sb"),
+        )
+    )
+    n, s, p0 = F.col("n"), F.col("s"), F.col("p0")
+    ck = (
+        n * n * F.col("p") - n * s * (F.col("sa") + F.col("sb"))
+        + F.col("m") * s * s
+    ).cast("double")
+    cov = (
+        lagm.crossJoin(F.broadcast(tot))
+        .groupBy("n", "p0", "s")
+        .agg(
+            *[
+                F.max(F.when(F.col("k") == k, ck)).alias(f"c{k}")
+                for k in (1, 2, 3, 4)
+            ]
+        )
+        .select(
+            n.cast("bigint").alias("n"),
+            (n * n * p0 - 2 * n * s * s + n * s * s).cast("double").alias("c0"),
+            "c1", "c2", "c3", "c4",
+        )
+    )
+    r = cov.select(
+        "n",
+        *[
+            F.try_divide(F.col(f"c{k}"), F.nullif(F.col("c0"), F.lit(0.0))).alias(f"r{k}")
+            for k in (1, 2, 3, 4)
+        ],
+    )
+    r1, r2, r3, r4 = (F.col(f"r{k}") for k in (1, 2, 3, 4))
+    l2 = r.select(
+        "n", "r1", "r2", "r3", "r4",
+        r1.alias("p11"),
+        F.try_divide(
+            r2 - (r1 * r1), F.nullif(F.lit(1.0) - (r1 * r1), F.lit(0.0))
+        ).alias("p22"),
+    )
+    l3 = l2.select(
+        "*", (F.col("p11") - (F.col("p22") * F.col("p11"))).alias("f21")
+    )
+    f21, p22 = F.col("f21"), F.col("p22")
+    l4 = l3.select(
+        "*",
+        F.try_divide(
+            r3 - ((f21 * r2) + (p22 * r1)),
+            F.nullif(F.lit(1.0) - ((f21 * r1) + (p22 * r2)), F.lit(0.0)),
+        ).alias("p33"),
+    )
+    p33 = F.col("p33")
+    l5 = l4.select(
+        "*",
+        (f21 - (p33 * p22)).alias("f31"),
+        (p22 - (p33 * f21)).alias("f32"),
+    )
+    f31, f32 = F.col("f31"), F.col("f32")
+    l6 = l5.select(
+        "n", "p11", "p22", "p33",
+        F.try_divide(
+            r4 - (((f31 * r3) + (f32 * r2)) + (p33 * r1)),
+            F.nullif(
+                F.lit(1.0) - (((f31 * r1) + (f32 * r2)) + (p33 * r3)),
+                F.lit(0.0),
+            ),
+        ).alias("p44"),
+    )
+    return l6.select(
+        "n",
+        *[
+            F.round(F.col(f"p{k}{k}") * 1000000).cast("bigint").alias(f"pacf{k}_micro")
+            for k in (1, 2, 3, 4)
+        ],
+    )

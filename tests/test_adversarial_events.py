@@ -91,6 +91,11 @@ _EVENTS_KEYS = [
     "events_did",
     "events_ab_power",
     "win_count_distinct",
+    # round-4 trend family: constant series (zero variance / all-tied
+    # pairs) must NULL identically, never raise or diverge
+    "ts_mann_kendall",
+    "ts_theil_sen",
+    "ts_pacf",
 ]
 
 

@@ -54,6 +54,10 @@ WHITELIST = {
     "sort_keyset_pagination": "1-row cursor (keyset anchor) broadcast",
     "stats_kendall_tau": "value-grid pair join: <=50x~22-cell histogram BNLJ, "
     "bounded by the quantity x price-band grid, never by row count",
+    "ts_mann_kendall": "daily-rollup pair join: <=30x30 calendar-bounded "
+    "BNLJ (pair space never scales with row count)",
+    "ts_theil_sen": "daily-rollup pair join: <=30x30 calendar-bounded BNLJ "
+    "(slope pairs never scale with row count)",
 }
 # the crossJoin(broadcast(1-row-aggregate)) pattern is pervasive and safe;
 # detect it by the build side being a broadcast of an aggregate.
