@@ -18,6 +18,7 @@ from tools.plan_sweep import (
     plan_of,
     split_auto_safe_windows,
     unpartitioned_windows,
+    unsafe_bnlj_nodes,
 )
 from tests.conftest import SF_DIR
 
@@ -33,10 +34,8 @@ def test_no_unexplained_quadratic_joins_or_global_windows(spark):
         if name not in WHITELIST:
             if "CartesianProduct" in plan:
                 hits.append("CartesianProduct")
-            if "BroadcastNestedLoopJoin" in plan and not (
-                "Keys: []" in plan or "Keys []" in plan
-            ):
-                hits.append("BroadcastNestedLoopJoin")
+            # per-NODE BNLJ rule: only 1-row/constant build sides auto-pass
+            hits.extend(f"BNLJ[{u}]" for u in unsafe_bnlj_nodes(plan))
         if name not in WINDOW_WHITELIST:
             wins, _ = split_auto_safe_windows(unpartitioned_windows(plan))
             hits.extend(f"unpartitioned Window [{w}]" for w in wins)

@@ -24,6 +24,7 @@ bucket count by construction).
 from __future__ import annotations
 
 import os
+import re
 import sys
 import traceback
 
@@ -54,6 +55,8 @@ WHITELIST = {
     "sort_keyset_pagination": "1-row cursor (keyset anchor) broadcast",
     "stats_kendall_tau": "value-grid pair join: <=50x~22-cell histogram BNLJ, "
     "bounded by the quantity x price-band grid, never by row count",
+    "stats_kruskal_wallis": "1-row scalar broadcast (last cumulative row via "
+    "rn==k filter — 1 row by construction, invisible to the keyless-agg rule)",
     "ts_mann_kendall": "daily-rollup pair join: <=30x30 calendar-bounded "
     "BNLJ (pair space never scales with row count)",
     "ts_theil_sen": "daily-rollup pair join: <=30x30 calendar-bounded BNLJ "
@@ -125,6 +128,72 @@ def _bracket_groups(s: str) -> list[str]:
     return groups
 
 
+def _tree_nodes(plan: str) -> list[tuple[int, int, str]]:
+    """Parse the formatted plan's tree header into (node_id, depth, line)
+    rows in print order.  Depth derives from the `+-`/`:-` marker column
+    (3 columns per level); the root has no marker (depth 0)."""
+    out = []
+    for line in plan.split("\n\n")[0].split("\n"):
+        m = re.search(r"\((\d+)\)\s*$", line)
+        if m is None:
+            continue
+        mk = re.search(r"[+:]-", line)
+        depth = (mk.start() // 3 + 1) if mk else 0
+        out.append((int(m.group(1)), depth, line.strip()))
+    return out
+
+
+def _node_detail(plan: str, node_id: int) -> str:
+    for block in plan.split("\n\n"):
+        if block.startswith(f"({node_id}) "):
+            return block
+    return ""
+
+
+def unsafe_bnlj_nodes(plan: str) -> list[str]:
+    """Per-NODE BroadcastNestedLoopJoin classification (not per-plan): a
+    BNLJ is auto-safe only when ITS OWN build-side subtree bottoms out in
+    a keyless (1-row) aggregate or a LocalTableScan (constant literal
+    list) — the engine's crossJoin(broadcast(tiny)) idioms.  Everything
+    else is a data-dependent nested loop and needs the whitelist."""
+    nodes = _tree_nodes(plan)
+    unsafe = []
+    for i, (nid, depth, line) in enumerate(nodes):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        # children in print order: left subtree first, then right
+        subtrees: list[list[tuple[int, int, str]]] = []
+        for j in range(i + 1, len(nodes)):
+            cid, cdepth, cline = nodes[j]
+            if cdepth <= depth:
+                break
+            if cdepth == depth + 1:
+                subtrees.append([])
+            if subtrees:
+                subtrees[-1].append(nodes[j])
+        build = (
+            subtrees[-1]
+            if "BuildRight" in line or len(subtrees) < 2
+            else subtrees[0]
+        )
+        safe = False
+        for cid, _, cline in build:
+            # constant build sides: literal rows, or a literal-bounded
+            # Range scan (spark.range(a, b) lag/threshold lists)
+            if "LocalTableScan" in cline or re.match(r".*\bRange \(", cline):
+                safe = True
+                break
+            if "HashAggregate" in cline and (
+                "Keys: []" in _node_detail(plan, cid)
+                or "Keys []" in _node_detail(plan, cid)
+            ):
+                safe = True
+                break
+        if not safe:
+            unsafe.append(line)
+    return unsafe
+
+
 def unpartitioned_windows(plan: str) -> list[str]:
     """Return a descriptor for every Window node with an EMPTY partition
     spec — the single-task funnel hazard.  Formatted-plan Arguments carry
@@ -185,17 +254,15 @@ def main() -> None:
         if "CartesianProduct" in plan:
             hits.append("CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan:
-            # The engine's pervasive safe shape is
-            # crossJoin(broadcast(<global aggregate>)) — a 1-row build side.
-            # Its plan signature: a keyless HashAggregate ("Keys: []")
-            # exists to feed the BroadcastExchange. Auto-classify that;
-            # everything else needs the explicit whitelist.
-            if "Keys: []" in plan or "Keys []" in plan:
-                hits.append("BNLJ(1-row-aggregate broadcast — safe by construction)")
-                auto[name] = hits
-                hits = None
+            # Per-NODE classification: a BNLJ whose own build subtree is a
+            # keyless (1-row) aggregate or a constant LocalTableScan is the
+            # engine's safe crossJoin(broadcast(tiny)) idiom; any other
+            # BNLJ node needs the explicit whitelist.
+            unsafe = unsafe_bnlj_nodes(plan)
+            if unsafe:
+                hits.extend(f"BNLJ[{u}]" for u in unsafe)
             else:
-                hits.append("BroadcastNestedLoopJoin")
+                auto[name] = ["all BNLJ nodes have 1-row/constant build sides"]
         if hits:
             (whitelisted if name in WHITELIST else flagged)[name] = hits
         wins, n_auto = split_auto_safe_windows(unpartitioned_windows(plan))
