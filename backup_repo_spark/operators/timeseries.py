@@ -1197,3 +1197,67 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in (1, 2, 3, 4)
         ],
     )
+
+
+# Shared Holt-linear recursion (Spark 4 recursive CTE == DuckDB recursive
+# CTE): identical SQL text on both engines, so the 29-step float
+# recursion is the same sequence of correctly-rounded IEEE ops — bit-
+# identical without any integer trick. __SRC__ is the daily rollup.
+_HOLT_CORE = """
+idx AS (
+  SELECT d, y, row_number() OVER (ORDER BY d) AS t
+  FROM __SRC__
+),
+holt(t, level, trend) AS (
+  SELECT 2, CAST(a.y AS DOUBLE),
+         CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE)
+  FROM idx a JOIN idx b ON a.t = 1 AND b.t = 2
+  UNION ALL
+  SELECT i.t,
+         (0.3 * i.y) + (0.7 * (h.level + h.trend)),
+         (0.2 * (((0.3 * i.y) + (0.7 * (h.level + h.trend))) - h.level))
+           + (0.8 * h.trend)
+  FROM holt h JOIN idx i ON i.t = h.t + 1
+)
+SELECT i.d AS day, i.y,
+       CAST(round(h.level * 1000000) AS BIGINT) AS level_micro,
+       CAST(round(h.trend * 1000000) AS BIGINT) AS trend_micro,
+       CAST(round((h.level + h.trend) * 1000000) AS BIGINT)
+         AS forecast_next_micro
+FROM holt h JOIN idx i ON i.t = h.t
+ORDER BY day
+"""
+
+
+@query(
+    "ts_holt_linear",
+    oracle=(
+        "WITH RECURSIVE daily AS ("
+        "  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS y"
+        "  FROM events GROUP BY 1), "
+        + _HOLT_CORE.replace("__SRC__", "daily")
+    ),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double exponential) smoothing of the daily event-count
+    series — level+trend state, alpha=0.3 / beta=0.2, the one-step-ahead
+    forecast EWMA cannot produce (EWMA has no trend state; ts_ewma is the
+    level-only sibling).  Implemented as a RECURSIVE CTE — Spark 4's
+    WITH RECURSIVE — running the textbook coupled recursion over the day
+    index; the oracle runs the IDENTICAL SQL text in DuckDB, so all ~29
+    steps are the same sequence of correctly-rounded IEEE ops and the
+    results match to the bit (then micro-rounded).
+
+    Scale: the recursion runs over the DAILY ROLLUP (29 rows here; 366 a
+    year) — each step is a 1-row join, and nothing but the first rollup
+    touches raw volume.  The day-index window is over the same bounded
+    rollup (whitelisted).  Recursion depth = days in window, far under
+    the engine's limit."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    return spark.sql(
+        "WITH RECURSIVE " + _HOLT_CORE.replace("__SRC__", "{daily}"),
+        daily=daily,
+    )

@@ -96,6 +96,7 @@ _EVENTS_KEYS = [
     "ts_mann_kendall",
     "ts_theil_sen",
     "ts_pacf",
+    "ts_holt_linear",
 ]
 
 

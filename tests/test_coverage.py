@@ -250,7 +250,7 @@ EXTENSION_KEYS = [
     # asymmetric-distance search, recall audit (completes the ANN family:
     # exact -> IVF prune -> partitioned multi-probe -> PQ compress)
     "llm_pq_codebook", "llm_pq_search", "llm_pq_recall",
-    "llm_pq_refine", "llm_semdedup", "ts_mann_kendall", "ts_pacf",
+    "llm_pq_refine", "llm_semdedup", "ts_mann_kendall", "ts_pacf", "ts_holt_linear",
     # round 3: CUPED variance-reduced A/B readout (pooled-theta adjustment
     # over exact-integer per-user moments)
     "events_ab_cuped",

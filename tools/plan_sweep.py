@@ -95,6 +95,8 @@ WINDOW_WHITELIST = {
     "ts_distribution_drift": "ordered by day over the daily rollup",
     "ts_ewma": "EWMA recurrence over the daily rollup (rows = days; the "
     "recurrence is inherently sequential in its grid)",
+    "ts_holt_linear": "day-index window over the daily rollup feeding the "
+    "recursive Holt recursion (rows = days)",
 }
 
 # streaming keys build streaming DataFrames whose plans need a query start;
