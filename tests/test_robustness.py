@@ -234,3 +234,117 @@ def test_stream_file_sink_resume_is_exactly_once(spark, tmp_path):
     landed = spark.read.parquet(out)
     assert landed.count() == n_total
     assert landed.select("event_id").distinct().count() == n_total  # no dupes
+
+
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_stream_stream_join_crash_restart_restores_buffers(
+    spark, tmp_path, provider
+):
+    """Stream-stream range join: the sink crashes on micro-batch 2 AFTER
+    join buffers for earlier batches were committed to the state store.
+    Restarting from the checkpoint must restore BOTH sides' buffered rows
+    (an error arriving post-restart must still pair with a click that
+    streamed in before the crash), so the landed pairs equal the batch
+    join over all events. Parameterized over the HDFS-backed and RocksDB
+    providers — stream-stream join state is the heaviest state-store user.
+
+    The watermark delay (90 days) exceeds the whole series span (30
+    days) ON PURPOSE: FileStreamSource orders files by MODIFICATION time
+    — task-completion order, nondeterministic — so any tighter delay
+    lets a late-era file land in batch 0, leap the watermark ahead, and
+    late-drop earlier batches (observed: the same two pairs vanished on
+    some runs under a 7-day delay when part-00005 arrived first; legal
+    late-data semantics, but not what THIS test is about). With no drop
+    possible, the batch join is the exact expected answer and the only
+    thing under test is whether the crash loses BUFFERED join state."""
+    from pyspark.sql import functions as F
+
+    src = _multi_file_source(spark, tmp_path)
+    out = str(tmp_path / "ssj_out")
+    ckpt = str(tmp_path / "ssj_ckpt")
+
+    _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(_PROVIDER_CONF, None)
+    if provider == "rocksdb":
+        spark.conf.set(
+            _PROVIDER_CONF,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+
+    def build(crash_on_batch):
+        def side(etype, prefix):
+            return (
+                spark.readStream.schema(_EV_SCHEMA)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+                .filter(F.col("event_type") == etype)
+                .select(
+                    F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("user_id").alias(f"{prefix}_user"),
+                    F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+                )
+                .withWatermark(f"{prefix}_ts", "90 days")
+            )
+
+        joined = side("error", "err").join(
+            side("click", "click"),
+            (F.col("err_user") == F.col("click_user"))
+            & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("click_ts") <= F.col("err_ts")),
+            "inner",
+        ).select("err_id", "click_id")
+
+        def sink(batch_df, batch_id):
+            if batch_id in crash_on_batch:
+                raise RuntimeError(f"injected crash at batch {batch_id}")
+            batch_df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+        return (
+            joined.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    try:
+        q1 = build(crash_on_batch={2})
+        with pytest.raises(Exception, match="injected crash"):
+            q1.awaitTermination()
+        q2 = build(crash_on_batch=set())
+        q2.awaitTermination()
+    finally:
+        if prior is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, prior)
+
+    landed = (
+        spark.read.option("basePath", out)
+        .parquet(f"{out}/batch=*")
+        .select("err_id", "click_id")
+        .distinct()
+    )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("ets"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    expected = e.join(
+        c,
+        (F.col("u") == F.col("cu"))
+        & (F.col("cts") >= F.col("ets") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("cts") <= F.col("ets")),
+        "inner",
+    ).select("err_id", "click_id")
+    diff = landed.exceptAll(expected).count() + expected.exceptAll(landed).count()
+    assert diff == 0, f"join pairs after crash-restart diverge ({diff} rows)"
