@@ -688,8 +688,11 @@ def llm_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n_hit)
         .select(
             "n_true", "n_cand", "n_hit",
-            (F.col("n_hit") * 1.0 / F.col("n_cand")).alias("precision"),
-            (F.col("n_hit") * 1.0 / F.col("n_true")).alias("recall"),
+            # try_divide: a corpus with NO near-dups (zero candidates or
+            # zero true pairs — surfaced by the 10x scale sweep's random
+            # text) must yield NULL on both engines, not ANSI-raise.
+            F.try_divide(F.col("n_hit") * 1.0, F.col("n_cand")).alias("precision"),
+            F.try_divide(F.col("n_hit") * 1.0, F.col("n_true")).alias("recall"),
         )
     )
 

@@ -74,10 +74,22 @@ def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_embed_neardup",
     oracle="""
-    WITH v AS (
+    WITH nb AS (
+      SELECT greatest(3, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END)
+               AS nbits
+      FROM (SELECT (count(*) + 63) // 64 AS m FROM embeddings)
+    ),
+    coded AS (
+      SELECT vec_id, label, embedding,
+             CAST(list_sum(list_transform(range(1, nb.nbits + 1),
+               i -> CASE WHEN embedding[i] >= 0 THEN (1 << (i - 1)) ELSE 0 END))
+               AS BIGINT) AS blk
+      FROM embeddings CROSS JOIN nb
+    ),
+    v AS (
       SELECT a.vec_id AS ida, b.vec_id AS idb, a.embedding AS ea, b.embedding AS eb
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE a.label = b.label
+      FROM coded a JOIN coded b
+        ON a.label = b.label AND a.blk = b.blk AND a.vec_id < b.vec_id
     ), pairs AS (
       SELECT ida, idb,
              CAST(unnest(ea) AS DOUBLE) AS x, CAST(unnest(eb) AS DOUBLE) AS y
@@ -91,20 +103,50 @@ def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by label (the blocking
-    key stands in for an LSH bucket: candidate pairs only form within a
-    block, collapsing the O(n²) pair space — same pattern as bucketed LSH at
-    100 TB)."""
+    """Embedding-cosine near-duplicate pairs, blocked by (label, adaptive
+    sign-bucket): candidate pairs only form within a block, collapsing the
+    O(n²) pair space — the same pattern as bucketed LSH at 100 TB. The
+    sign-bucket width GROWS WITH THE CORPUS (nbits = max(3,
+    ceil(log2(n/64))), exact integer bin()-length math, no libm), so the
+    expected block size — and with it the per-vector candidate budget —
+    stays bounded as the corpus grows instead of the fixed-block form's
+    quadratic pair growth (measured 12.2x per 10x vectors before this
+    change; SCALING.md round 4).  Declared semantics: near-dup pairs
+    WITHIN a block, the recall trade every LSH candidate generator makes."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("ida"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+    m = emb.agg(((F.count(F.lit(1)) + 63) / 64).cast("bigint").alias("m"))
+    nb = m.select(
+        F.greatest(
+            F.lit(3),
+            F.when(F.col("m") <= 1, F.lit(0)).otherwise(
+                F.length(F.expr("bin(m - 1)"))
+            ),
+        ).alias("nbits")
     )
-    b = emb.select(
-        F.col("vec_id").alias("idb"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    coded = emb.crossJoin(F.broadcast(nb)).select(
+        "vec_id", "label", "embedding",
+        F.expr(
+            "aggregate(sequence(1, nbits), 0L, (acc, i) -> acc + "
+            "CASE WHEN element_at(embedding, i) >= 0.0 "
+            "THEN shiftleft(1L, i - 1) ELSE 0L END)"
+        ).alias("blk"),
+    )
+    a = coded.select(
+        F.col("vec_id").alias("ida"), F.col("label").alias("la"),
+        F.col("blk").alias("ba"), F.col("embedding").alias("ea"),
+    )
+    b = coded.select(
+        F.col("vec_id").alias("idb"), F.col("label").alias("lb"),
+        F.col("blk").alias("bb"), F.col("embedding").alias("eb"),
     )
     cos = _cosine(F.col("ea"), F.col("eb"))
     return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("ida") < F.col("idb")))
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("ba") == F.col("bb"))
+            & (F.col("ida") < F.col("idb")),
+        )
         .select("ida", "idb", cos.alias("cos"))
         .filter(F.col("cos") > 0.24)
         .select("ida", "idb", F.round("cos", 6).alias("cos_sim"))
@@ -657,13 +699,18 @@ def llm_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_semdedup",
     oracle="""
-    WITH coded AS (
+    WITH nb AS (
+      SELECT greatest(3, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END)
+               AS nbits
+      FROM (SELECT (count(*) + 63) // 64 AS m FROM embeddings)
+    ),
+    coded AS (
       SELECT vec_id,
-             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS cluster,
+             CAST(list_sum(list_transform(range(1, nb.nbits + 1),
+               i -> CASE WHEN embedding[i] >= 0 THEN (1 << (i - 1)) ELSE 0 END))
+               AS BIGINT) AS cluster,
              embedding
-      FROM embeddings
+      FROM embeddings CROSS JOIN nb
     ),
     cand AS (
       SELECT a.vec_id AS ida, b.vec_id AS idb, a.cluster,
@@ -693,28 +740,43 @@ def llm_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
-    literature): cluster embeddings with a cheap coarse quantizer (sign
-    bits of the first 3 dimensions — 8 deterministic clusters standing in
-    for the k-means clusters of the paper), compute pairwise cosine ONLY
-    within a cluster, and drop every vector that has a higher-similarity-
-    than-threshold neighbor with a LOWER id (keep-first survivorship — a
-    deterministic tie-break instead of the paper's random keeper).  Output
-    is the per-cluster keep audit (n_vecs vs n_kept).
+    literature): cluster embeddings with a cheap coarse quantizer — sign
+    bits of the first nbits dimensions, where nbits GROWS WITH THE CORPUS
+    (nbits = max(3, ceil(log2(n/64))), computed in exact integer
+    arithmetic via bin()-length so both engines agree; no libm log) —
+    compute pairwise cosine ONLY within a cluster, and drop every vector
+    with a higher-similarity-than-threshold neighbor of LOWER id
+    (keep-first survivorship, a deterministic tie-break instead of the
+    paper's random keeper).  Output is the per-cluster keep audit.
 
-    Scale shape: the cluster assignment is a map expression, the pair
-    space is Σ|cluster|² — bounded by the quantizer's balance, the same
-    candidate-fencing as the banded-LSH stack (at 100 TB: k-means cells
-    with per-cell caps + per-cell pair budget).  The drop rule is one
-    distinct + one left anti/semi join — no global structure."""
+    Scale shape: the adaptive bit count holds the EXPECTED cluster size
+    at ~64 regardless of corpus size (the paper's k-means quantizer grows
+    k the same way), so the candidate-pair budget is ~n·64 — linear in
+    the corpus, never quadratic.  Measured: the fixed-3-bit form cost
+    13.0x per 10x vectors (pair space grows n²/clusters); the adaptive
+    form holds near-linear (SCALING.md round 4).  At 500 vectors
+    nbits = 3, so driver-scale results are identical to the fixed form."""
     emb = load_table(spark, sf_dir, "embeddings")
-    code = sum(
-        (
-            F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-            for i in range(3)
-        ),
-        start=F.lit(0),
-    ).alias("cluster")
-    coded = emb.select("vec_id", code, "embedding")
+    m = emb.agg(
+        ((F.count(F.lit(1)) + 63) / 64).cast("bigint").alias("m")
+    )
+    nb = m.select(
+        F.greatest(
+            F.lit(3),
+            F.when(F.col("m") <= 1, F.lit(0)).otherwise(
+                F.length(F.expr("bin(m - 1)"))
+            ),
+        ).alias("nbits")
+    )
+    coded = emb.crossJoin(F.broadcast(nb)).select(
+        "vec_id",
+        F.expr(
+            "aggregate(sequence(1, nbits), 0L, (acc, i) -> acc + "
+            "CASE WHEN element_at(embedding, i) >= 0.0 "
+            "THEN shiftleft(1L, i - 1) ELSE 0L END)"
+        ).alias("cluster"),
+        "embedding",
+    )
     a = coded.select(
         F.col("vec_id").alias("ida"),
         F.col("cluster").alias("ca"),

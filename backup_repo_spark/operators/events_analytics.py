@@ -1230,8 +1230,10 @@ def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     CUPED shrinks the σ² that enters this formula.
 
     Determinism: sample variance is assembled from exact integer moments
-    (n·Σy² − (Σy)² in int64, bounds ≈ 10^16 at sf0.1), then only IEEE
-    basic ops + sqrt — bit-stable, same recipe as ts_acf/stats_ks_test.
+    (n·Σy² − (Σy)² in DECIMAL(38) — int64 was measured to OVERFLOW at
+    just 10× sf0.1, n·Σy² ≈ 5.6e19; the oracle's HUGEINT never did),
+    then only IEEE basic ops + sqrt — bit-stable, same recipe as
+    ts_acf/stats_ks_test.
 
     Scale: one groupBy(user) with map-side partials + a one-row rollup."""
     ev = load_events(spark, sf_dir)
@@ -1246,10 +1248,11 @@ def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("y")
     )
+    dy = F.col("y").cast("decimal(19,0)")
     m = per_user.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum(dy).cast("decimal(38,0)").alias("sy"),
+        F.sum(dy * F.col("y")).cast("decimal(38,0)").alias("syy"),
     )
     var = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double") / F.col(
         "n"
@@ -1257,8 +1260,8 @@ def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = F.col("sy") / F.col("n")
     n_ok = F.col("n") >= 2
     return m.select(
-        "n",
-        F.expr("sy DIV n").alias("mean_cents"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST(sy DIV n AS BIGINT)").alias("mean_cents"),
         F.when(n_ok, F.round(var, 2)).alias("var_cents2"),
         F.when(
             n_ok & (F.col("sy") > 0),

@@ -91,6 +91,18 @@ def generate(spark: SparkSession, out: str, mult: int) -> None:
         F.round(rnd(F.col("id"), -999.0, 9999.0, 2), 2).alias("s_acctbal"),
     ).repartition(8).write.mode("overwrite").parquet(f"{out}/supplier.parquet")
 
+    _PTYPES = "STANDARD SMALL MEDIUM LARGE ECONOMY PROMO".split()
+    _PNOUNS = "ring bolt washer gear cog spring plate rod".split()
+    _PADJS = "large hot blue red green dim small pale".split()
+    spark.range(20_000 * mult).select(
+        F.col("id").alias("p_partkey"),
+        F.concat_ws(" ", _pick(F.col("id") + 13, _PADJS), _pick(F.col("id") + 17, _PNOUNS)).alias("p_name"),
+        F.concat(F.lit("Brand#"), (F.abs(F.xxhash64("id", F.lit(21))) % 25).cast("string")).alias("p_brand"),
+        _pick(F.col("id") + 23, _PTYPES).alias("p_type"),
+        ((F.abs(F.xxhash64("id", F.lit(22))) % 50) + 1).cast("int").alias("p_size"),
+        F.round(rnd(F.col("id"), 900.0, 999.9, 24), 2).alias("p_retailprice"),
+    ).repartition(8).write.mode("overwrite").parquet(f"{out}/part.parquet")
+
     day = F.expr("INTERVAL 1 DAY")
     spark.range(n_o).select(
         F.col("id").alias("o_orderkey"),

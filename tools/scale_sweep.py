@@ -1,0 +1,180 @@
+"""FULL-REGISTRY scale sweep: time EVERY batch key at sf0.1 and at a
+deterministic 10x copy, record per-key ratios, list the worst scalers.
+
+The per-family scale_smoke runs cover the headline queries and known
+hot spots; this sweep is the dragnet — every registry key gets a
+measured 10x ratio on record (SCALESWEEP_r{N}.json), so a quadratic
+candidate space, lost broadcast, or driver materialization introduced
+by ANY future change shows up as a ratio outlier instead of hiding in
+an unmeasured corner. Streaming keys are excluded (their scale story is
+the state-store stress + watermark tests; availableNow replays make
+wall-time ratios meaningless).
+
+Extends the scale_smoke generator with 10x documents (hash-deterministic
+vocab text, same source/lang mix as FIXTURES.md) and embeddings (64-dim
+hash-derived floats, labels 0..9, vec_id 0 = the query vector) so the
+LLM/ANN keys run at scale too.
+
+    python tools/scale_sweep.py [--mult 10] [--report SCALESWEEP.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from backup_repo_spark import registry  # noqa: E402
+from backup_repo_spark.session import get_spark  # noqa: E402
+import backup_repo_spark.session as _session  # noqa: E402
+from scale_smoke import generate  # noqa: E402
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# 256-word vocabulary with per-doc TOPIC slices: each doc draws from a
+# 64-word window of the vocab keyed by its topic, so word-frequency
+# profiles (and therefore simhash/minhash signatures) are DIVERSE across
+# docs. A flat shared vocab made every simhash land within Hamming 3 of
+# every other (91M pairs from 50k docs — the first sweep's driver-OOM).
+_VOCAB = [
+    f"{a}{b}"
+    for a in (
+        "batch part spark line column order small sort fast value scan "
+        "hash slow group agg filter query big key window row table stream "
+        "merge data vector shuffle plan join scale read write"
+    ).split()
+    for b in ("", "er", "ing", "ed", "ly", "est", "ware", "set")
+]
+_LANGS = ["en", "en", "en", "de", "es", "fr", "zh"]  # en-heavy like testdata
+
+
+def generate_docs_embeddings(spark: SparkSession, out: str, mult: int) -> None:
+    n_docs, n_vecs = 5_000 * mult, 2_000 * mult
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    n_words = (F.abs(F.xxhash64("id", F.lit(1))) % 50 + 10).cast("int")
+    topic = (F.abs(F.xxhash64("id", F.lit(7))) % (len(_VOCAB) - 64)).cast("int")
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda i: F.element_at(
+                vocab,
+                topic
+                + (F.abs(F.xxhash64(F.col("id") * 1000 + i)) % 64 + 1).cast("int"),
+            ),
+        ),
+        " ",
+    )
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in _LANGS]),
+                (F.abs(F.xxhash64("id", F.lit(2))) % len(_LANGS) + 1).cast("int"),
+            ).alias("lang"),
+            F.concat(
+                F.lit("src"), (F.abs(F.xxhash64("id", F.lit(3))) % 12).cast("string")
+            ).alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .toPandas()
+    )
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: (
+            ((F.abs(F.xxhash64(F.col("id") * 100 + i)) % 2001) - 1000) / 1000.0
+        ).cast("float"),
+    )
+    vecs = (
+        spark.range(n_vecs)
+        .select(
+            F.col("id").alias("vec_id"),
+            emb.alias("embedding"),
+            (F.abs(F.xxhash64("id", F.lit(5))) % 10).cast("int").alias("label"),
+        )
+        .toPandas()
+    )
+    # single FILES (not directories), matching the testdata layout the
+    # DSv2 connector keys expect
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(docs), f"{out}/documents.parquet")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(vecs["vec_id"], pa.int64()),
+            "embedding": pa.array(
+                [list(v) for v in vecs["embedding"]], pa.list_(pa.float32())
+            ),
+            "label": pa.array(vecs["label"], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{out}/embeddings.parquet")
+
+
+def _time_key(fn, spark, sf_dir) -> float:
+    fn(spark, sf_dir).collect()  # warm
+    best = min(
+        (lambda t0: (fn(spark, sf_dir).collect(), time.perf_counter() - t0)[1])(
+            time.perf_counter()
+        )
+        for _ in range(2)
+    )
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--report", default="SCALESWEEP.json")
+    args = ap.parse_args()
+    out = os.path.join(_REPO, "spark-warehouse", f"scale_smoke_{args.mult}x")
+    spark = get_spark("scale-sweep", shuffle_partitions=32)
+    if not os.path.exists(f"{out}/lineitem.parquet"):
+        generate(spark, out, args.mult)
+    if not os.path.exists(f"{out}/documents.parquet"):
+        print("generating documents/embeddings ...", file=sys.stderr)
+        generate_docs_embeddings(spark, out, args.mult)
+
+    results: dict[str, dict] = {}
+    for name in sorted(registry.QUERIES):
+        if name.startswith("stream_"):
+            continue
+        fn = registry.QUERIES[name]
+        entry: dict = {}
+        try:
+            _session._TABLE_CACHE.clear()
+            entry["base"] = _time_key(fn, spark, "/root/testdata/sf0.1")
+            _session._TABLE_CACHE.clear()
+            entry["scaled"] = _time_key(fn, spark, out)
+            entry["ratio"] = round(entry["scaled"] / max(entry["base"], 1e-9), 2)
+        except Exception as e:  # noqa: BLE001
+            entry["err"] = f"{type(e).__name__}: {str(e)[:160]}"
+        results[name] = entry
+        print(f"{name}: {entry}", file=sys.stderr)
+
+    ok = {k: v for k, v in results.items() if "ratio" in v}
+    worst = sorted(ok.items(), key=lambda kv: -kv[1]["ratio"])[:20]
+    report = {
+        "mult": args.mult,
+        "keys_timed": len(ok),
+        "keys_errored": len(results) - len(ok),
+        "errors": {k: v["err"] for k, v in results.items() if "err" in v},
+        "worst20": [{"key": k, **v} for k, v in worst],
+        "results": results,
+    }
+    with open(args.report, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps({"keys_timed": len(ok), "errored": report["keys_errored"],
+                      "worst": [(k, v["ratio"]) for k, v in worst[:8]]}))
+
+
+if __name__ == "__main__":
+    main()
