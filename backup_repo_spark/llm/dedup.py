@@ -262,13 +262,17 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash16_expr():
-    """16-bit SimHash over whitespace tokens: per-token hash = first 4 hex
-    chars of md5 (deterministic, engine-independent); fingerprint bit b set
-    when more than half the tokens have bit b set."""
+def _simhash16_expr(hex_pos: int = 1):
+    """16-bit SimHash over whitespace tokens: per-token hash = 4 hex chars
+    of md5 starting at `hex_pos` (deterministic, engine-independent);
+    fingerprint bit b set when more than half the tokens have bit b set.
+    `hex_pos` selects an independent md5 chunk, letting callers compose a
+    wider fingerprint (llm_dedup_simhash_hamming's 4×16-bit bands) from
+    the same majority-vote machinery."""
     toks = F.split(F.col("text"), " ")
     hashes = F.transform(
-        toks, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("int")
+        toks,
+        lambda x: F.conv(F.substring(F.md5(x), hex_pos, 4), 16, 10).cast("int"),
     )
     # majority vote per bit position: twice the ones-count exceeds n_tokens
     bits = [
@@ -289,24 +293,38 @@ def _simhash16_expr():
     return sum((bits[b] * F.lit(1 << b) for b in range(16)), start=F.lit(0))
 
 
-# Same fingerprint definition as llm_dedup_simhash's oracle, shared by the
-# Hamming-band oracle below.
-_SIMHASH_FP_CTES = """
+# 64-bit fingerprint for the Hamming-band key: four INDEPENDENT 16-bit
+# majority-vote simhashes (md5 hex chars 1-4, 5-8, 9-12, 13-16), kept as
+# separate band columns f0..f3 — no 64-bit packing, so neither engine
+# risks signed-shift overflow.  Same per-chunk definition as
+# llm_dedup_simhash's oracle at offset 1.
+_SIMHASH64_FP_CTES = """
     tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     ex AS (SELECT doc_id, len(toks) AS nt, unnest(toks) AS tok FROM tk),
     h AS (SELECT doc_id, nt,
-                 CAST(('0x' || substring(md5(tok), 1, 4)) AS INTEGER) AS h16
+                 CAST(('0x' || substring(md5(tok), 1, 4)) AS INTEGER) AS c0,
+                 CAST(('0x' || substring(md5(tok), 5, 4)) AS INTEGER) AS c1,
+                 CAST(('0x' || substring(md5(tok), 9, 4)) AS INTEGER) AS c2,
+                 CAST(('0x' || substring(md5(tok), 13, 4)) AS INTEGER) AS c3
           FROM ex),
     bits AS (
       SELECT doc_id, b.b AS b, max(nt) AS nt,
-             count_if((h16 >> b.b) & 1 = 1) AS ones
-      FROM h, (SELECT unnest(generate_series(0, 15)) AS b) b
+             count_if(((CASE b.b // 16 WHEN 0 THEN c0 WHEN 1 THEN c1
+                        WHEN 2 THEN c2 ELSE c3 END) >> (b.b % 16)) & 1 = 1)
+               AS ones
+      FROM h, (SELECT unnest(generate_series(0, 63)) AS b) b
       GROUP BY doc_id, b.b
     ),
     fp AS (
       SELECT doc_id,
-             CAST(sum(CASE WHEN ones * 2 > nt THEN 1 << b ELSE 0 END) AS BIGINT)
-               AS simhash16
+             CAST(sum(CASE WHEN ones * 2 > nt AND b // 16 = 0
+                      THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS f0,
+             CAST(sum(CASE WHEN ones * 2 > nt AND b // 16 = 1
+                      THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN ones * 2 > nt AND b // 16 = 2
+                      THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS f2,
+             CAST(sum(CASE WHEN ones * 2 > nt AND b // 16 = 3
+                      THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS f3
       FROM bits GROUP BY doc_id
     )
 """
@@ -315,58 +333,138 @@ _SIMHASH_FP_CTES = """
 @query(
     "llm_dedup_simhash_hamming",
     oracle=f"""
-    WITH {_SIMHASH_FP_CTES},
+    WITH {_SIMHASH64_FP_CTES},
     bands AS (
-      SELECT doc_id, simhash16, b.b AS band, (simhash16 >> (4 * b.b)) & 15 AS bv
+      SELECT doc_id, f0, f1, f2, f3, b.b AS band,
+             CASE b.b WHEN 0 THEN f0 WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END
+               AS bv
       FROM fp, (SELECT unnest(generate_series(0, 3)) AS b) b
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
-             a.simhash16 AS fa, b.simhash16 AS fb
+             a.f0 AS a0, a.f1 AS a1, a.f2 AS a2, a.f3 AS a3,
+             b.f0 AS b0, b.f1 AS b1, b.f2 AS b2, b.f3 AS b3
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
     )
-    SELECT ida, idb, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
-    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    SELECT ida, idb,
+           CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+              + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS INTEGER)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+        + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 3
     ORDER BY ida, idb
     """,
 )
 def llm_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ 3, found the scalable
-    way: split the 16-bit fingerprint into 4 bands of 4 bits and bucket-join
-    on band equality. Pigeonhole guarantees completeness (≤3 differing bits
-    across 4 bands leave ≥1 band identical), so the banded join finds
-    EXACTLY the pairs a quadratic scan would — at O(n·dups-per-bucket)
-    instead of O(n²). The same band trick MinHash-LSH uses, applied to
-    Hamming space; each band bucket is a shuffle key at 100 TB."""
+    """Near-dup pairs by SimHash Hamming distance ≤ 3 over a 64-bit
+    fingerprint, found the scalable way: the fingerprint is four
+    INDEPENDENT 16-bit majority-vote simhashes (md5 chunks), each chunk a
+    band, and candidates come from a bucket equi-join on band equality.
+    Pigeonhole guarantees completeness (≤3 differing bits across 4 bands
+    leave ≥1 band identical), so the banded join finds EXACTLY the pairs a
+    quadratic scan over the 64-bit Hamming ball would.
+
+    Band width is the scale lever (diagnosed from SCALESWEEP r4's 10×
+    crash): the previous 16-bit fingerprint cut into 4-bit bands had only
+    16 possible bucket values per band, making the candidate join
+    O(n²/16) — quadratic by construction — which exploded to ~3·10⁸ pairs
+    at 50k docs.  With 16-bit bands, random band collisions are n²/2·2⁻¹⁶
+    (~19k pairs per band at 50k docs, linear-ish in practice), and true
+    near-dups still collide by pigeonhole.  Each band bucket is a shuffle
+    key at 100 TB — same banding trick as MinHash-LSH, applied to Hamming
+    space (Charikar 2002; Manku et al. 2007 use 64-bit simhash with
+    permuted-block bucketing, the same width chosen here)."""
     d = load_table(spark, sf_dir, "documents")
-    fps = d.select("doc_id", _simhash16_expr().alias("simhash16"))
+    # Fingerprints via explode -> groupBy, NOT 64 per-bit array aggregates:
+    # each F.aggregate re-walks the md5-transform array, so the map-only
+    # form costs 64 array scans per doc (measured 27 s at sf0.1).  Exploded
+    # tokens hash once, and the 64 bit-count sums partial-aggregate
+    # map-side — a doc's tokens never span partitions, so the shuffle
+    # carries ONE 64-int row per doc, linear at 100 TB.
+    toks = F.split(F.col("text"), " ")
+    ex = d.select(
+        "doc_id", F.size(toks).alias("_nt"), F.explode(toks).alias("_tok")
+    )
+    m = F.md5("_tok")
+    ex = ex.select(
+        "doc_id",
+        "_nt",
+        *[
+            F.conv(F.substring(m, 1 + 4 * c, 4), 16, 10)
+            .cast("int")
+            .alias(f"_c{c}")
+            for c in range(4)
+        ],
+    )
+    ones = ex.groupBy("doc_id").agg(
+        F.max("_nt").alias("_nt"),
+        *[
+            F.sum(
+                F.shiftright(F.col(f"_c{b // 16}"), b % 16).bitwiseAND(F.lit(1))
+            ).alias(f"_o{b}")
+            for b in range(64)
+        ],
+    )
+    fps = ones.select(
+        "doc_id",
+        *[
+            sum(
+                (
+                    F.when(
+                        F.col(f"_o{c * 16 + k}") * 2 > F.col("_nt"),
+                        F.lit(1 << k),
+                    )
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    for k in range(16)
+                ),
+                start=F.lit(0),
+            ).alias(f"f{c}")
+            for c in range(4)
+        ],
+    )
     bands = fps.select(
         "doc_id",
-        "simhash16",
+        "f0",
+        "f1",
+        "f2",
+        "f3",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright("simhash16", 4 * b).bitwiseAND(F.lit(15)).alias("bv"),
+                    F.lit(b).alias("band"), F.col(f"f{b}").alias("bv")
                 )
                 for b in range(4)
             ])
         ).alias("bb"),
-    ).select("doc_id", "simhash16", "bb.band", "bb.bv")
+    ).select("doc_id", "f0", "f1", "f2", "f3", "bb.band", "bb.bv")
     a = bands.select(
-        F.col("doc_id").alias("ida"), F.col("simhash16").alias("fa"), "band", "bv"
+        F.col("doc_id").alias("ida"),
+        *[F.col(f"f{c}").alias(f"a{c}") for c in range(4)],
+        "band",
+        "bv",
     )
     b = bands.select(
-        F.col("doc_id").alias("idb"), F.col("simhash16").alias("fb"), "band", "bv"
+        F.col("doc_id").alias("idb"),
+        *[F.col(f"f{c}").alias(f"b{c}") for c in range(4)],
+        "band",
+        "bv",
     )
     cand = (
         a.join(b, ["band", "bv"])
         .filter(F.col("ida") < F.col("idb"))
-        .select("ida", "idb", "fa", "fb")
+        .select("ida", "idb", *[f"a{c}" for c in range(4)], *[f"b{c}" for c in range(4)])
         .distinct()
     )
-    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    ham = sum(
+        (
+            F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"b{c}")))
+            for c in range(4)
+        ),
+        start=F.lit(0),
+    )
     return (
         cand.select("ida", "idb", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= 3)

@@ -56,6 +56,14 @@ def bucketed_prefix_sums(
     value order; pick a width that yields O(10^2..10^3) buckets at the
     target scale.  Results are bit-identical to the single-window form:
     every sum is integer, so association order cannot change the answer.
+
+    NULL handling: rows with NULL `value_col` (or a NULL `by` key) land
+    in the NULL bucket and are kept — the offset join uses null-safe
+    equality (`<=>`, still a hash-joinable equi-key), so nothing is
+    silently dropped.  NULL buckets order FIRST (Spark's ascending
+    default), matching `Window.orderBy(value_col)` nulls-first
+    semantics.  (ADVICE r4: the previous name-list join was null-unsafe
+    and would have dropped such rows.)
     """
     by = list(by)
     b = h.withColumn(
@@ -82,7 +90,16 @@ def bucketed_prefix_sums(
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
     )
-    out = b.join(offs, [*by, "_bkt"]).select(
+    # null-safe equi-join: <=> keys hash-join like = but match NULL
+    # buckets/by-keys instead of dropping those rows
+    offs_r = offs.select(
+        *[F.col(c).alias(f"_r_{c}") for c in [*by, "_bkt"]],
+        *[f"_off_{c}" for c in sum_cols],
+    )
+    cond = F.lit(True)
+    for c in [*by, "_bkt"]:
+        cond = cond & b[c].eqNullSafe(F.col(f"_r_{c}"))
+    out = b.join(offs_r, cond).select(
         *h.columns,
         *[
             (
@@ -125,13 +142,26 @@ def ntile_nosort(
     whose rows = tie-bucket count), row_number only within (value,
     tie-bucket) — rank within value composes from bucket offsets exactly
     like the global rank does, still bit-identical.  Callers with a
-    coarse value grid (events_rfm's recency-days quintile) set it."""
+    coarse value grid (events_rfm's recency-days quintile) set it.
+
+    NULL handling: rows with NULL `value_col` are kept (all joins use
+    null-safe `<=>` keys) and rank FIRST, matching Spark's ascending
+    nulls-first window order.  NB: engines whose default is NULLS LAST
+    (DuckDB) order such rows differently — current oracled callers all
+    feed non-null values."""
     # persist(): the histogram feeds the bucket offsets (twice, inside
     # bucketed_prefix_sums) and the total count — materializing it once
     # keeps the plan at two fact scans instead of four.  Columnar cache
     # over localCheckpoint: the deserialized-row RDD thrashes GC once the
     # grid outgrows the heap (measured on stats_spearman's grid at 50x —
     # SCALING.md round 4); the compressed columnar form spills cleanly.
+    # The cache is deliberately NOT unpersisted here: the returned plan
+    # is lazy and still references it, so eviction relies on Spark's LRU
+    # block manager (MEMORY_AND_DISK default).  The block is one value
+    # histogram (O(distinct values), not O(rows)); repeat callers in one
+    # session (events_rfm invokes this three times) accumulate a few such
+    # blocks until LRU pressure reclaims them — bounded, by design
+    # (ADVICE r4).
     hist = (
         df.groupBy(value_col)
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -141,10 +171,18 @@ def ntile_nosort(
         hist, value_col, ["_cnt"], bucket_width=bucket_width
     ).select(value_col, F.col("cum__cnt").alias("_off"))
     tot = hist.agg(F.sum("_cnt").alias("_ntot"))
+    # null-safe single-key join helper: keeps NULL-valued rows (<=> is
+    # still an equi-key for hash joins)
+    def _nsjoin(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+        r = right.withColumnRenamed(key, f"_r_{key}")
+        return left.join(
+            r, left[key].eqNullSafe(F.col(f"_r_{key}"))
+        ).drop(f"_r_{key}")
+
     if tie_bucket_width is None:
         wv = Window.partitionBy(value_col).orderBy(tie_col)
         numbered = (
-            df.join(offs, value_col)
+            _nsjoin(df, offs, value_col)
             .withColumn("_rn", F.col("_off") + F.row_number().over(wv))
             .crossJoin(F.broadcast(tot))
         )
@@ -170,9 +208,21 @@ def ntile_nosort(
             )
         )
         wvt = Window.partitionBy(value_col, "_tbkt").orderBy(tie_col)
+        toffs_r = toffs.select(
+            F.col(value_col).alias("_r_v"),
+            F.col("_tbkt").alias("_r_tbkt"),
+            "_toff",
+        )
         numbered = (
-            b.join(toffs, [value_col, "_tbkt"])
-            .join(offs, value_col)
+            b.join(
+                toffs_r,
+                b[value_col].eqNullSafe(F.col("_r_v"))
+                & b["_tbkt"].eqNullSafe(F.col("_r_tbkt")),
+            )
+            .drop("_r_v", "_r_tbkt")
+        )
+        numbered = (
+            _nsjoin(numbered, offs, value_col)
             .withColumn(
                 "_rn",
                 F.col("_off") + F.col("_toff") + F.row_number().over(wvt),
@@ -180,18 +230,24 @@ def ntile_nosort(
             .drop("_tbkt", "_toff")
             .crossJoin(F.broadcast(tot))
         )
-    base = (F.col("_ntot") / tiles).cast("long")
-    rem = F.col("_ntot") % tiles
-    big = rem * (base + 1)
+    # integer DIV throughout (not double `/` + cast): the fill rule holds
+    # bit-identically for ANY row count, not just below 2^53 (ADVICE r4).
     # greatest(base,1) keeps the (never-taken) otherwise branch safe from
     # a zero divisor when n < tiles.
+    t = int(tiles)
+    numbered = (
+        numbered.withColumn("_base", F.expr(f"_ntot DIV {t}"))
+        .withColumn("_rem", F.col("_ntot") % t)
+        .withColumn("_big", F.col("_rem") * (F.col("_base") + 1))
+    )
     binc = F.when(
-        F.col("_rn") <= big, ((F.col("_rn") - 1) / (base + 1)).cast("long") + 1
+        F.col("_rn") <= F.col("_big"),
+        F.expr("(_rn - 1) DIV (_base + 1)") + 1,
     ).otherwise(
-        rem
-        + ((F.col("_rn") - big - 1) / F.greatest(base, F.lit(1))).cast("long")
+        F.col("_rem")
+        + F.expr("(_rn - _big - 1) DIV greatest(_base, 1)")
         + 1
     )
     return numbered.withColumn("bin", binc.cast("int")).drop(
-        "_off", "_rn", "_ntot"
+        "_off", "_rn", "_ntot", "_base", "_rem", "_big"
     )

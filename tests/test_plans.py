@@ -617,7 +617,39 @@ def test_pq_refine_exact_pass_restricted_to_shortlist(spark):
 
 def test_semdedup_pairs_fenced_by_cluster_equijoin(spark):
     """llm_semdedup's pair generation must be an equi-join on the cluster
-    code (SMJ/SHJ/BHJ) — never a cartesian/BNLJ over the corpus."""
+    code (SMJ/SHJ/BHJ) — never a cartesian/BNLJ over the corpus.
+
+    The adaptive quantizer (llm/simsearch.py, nbits = f(corpus size))
+    legitimately adds a crossJoin(broadcast(1-row aggregate)) to attach
+    the corpus-derived nbits scalar, so a blanket "no BNLJ" substring
+    ban would be wrong: instead we reuse tools/plan_sweep.py's per-NODE
+    classifier, which only accepts BNLJ nodes whose OWN build subtree is
+    a keyless (1-row) aggregate or a constant LocalTableScan.  Mutation
+    check: rewriting the pair join as df.crossJoin(df) (a data-dependent
+    BNLJ/CartesianProduct over the corpus) still fails — the cartesian
+    assert catches the former and unsafe_bnlj_nodes the latter, since a
+    full-corpus build side bottoms out in a keyed scan, not a 1-row
+    aggregate.
+    """
+    from tools.plan_sweep import unsafe_bnlj_nodes
+
     plan = plan_of(registry.QUERIES["llm_semdedup"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert unsafe_bnlj_nodes(plan) == []
+    # the corpus-pair join itself must be a genuine equi-join: at least
+    # one hash/sort-merge join node keyed on the cluster code survives
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_embed_neardup_pairs_fenced_by_bucket_equijoin(spark):
+    """Twin of the semdedup fence for llm_embed_neardup, which uses the
+    identical adaptive sign-bucket blocking + 1-row nbits broadcast
+    (flagged as a same-hazard twin in VERDICT r4)."""
+    from tools.plan_sweep import unsafe_bnlj_nodes
+
+    plan = plan_of(registry.QUERIES["llm_embed_neardup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert unsafe_bnlj_nodes(plan) == []
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan)

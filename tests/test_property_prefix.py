@@ -124,3 +124,41 @@ def test_ntile_nosort_equals_spark_ntile(spark, rows, tiles, width, tie_width):
         ).collect()
     }
     assert ours == theirs
+
+
+def test_bucketed_prefix_keeps_null_values(spark):
+    """Rows with a NULL value (or NULL by-key) must survive — the offset
+    join is null-safe (<=>), not a silent filter (ADVICE r4: the old
+    name-list join dropped them).  NULLs order FIRST, matching Spark's
+    ascending nulls-first Window.orderBy."""
+    h = spark.createDataFrame(
+        [(None, 5), (10, 2), (20, 3)], "v LONG, cnt LONG"
+    )
+    got = {
+        r.v: r.cum_cnt
+        for r in bucketed_prefix_sums(h, "v", ["cnt"], bucket_width=7).collect()
+    }
+    # exclusive prefix, NULL first: NULL->0, 10->5, 20->7
+    assert got == {None: 0, 10: 5, 20: 7}
+
+
+def test_ntile_nosort_keeps_null_values(spark):
+    """NULL-valued rows must be binned (nulls-first), not dropped — both
+    the plain and tie-bucketed paths."""
+    rows = [(None, 1), (None, 2), (5, 1), (5, 2), (9, 1), (9, 2)]
+    df = spark.createDataFrame(rows, "v LONG, tie LONG")
+    w = Window.orderBy(F.col("v").asc_nulls_first(), "tie")
+    want = {
+        (r.v, r.tie): r.bin
+        for r in df.select(
+            "v", "tie", F.ntile(3).over(w).alias("bin")
+        ).collect()
+    }
+    for tw in (None, 2):
+        got = {
+            (r.v, r.tie): r.bin
+            for r in ntile_nosort(
+                df, "v", "tie", tiles=3, bucket_width=4, tie_bucket_width=tw
+            ).collect()
+        }
+        assert got == want, f"tie_bucket_width={tw}"

@@ -38,3 +38,33 @@ def test_committed_selfcheck_not_older_than_engine():
         f"engine commit ({t_engine}): regenerate with "
         f"`python tools/selfcheck.py --report SELFCHECK_rN.json` and commit it"
     )
+
+
+def test_committed_plan_audit_not_older_than_engine():
+    """PLAN_AUDIT.md is the machine-classified record of every batch
+    plan's join/window shapes; a stale audit does not cover the shipped
+    plans (this recurred in r4 the round after the selfcheck gate was
+    built — VERDICT r4 item 2 extends the gate here)."""
+    t_engine = _last_commit_ts("backup_repo_spark")
+    t_audit = _last_commit_ts("PLAN_AUDIT.md")
+    assert t_audit >= t_engine, (
+        f"PLAN_AUDIT.md (committed {t_audit}) predates the newest engine "
+        f"commit ({t_engine}): regenerate with `python tools/plan_sweep.py` "
+        f"and commit it"
+    )
+
+
+def test_committed_scalesweep_not_older_than_engine():
+    """The newest SCALESWEEP_r*.json must postdate the engine — r4
+    shipped a pre-fix sweep that recorded already-fixed defects."""
+    sweeps = glob.glob(os.path.join(_REPO, "SCALESWEEP_r*.json"))
+    assert sweeps, "no SCALESWEEP_r*.json committed — run tools/scale_sweep.py"
+    newest = max(
+        sweeps, key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+    )
+    t_engine = _last_commit_ts("backup_repo_spark")
+    t_sweep = _last_commit_ts(os.path.basename(newest))
+    assert t_sweep >= t_engine, (
+        f"{os.path.basename(newest)} (committed {t_sweep}) predates the newest "
+        f"engine commit ({t_engine}): regenerate and commit it"
+    )
