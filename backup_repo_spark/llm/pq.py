@@ -116,6 +116,9 @@ def _subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _train_codebook(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Returns (subv, codebook) where codebook = (sub, cid, pos, cval)."""
+    # persist (not unpersisted): the subvector base is reused every k-means
+    # round; the returned plan still references it, so reclamation is the
+    # block manager's LRU — one corpus-derived block per call (ADVICE r4)
     subv = _subvectors(spark, sf_dir).persist()
     cent = (
         subv.filter(F.col("vec_id").between(1, _K))

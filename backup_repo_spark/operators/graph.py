@@ -12,7 +12,11 @@ components already ships as `llm_dedup_cluster`). Design notes:
   STATIC edge/node bases reused across rounds use columnar ``persist()``
   — a deserialized-row checkpoint of a large frame thrashes GC once it
   outgrows the heap (measured round 4, SCALING.md), the compressed
-  columnar cache spills cleanly.
+  columnar cache spills cleanly.  These persists are not explicitly
+  unpersisted (the returned plan still references them); reclamation
+  relies on the block manager's LRU eviction, which is bounded here
+  because each block is an edge/node base, not a per-iteration frame
+  (ADVICE r4).
 - PageRank uses ALL-INTEGER arithmetic (micro-units, truncating division)
   so results are bit-identical across engines and partitionings — float
   PageRank is order-dependent under sum reassociation. The oracle unrolls

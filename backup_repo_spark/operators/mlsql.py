@@ -126,6 +126,8 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.round(F.col("c_acctbal") * 100).cast("long") + 100000).alias("x")
         )
+        # reused every k-means round; not unpersisted (lazy result plan
+        # references it) — single projected-column block, LRU-reclaimed
         .persist()
     )
     row = pts.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]

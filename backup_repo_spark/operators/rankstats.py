@@ -231,6 +231,9 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 50x data the row RDD thrashes GC (31.3 s) while the columnar cache
     # runs 2x faster (16.0 s); at bench scale the difference is ~1 s the
     # other way — the 100 TB regime wins the tie (SCALING.md round 4).
+    # Not unpersisted (the returned lazy plan references it); one
+    # histogram-sized block per call, reclaimed by LRU eviction
+    # (ADVICE r4).
     pairs = (
         li.select(
             F.col("l_returnflag").alias("rf"),
