@@ -134,6 +134,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--report", default="SCALESWEEP.json")
+    ap.add_argument(
+        "--keys",
+        nargs="*",
+        default=None,
+        help="measure only these registry keys (default: all batch keys)",
+    )
+    ap.add_argument(
+        "--merge-into",
+        default=None,
+        help="update an existing report in place with the re-measured "
+        "--keys entries (keeps every other key's numbers), recomputing "
+        "the summary fields — for re-recording keys whose code changed "
+        "after a full sweep",
+    )
     args = ap.parse_args()
     out = os.path.join(_REPO, "spark-warehouse", f"scale_smoke_{args.mult}x")
     spark = get_spark("scale-sweep", shuffle_partitions=32)
@@ -147,6 +161,8 @@ def main() -> None:
     for name in sorted(registry.QUERIES):
         if name.startswith("stream_"):
             continue
+        if args.keys is not None and name not in args.keys:
+            continue
         fn = registry.QUERIES[name]
         entry: dict = {}
         try:
@@ -159,6 +175,13 @@ def main() -> None:
             entry["err"] = f"{type(e).__name__}: {str(e)[:160]}"
         results[name] = entry
         print(f"{name}: {entry}", file=sys.stderr)
+
+    if args.merge_into:
+        with open(args.merge_into) as fh:
+            prior = json.load(fh)["results"]
+        prior.update(results)
+        results = prior
+        args.report = args.merge_into
 
     ok = {k: v for k, v in results.items() if "ratio" in v}
     worst = sorted(ok.items(), key=lambda kv: -kv[1]["ratio"])[:20]
