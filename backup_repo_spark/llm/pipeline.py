@@ -372,22 +372,25 @@ def llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     may straddle a boundary — standard concat-then-chunk packing with
     cross-doc attention masking left to the trainer).
 
-    All-integer arithmetic -> bit-identical across engines. Scale shape:
-    one window cumsum per lang partition (sort-based, spillable) and one
-    hash aggregate; at 100 TB the partition key would be (lang, shard)
-    so no single lang serializes into one task."""
-    from pyspark.sql.window import Window
+    All-integer arithmetic -> bit-identical across engines. Scale shape
+    (rewritten round 5): the naive form was one cumsum window per lang —
+    parallelism capped at the handful of langs, the whole corpus sorted
+    through ~7 tasks. The running offset now comes from two-phase
+    bucketed prefix sums over doc_id buckets (operators/prefix.py):
+    (lang, doc_id) is unique, so the rows ARE the histogram, and the
+    within-bucket window partitions on (lang, _bkt) — parallelism grows
+    with the corpus, result bit-identical (integer sums)."""
+    from backup_repo_spark.operators.prefix import bucketed_prefix_sums
 
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    off = d.select("doc_id", "lang", n_tok.alias("n_tok")).withColumn(
-        "start_off", F.sum("n_tok").over(w) - F.col("n_tok")
-    )
+    off = bucketed_prefix_sums(
+        d.select("doc_id", "lang", n_tok.alias("n_tok")),
+        "doc_id",
+        ["n_tok"],
+        bucket_width=4096,
+        by=["lang"],
+    ).withColumnRenamed("cum_n_tok", "start_off")
     return (
         off.withColumn("pack_id", F.expr(f"start_off DIV {_PACK_BUDGET}"))
         .groupBy("lang", "pack_id")
@@ -606,16 +609,28 @@ def llm_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget capping: deterministic doc order (doc_id),
     running token sum per source, keep documents until the source's budget
     (2000 tokens) is exhausted — how a mixture recipe enforces "no source
-    exceeds X tokens". One window shuffle on source; the cap check is
-    map-only after it. Reports kept/dropped per source."""
-    from pyspark.sql.window import Window
+    exceeds X tokens". Reports kept/dropped per source.
+
+    Scale shape (rewritten round 5): the running sum comes from two-phase
+    bucketed prefix sums over doc_id buckets (operators/prefix.py,
+    inclusive form) instead of one cumsum window per source — the naive
+    window serialized the whole corpus through the 12 source partitions;
+    the bucketed form's parallelism grows with the corpus and the
+    integer sums are bit-identical."""
+    from backup_repo_spark.operators.prefix import bucketed_prefix_sums
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "source", F.size(F.split("text", " ")).alias("n_tok"))
-    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
     )
-    cum = toks.withColumn("running", F.sum("n_tok").over(w))
+    cum = bucketed_prefix_sums(
+        toks,
+        "doc_id",
+        ["n_tok"],
+        bucket_width=4096,
+        by=["source"],
+        inclusive=True,
+    ).withColumnRenamed("cum_n_tok", "running")
     return (
         cum.groupBy("source")
         .agg(

@@ -343,12 +343,14 @@ def test_collocations_broadcasts_dictionary(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_seq_pack_single_window_sort(spark):
-    """Sequence packing = one window cumsum + one hash aggregate; exactly
-    one per-partition sort (the lang/doc_id window ordering)."""
+def test_seq_pack_bucketed_prefix_no_global_sort(spark):
+    """Sequence packing rides the two-phase bucketed prefix machinery
+    (round 5): the plan must carry the (lang, _bkt) bucket windows — NOT a
+    per-lang-only cumsum (parallelism = n_langs) — and no global sort."""
     df = registry.QUERIES["llm_seq_pack"](spark, SF_DIR)
     plan = plan_of(df)
     assert plan.count("Window") >= 1
+    assert "hashpartitioning(lang" in plan and "_bkt" in plan
     # No global Sort (orderBy) — only the window's partition-local sort.
     assert "rangepartitioning" not in plan.lower()
 
