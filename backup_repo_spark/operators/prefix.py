@@ -251,3 +251,53 @@ def ntile_nosort(
     return numbered.withColumn("bin", binc.cast("int")).drop(
         "_off", "_rn", "_ntot", "_base", "_rem", "_big"
     )
+
+
+def bucketed_range_count(
+    df: DataFrame,
+    value_col: str,
+    span: float,
+    by: Iterable[str] = (),
+    out_col: str = "range_count",
+) -> DataFrame:
+    """Add ``count(*) OVER (PARTITION BY by ORDER BY value_col RANGE
+    BETWEEN span PRECEDING AND CURRENT ROW)`` as `out_col` WITHOUT the
+    naive window's parallelism cap (= number of `by` groups; 3 tasks when
+    `by` is an order-status column).
+
+    Overlap-bucket decomposition for bounded-span value frames: bucket
+    the value by width 2·span, emit every non-null-valued row a second
+    time into the NEXT bucket flagged as context, evaluate the identical
+    RANGE frame per (by, bucket), keep only original rows.  A row's frame
+    [v − span, v] only contains rows from its own bucket or the one
+    before (frame span ≤ bucket width, with a full span of slack against
+    float rounding at bucket boundaries), and the window over
+    originals(k) + context-copies(k−1) sees each such peer exactly once —
+    EXACT counts, parallelism = bucket count (value range / 2·span per
+    group), constant 2× row duplication, no per-group sort of the whole
+    input.  Rows with a NULL value are all peers of one another under
+    RANGE semantics; they land in the NULL bucket WITHOUT a context copy,
+    so their count is exact too.  Same two-level decomposition as
+    `bucketed_prefix_sums`, applied to sliding value frames.
+    """
+    by = list(by)
+    width = 2.0 * span
+    bkt = F.floor(F.col(value_col) / F.lit(width)).cast("long")
+    orig = df.select("*", bkt.alias("_bkt"), F.lit(False).alias("_ctx"))
+    ctx = (
+        df.filter(F.col(value_col).isNotNull())
+        .select("*", (bkt + 1).alias("_bkt"), F.lit(True).alias("_ctx"))
+    )
+    part = ", ".join([*by, "_bkt"])
+    return (
+        orig.unionByName(ctx)
+        .withColumn(
+            out_col,
+            F.expr(
+                f"count(*) OVER (PARTITION BY {part} ORDER BY {value_col} "
+                f"RANGE BETWEEN {span!r} PRECEDING AND CURRENT ROW)"
+            ),
+        )
+        .filter(~F.col("_ctx"))
+        .drop("_ctx", "_bkt")
+    )

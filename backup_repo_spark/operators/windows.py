@@ -133,39 +133,19 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order value by width 2W (any width >= the 1000.0 frame span
     works; 2000 keeps duplication at exactly 2x), emit every row a
     second time into the NEXT bucket flagged as context, run the exact
-    same RANGE frame per (status, bucket), and keep only original rows.
-    A row's frame [v-1000, v] can only contain rows from its own bucket
-    or the one before (span <= bucket width), and the window over
-    originals(k) + context-copies(k-1) sees each such peer exactly once
-    — so the count is EXACT while parallelism is the bucket count
-    (value-range / 2000 per status), constant 2x row duplication, no
-    global or per-status sort. Same two-level trick as
-    operators/prefix.py, applied to sliding value frames."""
+    same RANGE frame per (status, bucket), and keep only original rows —
+    exact counts, parallelism = bucket count, no per-status sort.  The
+    decomposition lives in operators/prefix.py
+    (`bucketed_range_count`, property-tested against the naive window)."""
+    from backup_repo_spark.operators.prefix import bucketed_range_count
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    bkt = F.floor(F.col("o_totalprice") / F.lit(2000.0)).cast("long")
-    orig = o.select(
-        "*", bkt.alias("_bkt"), F.lit(False).alias("_ctx")
-    )
-    ctx = o.select(
-        "*", (bkt + 1).alias("_bkt"), F.lit(True).alias("_ctx")
-    )
-    return (
-        orig.unionByName(ctx)
-        .select(
-            "o_orderkey",
-            "o_orderstatus",
-            "_ctx",
-            F.expr(
-                "count(*) OVER (PARTITION BY o_orderstatus, _bkt "
-                "ORDER BY o_totalprice "
-                "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
-            ).alias("peers_within_1k"),
-        )
-        .filter(~F.col("_ctx"))
-        .drop("_ctx")
-    )
+    return bucketed_range_count(
+        o, "o_totalprice", 1000.0, by=["o_orderstatus"],
+        out_col="peers_within_1k",
+    ).select("o_orderkey", "o_orderstatus", "peers_within_1k")
 
 
 @query(

@@ -162,3 +162,55 @@ def test_ntile_nosort_keeps_null_values(spark):
             ).collect()
         }
         assert got == want, f"tie_bucket_width={tw}"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-400, 400)),  # (group, value*10)
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([1.0, 2.5, 10.0, 1000.0]),
+)
+def test_bucketed_range_count_equals_naive_window(spark, rows, span):
+    """bucketed_range_count == the naive RANGE-frame window, exactly, for
+    any value multiset (duplicates included), any group split, any span —
+    including a span so large everything is one bucket and values negative
+    enough to exercise floor-division bucketing."""
+    from backup_repo_spark.operators.prefix import bucketed_range_count
+
+    df = spark.createDataFrame(
+        [(g, v / 10.0) for g, v in rows], "g LONG, v DOUBLE"
+    ).repartition(3)
+    ours = sorted(
+        (r.g, r.v, r.range_count)
+        for r in bucketed_range_count(df, "v", span, by=["g"]).collect()
+    )
+    naive = sorted(
+        (r.g, r.v, r.c)
+        for r in df.select(
+            "g",
+            "v",
+            F.expr(
+                f"count(*) OVER (PARTITION BY g ORDER BY v "
+                f"RANGE BETWEEN {span!r} PRECEDING AND CURRENT ROW)"
+            ).alias("c"),
+        ).collect()
+    )
+    assert ours == naive
+
+
+def test_bucketed_range_count_null_values(spark):
+    """NULL-valued rows are mutual peers under RANGE semantics and must be
+    counted once each, not duplicated by the context copy."""
+    from backup_repo_spark.operators.prefix import bucketed_range_count
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (1.0,), (1.5,)], "v DOUBLE"
+    )
+    got = {
+        (r.v, r.range_count)
+        for r in bucketed_range_count(df, "v", 1.0).collect()
+    }
+    assert got == {(None, 2), (1.0, 1), (1.5, 2)}
