@@ -355,6 +355,14 @@ def test_seq_pack_bucketed_prefix_no_global_sort(spark):
     assert "rangepartitioning" not in plan.lower()
 
 
+def test_token_budget_cap_bucketed_prefix(spark):
+    """llm_token_budget_cap's running sum must also ride the (source,
+    _bkt) bucket windows, not a per-source-only cumsum (12 sources = 12
+    tasks for the whole corpus)."""
+    plan = plan_of(registry.QUERIES["llm_token_budget_cap"](spark, SF_DIR))
+    assert "hashpartitioning(source" in plan and "_bkt" in plan
+
+
 def test_interpolation_has_no_self_join(spark):
     """Neighbor lookup must be window passes, not a grid×grid self-join:
     the only joins allowed are the grid build (cross of two tiny sides)
