@@ -60,6 +60,7 @@ FRAGILE_KEYS = [
     "llm_lm_score",
     "llm_dedup_exact",
     "llm_dedup_simhash",
+    "llm_dedup_simhash_hamming",
     "llm_e2e_curation",
     "llm_token_count",
     "llm_doc_chunk",
