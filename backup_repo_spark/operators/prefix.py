@@ -265,39 +265,59 @@ def bucketed_range_count(
     naive window's parallelism cap (= number of `by` groups; 3 tasks when
     `by` is an order-status column).
 
-    Overlap-bucket decomposition for bounded-span value frames: bucket
-    the value by width 2·span, emit every non-null-valued row a second
-    time into the NEXT bucket flagged as context, evaluate the identical
-    RANGE frame per (by, bucket), keep only original rows.  A row's frame
-    [v − span, v] only contains rows from its own bucket or the one
-    before (frame span ≤ bucket width, with a full span of slack against
-    float rounding at bucket boundaries), and the window over
-    originals(k) + context-copies(k−1) sees each such peer exactly once —
-    EXACT counts, parallelism = bucket count (value range / 2·span per
-    group), constant 2× row duplication, no per-group sort of the whole
-    input.  Rows with a NULL value are all peers of one another under
-    RANGE semantics; they land in the NULL bucket WITHOUT a context copy,
-    so their count is exact too.  Same two-level decomposition as
-    `bucketed_prefix_sums`, applied to sliding value frames.
+    Two ideas compose:
+
+    1. HISTOGRAM FIRST (tie collapse): RANGE frames are peer-inclusive,
+       so every row with the same (by, value) has the same count — the
+       frame count only depends on the value.  The window therefore runs
+       over the (by, value) histogram with `sum(cnt)` weights, and the
+       result hash-joins back onto the rows.  Under heavy ties (a
+       constant column — the adversarial shape for any value-bucketed
+       scheme) the window input collapses to the distinct-value count;
+       with near-unique values it is the same size as the input.
+    2. OVERLAP BUCKETS (range-partition the frame): bucket the value by
+       width 2·span, emit every non-null histogram row a second time
+       into the NEXT bucket flagged as context, evaluate the identical
+       RANGE frame per (by, bucket), keep only original rows.  A frame
+       [v − span, v] only reaches rows from its own bucket or the one
+       before (frame span ≤ bucket width, with a full span of slack
+       against float rounding at bucket boundaries), and the window over
+       originals(k) + context-copies(k−1) sees each such peer exactly
+       once — EXACT counts, parallelism = bucket count, constant 2×
+       duplication of the HISTOGRAM (not the input), no per-group sort
+       of the whole input.
+
+    Rows with a NULL value are all peers of one another under RANGE
+    semantics; their histogram row lands in the NULL bucket WITHOUT a
+    context copy, and the row-attach join is null-safe (`<=>`), so their
+    count is exact and no row is dropped.  Same two-level decomposition
+    as `bucketed_prefix_sums`, applied to sliding value frames.
     """
     by = list(by)
     width = 2.0 * span
+    h = df.groupBy(*by, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
     bkt = F.floor(F.col(value_col) / F.lit(width)).cast("long")
-    orig = df.select("*", bkt.alias("_bkt"), F.lit(False).alias("_ctx"))
+    orig = h.select("*", bkt.alias("_bkt"), F.lit(False).alias("_ctx"))
     ctx = (
-        df.filter(F.col(value_col).isNotNull())
+        h.filter(F.col(value_col).isNotNull())
         .select("*", (bkt + 1).alias("_bkt"), F.lit(True).alias("_ctx"))
     )
     part = ", ".join([*by, "_bkt"])
-    return (
+    counts = (
         orig.unionByName(ctx)
         .withColumn(
             out_col,
             F.expr(
-                f"count(*) OVER (PARTITION BY {part} ORDER BY {value_col} "
+                f"sum(_cnt) OVER (PARTITION BY {part} ORDER BY {value_col} "
                 f"RANGE BETWEEN {span!r} PRECEDING AND CURRENT ROW)"
             ),
         )
         .filter(~F.col("_ctx"))
-        .drop("_ctx", "_bkt")
+        .select(
+            *[F.col(c).alias(f"_r_{c}") for c in [*by, value_col]], out_col
+        )
     )
+    cond = F.lit(True)
+    for c in [*by, value_col]:
+        cond = cond & df[c].eqNullSafe(F.col(f"_r_{c}"))
+    return df.join(counts, cond).select(*df.columns, out_col)

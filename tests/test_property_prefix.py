@@ -214,3 +214,27 @@ def test_bucketed_range_count_null_values(spark):
         for r in bucketed_range_count(df, "v", 1.0).collect()
     }
     assert got == {(None, 2), (1.0, 1), (1.5, 2)}
+
+
+def test_bucketed_range_count_heavy_ties(spark):
+    """The adversarial shape for value-bucketed schemes: 99% of rows share
+    ONE value. The histogram-first form collapses the window input to the
+    distinct-value count, so this must stay correct (and fast) instead of
+    serializing all tied rows through one window partition."""
+    from backup_repo_spark.operators.prefix import bucketed_range_count
+
+    rows = [(0, 42.0)] * 5000 + [(0, 41.5), (0, 43.0), (1, 42.0), (1, 500.0)]
+    df = spark.createDataFrame(rows, "g LONG, v DOUBLE").repartition(8)
+    got = {
+        (r.g, r.v): r.range_count
+        for r in bucketed_range_count(df, "v", 1.0, by=["g"]).collect()
+    }
+    # g=0: 41.5 has 1 peer (itself); 42.0 has 5000 ties + 41.5 = 5001;
+    # 43.0 reaches back to 42.0: 5000 + 1 = 5001.  g=1 isolated.
+    assert got == {
+        (0, 41.5): 1,
+        (0, 42.0): 5001,
+        (0, 43.0): 5001,
+        (1, 42.0): 1,
+        (1, 500.0): 1,
+    }
