@@ -274,6 +274,25 @@ def main() -> None:
                 name
             ] = wins
     print("# PLAN_AUDIT — registry-wide quadratic-join + global-window sweep\n")
+    # Provenance stamp: ties the record to the exact engine state it
+    # audited (and guarantees each regeneration is a committable diff, so
+    # the tests/test_selfcheck_freshness.py timestamp gate can't be
+    # satisfied by an unchanged stale file).
+    import datetime
+    import subprocess
+
+    try:
+        sha = subprocess.check_output(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            text=True,
+        ).strip()
+    except Exception:  # noqa: BLE001
+        sha = "unknown"
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%SZ"
+    )
+    print(f"Generated {stamp} at engine commit {sha}.\n")
     print(f"Checked {n_checked} batch keys (streaming keys exercised by their")
     print("own tests). Anti-patterns searched: CartesianProduct,")
     print("BroadcastNestedLoopJoin, unpartitioned Window (ordered or OVER()).\n")
