@@ -119,12 +119,24 @@ def generate_docs_embeddings(spark: SparkSession, out: str, mult: int) -> None:
     pq.write_table(tbl, f"{out}/embeddings.parquet")
 
 
-def _time_key(fn, spark, sf_dir) -> float:
-    fn(spark, sf_dir).collect()  # warm
+def _time_key(fn, spark, sf_dir, sink: str = "collect") -> float:
+    """Time a key end-to-end.  sink='collect' matches the driver protocol
+    (includes driver-side result transfer); sink='noop' materializes every
+    row distributed-side with zero driver transfer — use it to separate
+    plan cost from collect volume for keys whose OUTPUT is proportional
+    to the input (reshape_unpivot returned 18M rows at 10×: 15.5× by
+    collect, 0.59× by noop — SCALING.md round 5)."""
+
+    def run():
+        df = fn(spark, sf_dir)
+        if sink == "noop":
+            df.write.mode("overwrite").format("noop").save()
+        else:
+            df.collect()
+
+    run()  # warm
     best = min(
-        (lambda t0: (fn(spark, sf_dir).collect(), time.perf_counter() - t0)[1])(
-            time.perf_counter()
-        )
+        (lambda t0: (run(), time.perf_counter() - t0)[1])(time.perf_counter())
         for _ in range(2)
     )
     return round(best, 3)
@@ -134,6 +146,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--report", default="SCALESWEEP.json")
+    ap.add_argument(
+        "--sink",
+        choices=["collect", "noop"],
+        default="collect",
+        help="collect = driver protocol (default); noop = distributed "
+        "materialization only, for diagnosing output-volume-bound keys",
+    )
     ap.add_argument(
         "--keys",
         nargs="*",
@@ -167,9 +186,9 @@ def main() -> None:
         entry: dict = {}
         try:
             _session._TABLE_CACHE.clear()
-            entry["base"] = _time_key(fn, spark, "/root/testdata/sf0.1")
+            entry["base"] = _time_key(fn, spark, "/root/testdata/sf0.1", args.sink)
             _session._TABLE_CACHE.clear()
-            entry["scaled"] = _time_key(fn, spark, out)
+            entry["scaled"] = _time_key(fn, spark, out, args.sink)
             entry["ratio"] = round(entry["scaled"] / max(entry["base"], 1e-9), 2)
         except Exception as e:  # noqa: BLE001
             entry["err"] = f"{type(e).__name__}: {str(e)[:160]}"
