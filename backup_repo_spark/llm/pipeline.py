@@ -570,7 +570,17 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("source").orderBy(F.desc(cpt), "doc_id"))
         .alias("rnk"),
     )
-    top = ranked.orderBy("rnk", "source", "doc_id").limit(100)
+    # rnk <= 100 is provably redundant with the global top-100 (a row with
+    # rnk > 100 has >= 100 same-source rows with smaller rnk sorting before
+    # it), but stating it lets Spark push WindowGroupLimit below the
+    # exchange: each map task keeps 100 rows per source instead of running
+    # the WHOLE corpus through the 12 source window partitions
+    # (plan-asserted in tests/test_plans.py).
+    top = (
+        ranked.filter(F.col("rnk") <= 100)
+        .orderBy("rnk", "source", "doc_id")
+        .limit(100)
+    )
     return (
         top.select(
             F.row_number()

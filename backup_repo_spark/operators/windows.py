@@ -42,7 +42,16 @@ from backup_repo_spark.session import load_events, load_table
     """,
 )
 def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B30: ranking functions over one shared window spec."""
+    """B30: ranking functions over one shared window spec.
+
+    Scale note: this is the API-surface demonstrator, and its ntile(4)
+    inherently needs the whole partition (so WindowGroupLimit cannot push
+    the rn <= 50 filter below the exchange, and the 5 order-priority
+    partitions each carry their full group). The engine's scale path for
+    the same semantics is operators/prefix.py: `ntile_nosort` (exact
+    ntile + row number from bucketed prefix sums) and rank-from-histogram
+    as used by stats_spearman/_doubled_ranks — parallelism = bucket
+    count instead of partition-key cardinality."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return (

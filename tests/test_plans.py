@@ -663,3 +663,12 @@ def test_embed_neardup_pairs_fenced_by_bucket_equijoin(spark):
     assert unsafe_bnlj_nodes(plan) == []
     assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
             or "ShuffledHashJoin" in plan)
+
+
+def test_curriculum_order_window_group_limit(spark):
+    """llm_curriculum_order's per-source rank must carry WindowGroupLimit
+    (the provably-redundant rnk <= 100 filter enables it): without it the
+    whole corpus runs through the 12 source window partitions before the
+    global top-100 is taken."""
+    plan = plan_of(registry.QUERIES["llm_curriculum_order"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
