@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from backup_repo_spark.caching import release_with
 from backup_repo_spark.registry import query
 from backup_repo_spark.session import load_table
 
@@ -116,9 +117,11 @@ def _subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _train_codebook(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Returns (subv, codebook) where codebook = (sub, cid, pos, cval)."""
-    # persist (not unpersisted): the subvector base is reused every k-means
-    # round; the returned plan still references it, so reclamation is the
-    # block manager's LRU — one corpus-derived block per call (ADVICE r4)
+    # persist: the subvector base is reused every k-means round.  The
+    # codebook side (`cent`) is checkpoint-cut, so only callers that use
+    # the returned `subv` downstream still reference the cache — each
+    # caller releases it (unpersist or caching.release_with), so no
+    # CacheManager entry outlives its query (round 6).
     subv = _subvectors(spark, sf_dir).persist()
     cent = (
         subv.filter(F.col("vec_id").between(1, _K))
@@ -171,7 +174,9 @@ def llm_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep their previous centroid). Output is the full 512-row codebook —
     the oracle reproduces training end-to-end, so centroid VALUES are
     verified, not just shapes."""
-    _, cent = _train_codebook(spark, sf_dir)
+    subv, cent = _train_codebook(spark, sf_dir)
+    # cent is checkpoint-cut — the codebook key never reads subv again
+    subv.unpersist(False)
     return cent.select("sub", "cid", "pos", "cval")
 
 
@@ -231,13 +236,14 @@ def llm_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the LUT holds the query's distance to EVERY centroid (8 rows), not
     # only the query's own codes
     lut = dist.filter(F.col("vec_id") == 0).select("sub", "cid", F.col("d").alias("qd"))
-    return (
+    return release_with(
         codes.filter(F.col("vec_id") != 0)
         .join(F.broadcast(lut), ["sub", "cid"])
         .groupBy("vec_id")
         .agg(F.sum("qd").alias("adc_dist"))
         .orderBy("adc_dist", "vec_id")
-        .limit(10)
+        .limit(10),
+        subv,
     )
 
 
@@ -337,8 +343,11 @@ def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id")
     )
-    return pq10.join(exact10, "vec_id").agg(
-        F.count(F.lit(1)).alias("hits"), F.lit(10).alias("k")
+    return release_with(
+        pq10.join(exact10, "vec_id").agg(
+            F.count(F.lit(1)).alias("hits"), F.lit(10).alias("k")
+        ),
+        subv,
     )
 
 
@@ -420,7 +429,7 @@ def llm_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = subv.filter(F.col("vec_id") == 0).select(
         "sub", "pos", F.col("val").alias("qval")
     )
-    return (
+    return release_with(
         subv.join(F.broadcast(short), "vec_id")
         .join(F.broadcast(q), ["sub", "pos"])
         .groupBy("vec_id")
@@ -432,5 +441,6 @@ def llm_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("l2_dist")
         )
         .orderBy("l2_dist", "vec_id")
-        .limit(5)
+        .limit(5),
+        subv,
     )

@@ -12,11 +12,12 @@ components already ships as `llm_dedup_cluster`). Design notes:
   STATIC edge/node bases reused across rounds use columnar ``persist()``
   — a deserialized-row checkpoint of a large frame thrashes GC once it
   outgrows the heap (measured round 4, SCALING.md), the compressed
-  columnar cache spills cleanly.  These persists are not explicitly
-  unpersisted (the returned plan still references them); reclamation
-  relies on the block manager's LRU eviction, which is bounded here
-  because each block is an edge/node base, not a per-iteration frame
-  (ADVICE r4).
+  columnar cache spills cleanly.  Every persist is released
+  deterministically (round 6, closing VERDICT r5's hygiene item):
+  loop-only bases are unpersisted right after the loop (the returned
+  plan is checkpoint-cut), and bases the returned plan still references
+  are scoped to the result handle via ``caching.release_with`` — no
+  CacheManager entry outlives its query.
 - PageRank uses ALL-INTEGER arithmetic (micro-units, truncating division)
   so results are bit-identical across engines and partitionings — float
   PageRank is order-dependent under sum reassociation. The oracle unrolls
@@ -37,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from backup_repo_spark.caching import release_with
 from backup_repo_spark.registry import query
 from backup_repo_spark.session import load_table
 
@@ -129,6 +131,10 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         visited = visited.union(nxt).localCheckpoint()
         frontier = nxt
+    # visited is checkpoint-cut, so the returned plan no longer references
+    # the edge cache — unpersist NOW instead of leaking the block +
+    # CacheManager entry to LRU (VERDICT r5 hygiene item).
+    edges.unpersist(False)
     return visited.select("node", F.col("hop").cast("long").alias("hops"))
 
 
@@ -192,6 +198,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+    # ranks is checkpoint-cut — the edge/node caches are dead weight now
+    edges.unpersist(False)
+    nodes.unpersist(False)
     return ranks.select(F.col("node").cast("int").alias("node"), "rank")
 
 
@@ -266,7 +275,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wed = deg.agg(F.expr("CAST(sum((d * (d - 1)) DIV 2) AS BIGINT)").alias("w"))
     n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
+    return release_with(
         n_edges.crossJoin(tri)
         .crossJoin(wed)
         .select(
@@ -274,7 +283,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").alias("n_triangles"),
             F.col("w").alias("n_wedges"),
             (3 * F.col("t") * F.lit(1.0) / F.col("w")).alias("clustering"),
-        )
+        ),
+        und,
     )
 
 
@@ -361,9 +371,12 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_reciprocal")
     )
     tot = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    return tot.crossJoin(recip).select(
-        "n_edges", "n_reciprocal",
-        (F.col("n_reciprocal") * 1.0 / F.col("n_edges")).alias("reciprocity"),
+    return release_with(
+        tot.crossJoin(recip).select(
+            "n_edges", "n_reciprocal",
+            (F.col("n_reciprocal") * 1.0 / F.col("n_edges")).alias("reciprocity"),
+        ),
+        e,
     )
 
 
@@ -451,6 +464,8 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("d").alias("d"))
             .localCheckpoint()
         )
+    # dist is checkpoint-cut — free the edge cache deterministically
+    edges.unpersist(False)
     return dist.select("node", F.col("d").alias("dist"))
 
 
@@ -513,14 +528,15 @@ def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
-    return (
+    return release_with(
         pairs.join(F.broadcast(da), "a")
         .join(F.broadcast(db), "b")
         .select(
             "a", "b", "inter",
             (F.col("da") + F.col("db") - F.col("inter")).alias("uni"),
             F.expr("inter * 1000000 DIV (da + db - inter)").alias("jacc_ppm"),
-        )
+        ),
+        nbr,
     )
 
 
@@ -575,6 +591,8 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("d").alias("d"))
             .localCheckpoint()
         )
+    # dist is checkpoint-cut — free the edge cache deterministically
+    edges.unpersist(False)
     return dist.groupBy(F.col("s").alias("src")).agg(
         (F.count(F.lit(1)) - 1).alias("n_reached"),
         F.sum("d").alias("total_dist"),
@@ -683,10 +701,11 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = und.join(alive, und.a == alive.node, "left_semi").join(
             alive, und.b == alive.node, "left_semi"
         )
-    return (
+    return release_with(
         deg.where(F.col("deg") >= 3)
         .select(
             F.col("node").cast("bigint"), F.col("deg").cast("bigint").alias("core_deg")
         )
-        .orderBy("node")
+        .orderBy("node"),
+        und,
     )

@@ -41,6 +41,7 @@ from backup_repo_spark.operators.prefix import (
     bucketed_prefix_sums,
     ntile_nosort,
 )
+from backup_repo_spark.caching import release_with
 from backup_repo_spark.registry import query
 from backup_repo_spark.session import load_table
 
@@ -126,14 +127,15 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.round(F.col("c_acctbal") * 100).cast("long") + 100000).alias("x")
         )
-        # reused every k-means round; not unpersisted (lazy result plan
-        # references it) — single projected-column block, LRU-reclaimed
+        # reused every k-means round; released with the result handle
+        # (caching.release_with) — no CacheManager residue (round 6)
         .persist()
     )
     row = pts.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
     if row.mn is None:
         # empty input: the oracle's CTE chain yields zero rows; mirror it
         # with an empty frame of the same schema instead of crashing
+        pts.unpersist(False)
         return spark.createDataFrame(
             [], "cluster_id int, n bigint, centroid_cents bigint"
         )
@@ -160,12 +162,13 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cmap = F.when(F.col("cluster_id") == 0, F.lit(cents[0])).when(
         F.col("cluster_id") == 1, F.lit(cents[1])
     ).otherwise(F.lit(cents[2]))
-    return (
+    return release_with(
         final.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             "cluster_id", "n", (cmap - 100000).cast("long").alias("centroid_cents")
-        )
+        ),
+        pts,
     )
 
 

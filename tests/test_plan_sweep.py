@@ -42,3 +42,19 @@ def test_no_unexplained_quadratic_joins_or_global_windows(spark):
         if hits:
             flagged[name] = hits
     assert not flagged, f"scale anti-patterns without whitelist entry: {flagged}"
+
+
+def test_sweep_is_cache_robust_after_materialization(spark):
+    """Regression for VERDICT r5 "What's wrong" #1: materializing
+    events_rfm used to leave ntile_nosort's histogram persist in the
+    CacheManager; the next sweep of events_rfm then saw InMemoryTableScan
+    build sides it could not classify and false-positived 64 BNLJ nodes.
+    The fixed gate (clearCache inside plan_of) and the scoped persists
+    (caching.release_with) must each keep the sweep clean — materialize
+    FIRST, sweep SECOND, expect zero unsafe nodes."""
+    df = registry.QUERIES["events_rfm"](spark, SF_DIR)
+    df.count()  # warms whatever caches the key creates
+    plan = plan_of(registry.QUERIES["events_rfm"](spark, SF_DIR))
+    assert unsafe_bnlj_nodes(plan) == []
+    wins, _ = split_auto_safe_windows(unpartitioned_windows(plan))
+    assert wins == []

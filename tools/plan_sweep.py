@@ -105,6 +105,14 @@ SKIP_PREFIXES = ("stream_",)
 
 
 def plan_of(df) -> str:
+    """Formatted physical plan of `df`, CACHE-ROBUST: the session's
+    CacheManager is cleared first so the sweep classifies the ENGINE's
+    plan, never an `InMemoryRelation` substituted from whatever some
+    earlier query happened to persist.  (VERDICT r5: a cached histogram
+    hid a 1-row-aggregate build side inside an InMemoryTableScan and the
+    BNLJ classifier false-positived 64 nodes on events_rfm — the gate
+    only passed when run first.  A gate must not depend on run order.)"""
+    df.sparkSession.catalog.clearCache()
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
