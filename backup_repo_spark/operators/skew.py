@@ -16,6 +16,20 @@ oracle (salting must be result-invariant):
    using exact shuffle statistics. Prefer it when it fires; salting remains
    the portable fallback (e.g. for aggregations, which AQE skew handling
    does not cover).
+
+tests/test_skew_aqe.py demonstrates layer 2 end-to-end: a forced-skew
+fixture (90% of rows on one key) executed under lowered AQE thresholds
+shows `OptimizeSkewedJoin` marking the SMJ `skew=true` and splitting the
+hot partition via AQEShuffleRead — plus the control run proving the
+marker comes from the rewrite. Rules of thumb that fall out:
+- JOIN skew needs no salting on an AQE engine; AGG skew still does
+  (this module's `agg_skew_twophase`).
+- AQE judges skew on POST-PRUNING shuffle BYTES, not row counts: if
+  Catalyst prunes the wide columns before the exchange (e.g. a pure
+  count(*) above the join), a 65:1 row-skewed key can be a few
+  harmless KB and AQE correctly leaves it alone. Measure with
+  `stats_key_skew` (rows) AND the exchange's mapStats (bytes) before
+  reaching for salt.
 """
 
 from __future__ import annotations
