@@ -5,10 +5,18 @@ engine and prints ONE JSON line (driver contract).
 
 Protocol mirrors BASELINE.md: best-of-3 wall time per query including result
 collection, session start excluded.
+
+``--suite tpch`` (VERDICT r5 #5) widens the measured surface to the full
+TPC-H 22-query family at the same sf: per-query Spark best-of-3 PLUS the
+same query's DuckDB oracle best-of-3 on the same parquet, so every row
+carries its own engine-independent baseline (bar: spark ≤ 2× duckdb,
+tracked per round as BENCH_TPCH_r{N}.json).  The default (no args)
+behavior is byte-identical to before — the driver's contract.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -30,9 +38,86 @@ BENCH_QUERIES = {
 }
 
 
+# TPC-H 22/22: Q1/Q3/Q5 live under their operator-contract names
+# (B20/B37/B17 flagships), the rest under tpch_q*_style.
+TPCH_QUERIES = {
+    "q1": "agg_tpch_q1",
+    "q2": "tpch_q2_style",
+    "q3": "topk_revenue",
+    "q4": "tpch_q4_style",
+    "q5": "join_star_5way",
+    "q6": "tpch_q6_style",
+    "q7": "tpch_q7_style",
+    "q8": "tpch_q8_style",
+    "q9": "tpch_q9_style",
+    "q10": "tpch_q10_style",
+    "q11": "tpch_q11_style",
+    "q12": "tpch_q12_style",
+    "q13": "tpch_q13_style",
+    "q14": "tpch_q14_style",
+    "q15": "tpch_q15_style",
+    "q16": "tpch_q16_style",
+    "q17": "tpch_q17_style",
+    "q18": "tpch_q18_style",
+    "q19": "tpch_q19_style",
+    "q20": "tpch_q20_style",
+    "q21": "tpch_q21_style",
+    "q22": "tpch_q22_style",
+}
+
+
+def _best3(run) -> float:
+    run()  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def run_tpch(sf_dir: str, sf: float) -> None:
+    import duckdb
+
+    from backup_repo_spark.session import TABLES
+
+    spark = get_spark("bench-tpch", shuffle_partitions=8, adaptive=False)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    spark_secs: dict[str, float] = {}
+    duck_secs: dict[str, float] = {}
+    for metric, key in TPCH_QUERIES.items():
+        fn, osql = registry.QUERIES[key], registry.ORACLES[key]
+        spark_secs[metric] = _best3(lambda: fn(spark, sf_dir).collect())
+        duck_secs[metric] = _best3(lambda: con.execute(osql).fetchall())
+    print(
+        json.dumps(
+            {
+                "metric": "bench_tpch_total_best3",
+                "value": round(sum(spark_secs.values()), 3),
+                "unit": "sec",
+                "queries": spark_secs,
+                "duckdb": duck_secs,
+                "duckdb_total": round(sum(duck_secs.values()), 3),
+                "sf": sf,
+            }
+        )
+    )
+
+
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", choices=["headline", "tpch"], default="headline")
+    args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    if args.suite == "tpch":
+        run_tpch(sf_dir, sf)
+        return
     # BASELINE.md methodology: shuffle.partitions=8 at this tiny scale; AQE
     # off for the bench profile (its stage-materialization barriers cost
     # ~30% on sub-second queries and fix nothing at sf0.1 — see session.py).
