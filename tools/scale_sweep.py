@@ -197,7 +197,24 @@ def main() -> None:
 
     if args.merge_into:
         with open(args.merge_into) as fh:
-            prior = json.load(fh)["results"]
+            prior_report = json.load(fh)
+        # Refuse incomparable merges (ADVICE r5): a re-measure at a
+        # different multiplier or through a different sink would silently
+        # corrupt the record's comparability.
+        prior_mult = prior_report.get("mult")
+        if prior_mult != args.mult:
+            sys.exit(
+                f"--merge-into refused: prior report mult={prior_mult} "
+                f"!= --mult {args.mult}"
+            )
+        prior_sink = prior_report.get("sink", "collect")
+        if prior_sink != args.sink:
+            sys.exit(
+                f"--merge-into refused: prior report sink={prior_sink} "
+                f"!= --sink {args.sink} (re-measure with the same sink, "
+                "or write a separate report)"
+            )
+        prior = prior_report["results"]
         prior.update(results)
         results = prior
         args.report = args.merge_into
@@ -206,6 +223,9 @@ def main() -> None:
     worst = sorted(ok.items(), key=lambda kv: -kv[1]["ratio"])[:20]
     report = {
         "mult": args.mult,
+        # measurement protocol stamp (ADVICE r5): lets readers and future
+        # --merge-into runs tell collect-protocol records from noop ones
+        "sink": args.sink,
         "keys_timed": len(ok),
         "keys_errored": len(results) - len(ok),
         "errors": {k: v["err"] for k, v in results.items() if "err" in v},
