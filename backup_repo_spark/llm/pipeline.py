@@ -626,7 +626,8 @@ def llm_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     inclusive form) instead of one cumsum window per source — the naive
     window serialized the whole corpus through the 12 source partitions;
     the bucketed form's parallelism grows with the corpus and the
-    integer sums are bit-identical."""
+    integer sums are bit-identical.  (source, doc_id) is unique per row,
+    satisfying bucketed_prefix_sums' distinct-(by, value) PRECONDITION."""
     from backup_repo_spark.operators.prefix import bucketed_prefix_sums
 
     d = load_table(spark, sf_dir, "documents")
