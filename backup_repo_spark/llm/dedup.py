@@ -176,9 +176,21 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same contract as `llm_dedup_minhash_banded`. Recall margin: a
     true pair at J=0.5 misses all 8 OR-amplified tables with probability
     (1-0.5)^8 ≈ 0.4%, and the candidate filter sits at 0.35 « 0.5;
-    `llm_lsh_eval` is the standing recall audit. Scale shape: candidate
-    generation is the O(n·tables) LSH bucket join; exact Jaccard runs on
-    candidates only — never the O(n²) pair space."""
+    `llm_lsh_eval` is the standing recall audit.
+
+    SCALE DEMOTION (round 6, measured): this key is the pyspark.ml
+    PARITY surface, valid to the 10× octave only — NOT the scale path.
+    Measured (SCALING.md): 122.7 s at 10× (50k docs), 2065 s at 50×
+    (250k docs) — 16.8× the time for 5× the data, superlinear, with
+    single-digit-core utilization (a skewed bucket join). The cause is
+    structural: ml's `numHashTables=8` is pure OR-amplification with
+    r=1 band width — every table's bucket key is ONE minhash value, so
+    bucket populations grow linearly with the corpus and within-bucket
+    candidate pairs grow ~quadratically. `llm_dedup_minhash_banded`
+    (below) ANDs 2 hashes per band (b=4, r=2), squaring the bucket
+    collision probability — its candidates stay near-linear and it is
+    measured sub-5× per octave through 100×/500k docs. Use the banded
+    key at scale; keep this one for pyspark.ml API parity at ≤10×."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load_table(spark, sf_dir, "documents")
