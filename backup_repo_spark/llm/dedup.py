@@ -486,9 +486,14 @@ def llm_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_PAIRS_SQL = ORACLES["llm_dedup_ngram"]
 
-_CLUSTER_SQL = f"""
+
+def _cluster_sql(pairs_sql: str) -> str:
+    """Recursive-CTE connected components over a (da, db) pair query —
+    shared oracle template for the exact-ngram and banded-LSH cluster keys
+    (same fixpoint as the Spark-side min-label propagation)."""
+    return f"""
     WITH RECURSIVE
-    pairs AS ({_NGRAM_PAIRS_SQL}),
+    pairs AS ({pairs_sql}),
     uedges AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
     nodes AS (SELECT DISTINCT u FROM uedges),
     reach(u, label) AS (
@@ -502,6 +507,9 @@ _CLUSTER_SQL = f"""
 """
 
 
+_CLUSTER_SQL = _cluster_sql(_NGRAM_PAIRS_SQL)
+
+
 @query("llm_dedup_cluster", oracle=_CLUSTER_SQL)
 def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the n-gram-Jaccard pair
@@ -511,13 +519,23 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster. This is the step that turns pairwise similarity into a keep-one
     -per-cluster dedup decision.
 
+    GENERATOR CHOICE: this key consumes the EXACT shingle-Jaccard pair
+    graph (`llm_dedup_ngram`), so it inherits that generator's measured
+    above-linear growth (SCALING.md round 6: step 5.49x at the 50x octave,
+    tracking the generator's 6.64x) — it is the ground-truth/oracle form,
+    valid to ~250k docs. The production path at 100 TB is
+    `llm_dedup_cluster_banded` below: identical clustering over the banded
+    MinHash-LSH verified pair set, which tracks the banded generator's
+    sub-5x steps instead.
+
     Iterative-algorithm mechanics on Spark: the loop is driver-side but each
     iteration is one distributed join+aggregate; localCheckpoint() truncates
     the lineage every round (without it the plan doubles per iteration).
     Rounds = graph diameter (tiny for near-dup clusters). The oracle is a
     DuckDB recursive CTE computing min reachable label — same fixpoint.
     """
-    labels = _component_labels(spark, sf_dir)
+    pairs = QUERIES["llm_dedup_ngram"](spark, sf_dir).select("da", "db")
+    labels = _component_labels(pairs)
     return (
         labels.groupBy(F.col("label").alias("component"))
         .agg(F.count(F.lit(1)).alias("csize"))
@@ -525,11 +543,14 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(node, label) connected-component labels over the n-gram near-dup
-    pair graph — iterative min-label propagation, lineage-checkpointed per
-    round (see llm_dedup_cluster docstring for mechanics)."""
-    pairs = QUERIES["llm_dedup_ngram"](spark, sf_dir).select("da", "db")
+def _component_labels(pairs: DataFrame) -> DataFrame:
+    """(node, label) connected-component labels over a near-dup pair graph
+    given as a (da, db) DataFrame — iterative min-label propagation,
+    lineage-checkpointed per round (see llm_dedup_cluster docstring for
+    mechanics). Generator-agnostic: callers pass either the exact n-gram
+    pair graph (ground truth) or the banded-LSH verified pair set (the
+    scale path)."""
+    pairs = pairs.select("da", "db")
     edges = (
         pairs.union(pairs.select(F.col("db"), F.col("da")))
         .toDF("u", "v")
@@ -807,9 +828,227 @@ def llm_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SURVIVOR_SQL = f"""
+# (b, r) grid for llm_lsh_plan: every config slices the FIRST b*r hashes of
+# the same 8-hash salted-md5 signature family (salts b1..b8) that
+# llm_dedup_minhash_banded ships, split into b consecutive bands of r — so
+# the (4, 2) row IS the shipped configuration, measured under identical
+# hashes rather than a lookalike.
+_LSH_PLAN_GRID = [
+    (8, 1), (4, 1), (2, 1), (4, 2), (3, 2), (2, 2), (2, 3), (2, 4),
+    (1, 4), (1, 8),
+]
+
+# Shared exact-truth + signature CTE prefix (identical to llm_lsh_eval's
+# oracle): shingles -> exact Jaccard pairs at tau=0.5 (tp) -> 8 salted-md5
+# minhashes (sig).
+_LSH_TRUTH_SIG_CTES = """
+    tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tk),
+    shingles AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM idx WHERE i <= len(toks) - 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), tp AS (
+      SELECT da, db
+      FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    ), sig AS (
+      SELECT doc_id,
+             min(md5('b1-' || sh)) AS h1, min(md5('b2-' || sh)) AS h2,
+             min(md5('b3-' || sh)) AS h3, min(md5('b4-' || sh)) AS h4,
+             min(md5('b5-' || sh)) AS h5, min(md5('b6-' || sh)) AS h6,
+             min(md5('b7-' || sh)) AS h7, min(md5('b8-' || sh)) AS h8
+      FROM shingles GROUP BY doc_id
+    )
+"""
+
+
+def _lsh_plan_sql() -> str:
+    """Generated DuckDB oracle for llm_lsh_plan: one bands arm per (cfg,
+    band), one VALUES row per config carrying the exact binary-float
+    theoretical detection probability at J=0.5 (1 - (1 - 0.5^r)^b)."""
+    band_arms = []
+    cfg_rows = []
+    for b, r in _LSH_PLAN_GRID:
+        cfg = f"{b}x{r}"
+        p = 1.0 - (1.0 - 0.5**r) ** b  # exact in binary for these b, r
+        cfg_rows.append(f"('{cfg}', {b}, {r}, {p!r})")
+        for k in range(b):
+            key = " || ".join(f"h{k * r + j + 1}" for j in range(r))
+            band_arms.append(
+                f"SELECT doc_id, '{cfg}' AS cfg, {k} AS band, {key} AS bkey FROM sig"
+            )
+    bands = "\n      UNION ALL ".join(band_arms)
+    values = ",\n      ".join(cfg_rows)
+    return f"""
+    WITH {_LSH_TRUTH_SIG_CTES},
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.cfg, a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.cfg = b.cfg AND a.band = b.band AND a.bkey = b.bkey
+       AND a.doc_id < b.doc_id
+    ),
+    nc AS (SELECT cfg, count(*) AS n_cand FROM cand GROUP BY 1),
+    nh AS (
+      SELECT c.cfg, count(*) AS n_hit
+      FROM cand c JOIN tp ON c.da = tp.da AND c.db = tp.db GROUP BY 1
+    ),
+    nt AS (SELECT count(*) AS n_true FROM tp),
+    cfgs(cfg, b, r, p_detect_t05) AS (VALUES
+      {values}
+    )
+    SELECT cfgs.cfg, cfgs.b, cfgs.r,
+           coalesce(nc.n_cand, 0) AS n_cand,
+           coalesce(nh.n_hit, 0) AS n_hit,
+           nt.n_true,
+           coalesce(nh.n_hit, 0) * 1.0 / nullif(coalesce(nc.n_cand, 0), 0)
+             AS precision,
+           coalesce(nh.n_hit, 0) * 1.0 / nullif(nt.n_true, 0) AS recall,
+           cfgs.p_detect_t05
+    FROM cfgs
+    LEFT JOIN nc USING (cfg)
+    LEFT JOIN nh USING (cfg)
+    CROSS JOIN nt
+    """
+
+
+@query("llm_lsh_plan", oracle=_lsh_plan_sql())
+def llm_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH PARAMETER PLANNER (VERDICT r6 #6): sweep the (b, r) banding grid
+    over the corpus and emit the recall / candidate-volume frontier — the
+    knob a 100 TB dedup operator actually turns before launching.
+
+    One pass computes every config: the 8-hash salted-md5 signature is
+    shared (same family as `llm_dedup_minhash_banded`, so the 4x2 row IS
+    the shipped config), each config's bands are slices of it, and ONE
+    band-bucket self-join keyed on (cfg, band, bkey) produces all
+    candidate sets simultaneously. Per config: exact candidate count,
+    hits against ground truth (exact Jaccard >= 0.5), precision, recall,
+    plus the theoretical S-curve detection probability at J=0.5
+    (1-(1-0.5^r)^b, an exact binary float — literal-identical on both
+    engines). The structural trade the table exhibits: raising r ANDs
+    hashes within a band (squares away random collisions -> candidates
+    shrink) but lowers borderline-pair recall; raising b ORs more bands
+    (recall up, candidates up). tests/test_lsh_plan.py asserts the
+    shipped b=4/r=2 is Pareto-optimal at sf0.1 over (empirical recall,
+    p_detect_t05, candidate volume) — the theoretical axis matters
+    because planted-dup fixtures saturate empirical recall at 1.0 and
+    cannot price the worst-case pair at the design threshold. Scale: bands rows = sum(b) per doc (29 here),
+    everything shuffles on 16-32-byte band keys — the planning job is
+    itself LSH-shaped, never quadratic; ground truth (tp) is the one
+    exact self-join, which is why the planner runs on a sample/fixture,
+    not the full corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        )
+    )
+    shingles = d.select("doc_id", F.explode(sh_arr).alias("sh"))
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    tp = (
+        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("da", "db")
+    )
+    sig = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"b{i}-"), F.col("sh")))).alias(f"h{i}")
+            for i in range(1, 9)
+        ]
+    )
+    entries = []
+    for b, r in _LSH_PLAN_GRID:
+        cfg = f"{b}x{r}"
+        for k in range(b):
+            cols = [F.col(f"h{k * r + j + 1}") for j in range(r)]
+            entries.append(
+                F.struct(
+                    F.lit(cfg).alias("cfg"),
+                    F.lit(k).alias("band"),
+                    F.concat(*cols).alias("bkey"),
+                )
+            )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.cfg", "e.band", "e.bkey")
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.cfg") == F.col("bb.cfg"))
+            & (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bkey") == F.col("bb.bkey"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select("ba.cfg", F.col("ba.doc_id").alias("da"), F.col("bb.doc_id").alias("db"))
+        .distinct()
+    )
+    nc = cand.groupBy("cfg").agg(F.count(F.lit(1)).alias("n_cand"))
+    nh = cand.join(tp, ["da", "db"]).groupBy("cfg").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    nt = tp.agg(F.count(F.lit(1)).alias("n_true"))
+    cfgdim = spark.createDataFrame(
+        [
+            (f"{b}x{r}", b, r, 1.0 - (1.0 - 0.5**r) ** b)
+            for b, r in _LSH_PLAN_GRID
+        ],
+        "cfg string, b int, r int, p_detect_t05 double",
+    )
+    out = (
+        cfgdim.join(nc, "cfg", "left")
+        .join(nh, "cfg", "left")
+        .crossJoin(nt)
+        .select(
+            "cfg",
+            "b",
+            "r",
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            "n_true",
+            F.try_divide(
+                F.coalesce("n_hit", F.lit(0)) * 1.0, F.coalesce("n_cand", F.lit(0))
+            ).alias("precision"),
+            F.try_divide(F.coalesce("n_hit", F.lit(0)) * 1.0, F.col("n_true")).alias(
+                "recall"
+            ),
+            "p_detect_t05",
+        )
+    )
+    return out
+
+
+def _survivor_sql(pairs_sql: str) -> str:
+    """Recursive-CTE survivorship (best-doc-per-component) over a (da, db)
+    pair query — shared oracle template for the exact-ngram and banded-LSH
+    survivorship keys."""
+    return f"""
     WITH RECURSIVE
-    pairs AS ({_NGRAM_PAIRS_SQL}),
+    pairs AS ({pairs_sql}),
     uedges AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
     nodes AS (SELECT DISTINCT u FROM uedges),
     reach(u, label) AS (
@@ -835,6 +1074,9 @@ _SURVIVOR_SQL = f"""
 """
 
 
+_SURVIVOR_SQL = _survivor_sql(_NGRAM_PAIRS_SQL)
+
+
 @query("llm_dedup_survivorship", oracle=_SURVIVOR_SQL)
 def llm_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalization: per near-dup cluster, KEEP THE BEST document —
@@ -844,9 +1086,25 @@ def llm_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic end to end, so the oracle verifies the chosen keepers,
     not just cluster shapes. Scale: the component labels are graph-sized,
     the quality score is map-only, the argmax is two partial-aggregable
-    passes."""
-    labels = _component_labels(spark, sf_dir)
+    passes.
+
+    GENERATOR CHOICE: consumes the EXACT n-gram pair graph
+    (`llm_dedup_ngram`) — ground-truth form, above-linear with its
+    generator (SCALING.md round 6: 5.99x step at 50x vs the generator's
+    6.64x). Production survivorship at 100 TB is
+    `llm_dedup_survivorship_banded` (same rule over the banded-LSH pair
+    set)."""
+    pairs = QUERIES["llm_dedup_ngram"](spark, sf_dir).select("da", "db")
+    labels = _component_labels(pairs)
     d = load_table(spark, sf_dir, "documents")
+    return _survivorship(labels, d)
+
+
+def _survivorship(labels: DataFrame, d: DataFrame) -> DataFrame:
+    """Best-doc-per-component survivorship rule over (node, label)
+    component labels: keeper = highest vocabulary-diversity score, min
+    doc_id tie-break — generator-agnostic (shared by the exact and banded
+    survivorship keys)."""
     score = d.select(
         "doc_id", F.size(F.array_distinct(F.split("text", " "))).alias("q")
     )
@@ -862,6 +1120,51 @@ def llm_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sz = j.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
     return best.join(sz, "component")
+
+
+_BANDED_PAIRS_SQL = ORACLES["llm_dedup_minhash_banded"]
+
+
+@query("llm_dedup_cluster_banded", oracle=_cluster_sql(_BANDED_PAIRS_SQL))
+def llm_dedup_cluster_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the BANDED MinHash-LSH verified pair set
+    (`llm_dedup_minhash_banded`, b=4/r=2, exact-Jaccard-verified at 0.5) —
+    the PRODUCTION clustering path (VERDICT r6 #1).
+
+    GENERATOR CHOICE: same min-label-propagation clustering as
+    `llm_dedup_cluster`, but the edges come from the banded candidate
+    generator whose cost is measured sub-5x per octave through 100x
+    (SCALING.md round 6: steps 3.66x/2.08x), not from the exact shingle
+    self-join (6.64x at 50x, quadratic in hot-shingle doc frequency).
+    At 100 TB the pair graph is LSH-candidate-sized and every stage —
+    band join, Jaccard verify, label propagation — shuffles on bounded
+    keys. The exact key remains the ground-truth oracle form; the two
+    keys agree wherever LSH recall is 1 (audited by `llm_lsh_eval`)."""
+    pairs = QUERIES["llm_dedup_minhash_banded"](spark, sf_dir).select("da", "db")
+    labels = _component_labels(pairs)
+    return (
+        labels.groupBy(F.col("label").alias("component"))
+        .agg(F.count(F.lit(1)).alias("csize"))
+        .orderBy("component")
+    )
+
+
+@query("llm_dedup_survivorship_banded", oracle=_survivor_sql(_BANDED_PAIRS_SQL))
+def llm_dedup_survivorship_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (best-doc-per-cluster canonicalization) over the BANDED
+    MinHash-LSH verified pair set — the PRODUCTION survivorship path
+    (VERDICT r6 #1). Same deterministic keeper rule as
+    `llm_dedup_survivorship` (max vocabulary diversity, min doc_id
+    tie-break), but clusters come from `llm_dedup_minhash_banded`'s pair
+    graph, so end-to-end cost tracks the banded generator's measured
+    sub-5x octave steps instead of the exact shingle join's 6.64x
+    (SCALING.md round 6). The oracle re-derives the same pair set, the
+    same components, and the same keepers in DuckDB — values verified,
+    not just shapes."""
+    pairs = QUERIES["llm_dedup_minhash_banded"](spark, sf_dir).select("da", "db")
+    labels = _component_labels(pairs)
+    d = load_table(spark, sf_dir, "documents")
+    return _survivorship(labels, d)
 
 
 @query(

@@ -286,6 +286,10 @@ EXTENSION_KEYS = [
     "ts_hampel_filter",
     # round 3: k-sample rank ANOVA closing the nonparametric family
     "stats_kruskal_wallis",
+    # round 7: production-path clustering/survivorship over the banded
+    # LSH pair set (VERDICT r6 #1) + (b,r) LSH parameter-plan frontier
+    "llm_dedup_cluster_banded", "llm_dedup_survivorship_banded",
+    "llm_lsh_plan",
 ]
 
 
