@@ -3,15 +3,29 @@ engine and prints ONE JSON line (driver contract).
 
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
 
-Protocol mirrors BASELINE.md: best-of-3 wall time per query including result
-collection, session start excluded.
+Protocol (VERDICT r6 #2, dispersion-stamped): after one untimed warm pass,
+the whole suite runs ``PASSES`` (7) interleaved timed passes — every query
+timed once per pass, fresh DataFrame each time, collection included,
+session start excluded. Per-query value = best over passes (same best-of-N
+family as BASELINE.md); the record additionally carries ``runs`` (all
+per-pass suite totals), ``median`` and ``spread`` (max-min of the pass
+totals) so a future cross-round delta is adjudicable from the record
+alone: this box's measured same-code envelope is ±10-12% (SCALING.md
+round 6), and any move inside the recorded spread is noise by
+construction.
+
+``--ab <commit>`` ships the SCALING.md round-6 interleaved A/B as code:
+alternating fresh ``python bench.py`` subprocesses against a detached
+checkout of <commit> (``.ab_<sha>/``, gitignored) and HEAD's working
+tree, strictly sequential, N rounds each, comparing medians — the ONLY
+protocol under which a cross-version headline-bench claim is valid on
+this box.
 
 ``--suite tpch`` (VERDICT r5 #5) widens the measured surface to the full
 TPC-H 22-query family at the same sf: per-query Spark best-of-3 PLUS the
 same query's DuckDB oracle best-of-3 on the same parquet, so every row
 carries its own engine-independent baseline (bar: spark ≤ 2× duckdb,
-tracked per round as BENCH_TPCH_r{N}.json).  The default (no args)
-behavior is byte-identical to before — the driver's contract.
+tracked per round as BENCH_TPCH_r{N}.json).
 """
 
 from __future__ import annotations
@@ -19,8 +33,12 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
+
+PASSES = 7
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -109,50 +127,142 @@ def run_tpch(sf_dir: str, sf: float) -> None:
     )
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--suite", choices=["headline", "tpch"], default="headline")
-    args = ap.parse_args()
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    if args.suite == "tpch":
-        run_tpch(sf_dir, sf)
-        return
+def run_headline(sf_dir: str, sf: float) -> None:
     # BASELINE.md methodology: shuffle.partitions=8 at this tiny scale; AQE
     # off for the bench profile (its stage-materialization barriers cost
     # ~30% on sub-second queries and fix nothing at sf0.1 — see session.py).
     spark = get_spark("bench", shuffle_partitions=8, adaptive=False)
-    # Warm-up pass: run every bench query once untimed so best-of-3 measures
+    # Warm-up pass: run every bench query once untimed so best-of-N measures
     # steady-state execution (JIT-compiled codegen, warm parquet footers),
-    # matching BASELINE.md's best-of-3 protocol intent.
+    # matching BASELINE.md's best-of-N protocol intent.
     for key in BENCH_QUERIES.values():
         registry.QUERIES[key](spark, sf_dir).collect()
 
-    results: dict[str, float] = {}
-    for metric, key in BENCH_QUERIES.items():
-        fn = registry.QUERIES[key]
-        best = float("inf")
-        for _ in range(3):
+    # PASSES interleaved suite passes: each pass times every query once, so
+    # the per-pass totals are same-moment samples of the whole suite — their
+    # median and spread quantify this box's run-to-run envelope in the
+    # record itself (VERDICT r6 #2).
+    per_query: dict[str, list[float]] = {m: [] for m in BENCH_QUERIES}
+    pass_totals: list[float] = []
+    for _ in range(PASSES):
+        total = 0.0
+        for metric, key in BENCH_QUERIES.items():
+            fn = registry.QUERIES[key]
             # Fresh DataFrame per run: re-collecting one DataFrame object lets
             # AQE reuse materialized shuffle outputs, which would measure
             # result-cache hits instead of execution. Rebuild so every run
             # pays analysis + optimization + full execution + fetch.
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        results[metric] = round(best, 3)
+            dt = time.perf_counter() - t0
+            per_query[metric].append(dt)
+            total += dt
+        pass_totals.append(round(total, 3))
 
+    results = {m: round(min(v), 3) for m, v in per_query.items()}
     print(
         json.dumps(
             {
-                "metric": "bench_total_best3",
+                "metric": f"bench_total_best{PASSES}",
                 "value": round(sum(results.values()), 3),
                 "unit": "sec",
                 "queries": results,
                 "sf": sf,
+                "passes": PASSES,
+                "runs": pass_totals,
+                "median": round(statistics.median(pass_totals), 3),
+                "spread": round(max(pass_totals) - min(pass_totals), 3),
             }
         )
     )
+
+
+def _bench_value(stdout: str) -> float:
+    """Extract the comparison value from one bench subprocess's JSON line:
+    the stamped ``median`` when present (dispersion-aware bench), else
+    ``value`` (pre-round-7 best-of-3 bench at an older commit)."""
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            rec = json.loads(line)
+            return float(rec.get("median", rec["value"]))
+    raise RuntimeError(f"no JSON line in bench output: {stdout[-500:]!r}")
+
+
+def run_ab(base: str, rounds: int, sf_dir: str, sf: float) -> None:
+    """SCALING.md round-6 interleaved A/B protocol as code: alternating
+    fresh ``python bench.py`` subprocesses (base checkout first, then HEAD
+    working tree), strictly sequential, ``rounds`` rounds. Fresh process =
+    fresh JVM per sample; interleaving cancels slow box-state drift. The
+    medians (not single runs) carry the verdict: on this box the same-code
+    envelope is ±10-12%, so only a median gap well past the recorded
+    spreads is an engine regression."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sha = subprocess.run(
+        ["git", "rev-parse", "--short", base],
+        cwd=repo, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    ab_dir = os.path.join(repo, f".ab_{sha}")
+    if not os.path.isdir(ab_dir):
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", ab_dir, sha],
+            cwd=repo, check=True, capture_output=True,
+        )
+    env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir}
+    a_runs: list[float] = []
+    b_runs: list[float] = []
+    for i in range(rounds):
+        for label, cwd, sink in (("A", ab_dir, a_runs), ("B", repo, b_runs)):
+            p = subprocess.run(
+                [sys.executable, "bench.py"],
+                cwd=cwd, env=env, capture_output=True, text=True, check=True,
+            )
+            v = _bench_value(p.stdout)
+            sink.append(v)
+            print(f"# round {i + 1} {label} ({cwd}): {v}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_ab_interleaved",
+                "base": sha,
+                "rounds": rounds,
+                "unit": "sec",
+                "a_base": a_runs,
+                "b_head": b_runs,
+                "a_median": round(statistics.median(a_runs), 3),
+                "b_median": round(statistics.median(b_runs), 3),
+                "delta_pct": round(
+                    100.0
+                    * (statistics.median(b_runs) - statistics.median(a_runs))
+                    / statistics.median(a_runs),
+                    1,
+                ),
+                "sf": sf,
+            }
+        )
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", choices=["headline", "tpch"], default="headline")
+    ap.add_argument(
+        "--ab",
+        metavar="COMMIT",
+        help="interleaved A/B: alternate fresh bench subprocesses between a "
+        "checkout of COMMIT and HEAD, print both medians",
+    )
+    ap.add_argument("--ab-rounds", type=int, default=4)
+    args = ap.parse_args()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    if args.ab:
+        run_ab(args.ab, args.ab_rounds, sf_dir, sf)
+        return
+    if args.suite == "tpch":
+        run_tpch(sf_dir, sf)
+        return
+    run_headline(sf_dir, sf)
 
 
 if __name__ == "__main__":
