@@ -24,6 +24,18 @@ If a caller embeds the result in a larger plan and drops the handle
 early, the cache evaporates and the subplan recomputes — correct, just
 uncached (lineage is intact; unlike `localCheckpoint`, an executor loss
 never strands the plan).
+
+SHARED-PLAN INTERPLAY (ADVICE r6): Spark's CacheManager dedupes by
+logical plan, so two concurrent invocations of the same query key in one
+session share ONE cache entry. The first result handle to be dropped
+finalizes and unpersists that shared entry while the second invocation
+is still live — the second stays correct (lineage recomputes) but loses
+its cache. Release promptness also rides on CPython refcounting (a
+reference cycle through the result delays the finalize until gc).
+Acceptable for the engine's actual usage — the driver/selfcheck/tests
+run keys sequentially and drop results promptly — but if overlapping
+invocations become a real pattern, the fix is refcounting releases per
+logical plan (unpersist on last-handle-drop) instead of unconditionally.
 """
 
 from __future__ import annotations

@@ -81,6 +81,17 @@ def bucketed_prefix_sums(
       comparison over NULL values would mismatch silently.  Every
       current oracled caller feeds non-null values; emit explicit
       `NULLS FIRST` in the oracle SQL if one ever does.
+    - Input must be DETERMINISTIC across re-evaluation (ADVICE r6).
+      The input subtree appears MULTIPLE times in the produced plan
+      (bucket offsets + within-bucket window — and ntile_nosort adds a
+      total-count copy), each copy recomputed independently; a
+      nondeterministic input (order-sensitive float aggregate, sampled
+      or rand()-derived frame not behind a persist/checkpoint cut)
+      could yield offsets that disagree with within-bucket sums →
+      silently wrong prefixes.  Callers with such inputs must persist
+      or checkpoint the input first (events_rfm persists, scoped via
+      caching.release_with); all current callers feed deterministic
+      integer histograms or key-embedded values.
     """
     by = list(by)
     b = h.withColumn(
@@ -165,7 +176,14 @@ def ntile_nosort(
     null-safe `<=>` keys) and rank FIRST, matching Spark's ascending
     nulls-first window order.  NB: engines whose default is NULLS LAST
     (DuckDB) order such rows differently — current oracled callers all
-    feed non-null values."""
+    feed non-null values.
+
+    PRECONDITION (ADVICE r6): `df` must be deterministic across
+    re-evaluation — the plan duplicates it (histogram offsets twice +
+    total count, each recomputed independently since the round-6 persist
+    removal), so a nondeterministic input could produce offsets that
+    disagree with totals and wrong bins.  Persist/checkpoint such inputs
+    first, as events_rfm does (see bucketed_prefix_sums PRECONDITIONS)."""
     # NO persist on the histogram (round 6).  Rounds 4-5 cached it
     # (LRU-evicted, never unpersisted) to keep the duplicated histogram
     # subtrees from re-aggregating the input; the un-unpersisted

@@ -111,7 +111,17 @@ def plan_of(df) -> str:
     earlier query happened to persist.  (VERDICT r5: a cached histogram
     hid a 1-row-aggregate build side inside an InMemoryTableScan and the
     BNLJ classifier false-positived 64 nodes on events_rfm — the gate
-    only passed when run first.  A gate must not depend on run order.)"""
+    only passed when run first.  A gate must not depend on run order.)
+
+    SIDE EFFECT (ADVICE r6): clearCache() is session-global — it drops
+    EVERY cached entry, including caches belonging to unrelated live
+    results in the same session (e.g. another test's release_with-scoped
+    result sharing the session fixture).  Those stay CORRECT (lineage
+    recomputes) but lose their cache, so keep plan_of out of
+    perf-sensitive paths and treat it as a diagnostics-only helper; a
+    surgical alternative (uncache only entries referenced by df's plan)
+    isn't worth the plan-walk while the only callers are the sweep gate
+    and plan reports, which own their sessions."""
     df.sparkSession.catalog.clearCache()
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
