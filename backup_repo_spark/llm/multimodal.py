@@ -4,10 +4,13 @@ metadata; decode/feature-extract runs as Arrow-batched Pandas in
 ``mapInPandas`` (the real 100 TB pattern: the Python stage sees columnar
 batches, never rows).
 
-The container has no image/audio libraries, so the decoder is a
-deterministic fake (documented below) — the Spark-side plumbing (binary
-schema, Arrow batch shape, partition-parallel decode) is real and
-oracle-verified because the fake is mirrorable in SQL.
+The container has no image/audio libraries (standing per-round check —
+re-verified 2026-08-15, round 7: PIL, cv2 and soundfile all raise
+ModuleNotFoundError), so the decoder is a deterministic fake (documented
+below) — the Spark-side plumbing (binary schema, Arrow batch shape,
+partition-parallel decode) is real and oracle-verified because the fake
+is mirrorable in SQL. Swap the fake for the real codec the round a
+library appears.
 """
 
 from __future__ import annotations
