@@ -1139,7 +1139,13 @@ def llm_dedup_cluster_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the pair graph is LSH-candidate-sized and every stage —
     band join, Jaccard verify, label propagation — shuffles on bounded
     keys. The exact key remains the ground-truth oracle form; the two
-    keys agree wherever LSH recall is 1 (audited by `llm_lsh_eval`)."""
+    keys agree wherever LSH recall is 1 (audited by `llm_lsh_eval`).
+
+    Measured (round 7, same-session trio with the generator, SCALING.md):
+    21.5 s at 10× → 90.1 s at 50× — step 4.20× for 5× data, AT/BELOW the
+    generator's own same-session 4.79× (label propagation adds nothing
+    measurable) and ~1.8× faster than the exact-ngram-fed cluster key's
+    161 s at 50×."""
     pairs = QUERIES["llm_dedup_minhash_banded"](spark, sf_dir).select("da", "db")
     labels = _component_labels(pairs)
     return (
@@ -1160,7 +1166,12 @@ def llm_dedup_survivorship_banded(spark: SparkSession, sf_dir: str) -> DataFrame
     sub-5x octave steps instead of the exact shingle join's 6.64x
     (SCALING.md round 6). The oracle re-derives the same pair set, the
     same components, and the same keepers in DuckDB — values verified,
-    not just shapes."""
+    not just shapes.
+
+    Measured (round 7, same-session trio with the generator, SCALING.md):
+    19.4 s at 10× → 87.0 s at 50× — step 4.48× vs the generator's
+    same-session 4.79× (the keeper argmax is two partial-aggregable
+    passes over graph-sized data; it adds nothing)."""
     pairs = QUERIES["llm_dedup_minhash_banded"](spark, sf_dir).select("da", "db")
     labels = _component_labels(pairs)
     d = load_table(spark, sf_dir, "documents")
