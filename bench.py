@@ -177,15 +177,12 @@ def run_headline(sf_dir: str, sf: float) -> None:
     )
 
 
-def _bench_value(stdout: str) -> float:
-    """Extract the comparison value from one bench subprocess's JSON line:
-    the stamped ``median`` when present (dispersion-aware bench), else
-    ``value`` (pre-round-7 best-of-3 bench at an older commit)."""
+def _bench_record(stdout: str) -> dict:
+    """Parse the JSON record from one bench subprocess's output."""
     for line in reversed(stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
-            rec = json.loads(line)
-            return float(rec.get("median", rec["value"]))
+            return json.loads(line)
     raise RuntimeError(f"no JSON line in bench output: {stdout[-500:]!r}")
 
 
@@ -209,17 +206,32 @@ def run_ab(base: str, rounds: int, sf_dir: str, sf: float) -> None:
             cwd=repo, check=True, capture_output=True,
         )
     env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir}
-    a_runs: list[float] = []
-    b_runs: list[float] = []
+    a_recs: list[dict] = []
+    b_recs: list[dict] = []
     for i in range(rounds):
-        for label, cwd, sink in (("A", ab_dir, a_runs), ("B", repo, b_runs)):
+        for label, cwd, sink in (("A", ab_dir, a_recs), ("B", repo, b_recs)):
             p = subprocess.run(
                 [sys.executable, "bench.py"],
                 cwd=cwd, env=env, capture_output=True, text=True, check=True,
             )
-            v = _bench_value(p.stdout)
-            sink.append(v)
-            print(f"# round {i + 1} {label} ({cwd}): {v}", file=sys.stderr)
+            rec = _bench_record(p.stdout)
+            sink.append(rec)
+            print(
+                f"# round {i + 1} {label} ({cwd}): value={rec['value']} "
+                f"median={rec.get('median', '-')}",
+                file=sys.stderr,
+            )
+    # Like-for-like statistic: per-run medians only when BOTH sides stamp
+    # them; otherwise fall back to `value` on both sides (an old-format
+    # checkout reports best-of-3 — comparing its best against HEAD's
+    # median would bake a ~15-20% artifact into delta_pct).
+    stat = (
+        "median"
+        if all("median" in r for r in a_recs + b_recs)
+        else "value"
+    )
+    a_runs = [float(r[stat]) for r in a_recs]
+    b_runs = [float(r[stat]) for r in b_recs]
     print(
         json.dumps(
             {
@@ -227,6 +239,7 @@ def run_ab(base: str, rounds: int, sf_dir: str, sf: float) -> None:
                 "base": sha,
                 "rounds": rounds,
                 "unit": "sec",
+                "stat": stat,
                 "a_base": a_runs,
                 "b_head": b_runs,
                 "a_median": round(statistics.median(a_runs), 3),
