@@ -177,6 +177,16 @@ def run_headline(sf_dir: str, sf: float) -> None:
     )
 
 
+def _ab_stat(recs: list) -> str:
+    """Like-for-like A/B statistic: per-run medians only when EVERY record
+    stamps one; otherwise fall back to `value` on both sides.  An
+    old-format checkout reports best-of-3 as `value` — comparing its best
+    against HEAD's median would bake a ~15-20% artifact into delta_pct
+    (best-of-N sits below a median by construction; the first smoke run
+    of this tool read a phantom +21.7% exactly this way)."""
+    return "median" if all("median" in r for r in recs) else "value"
+
+
 def _bench_record(stdout: str) -> dict:
     """Parse the JSON record from one bench subprocess's output."""
     for line in reversed(stdout.strip().splitlines()):
@@ -221,15 +231,7 @@ def run_ab(base: str, rounds: int, sf_dir: str, sf: float) -> None:
                 f"median={rec.get('median', '-')}",
                 file=sys.stderr,
             )
-    # Like-for-like statistic: per-run medians only when BOTH sides stamp
-    # them; otherwise fall back to `value` on both sides (an old-format
-    # checkout reports best-of-3 — comparing its best against HEAD's
-    # median would bake a ~15-20% artifact into delta_pct).
-    stat = (
-        "median"
-        if all("median" in r for r in a_recs + b_recs)
-        else "value"
-    )
+    stat = _ab_stat(a_recs + b_recs)
     a_runs = [float(r[stat]) for r in a_recs]
     b_runs = [float(r[stat]) for r in b_recs]
     print(
