@@ -24,6 +24,135 @@ from pyspark.sql import functions as F
 from backup_repo_spark.registry import ORACLES, QUERIES, query
 from backup_repo_spark.session import load_table
 
+# ---------------------------------------------------------------------------
+# Shared MinHash-LSH building blocks (ADVICE r7: llm_dedup_minhash_banded,
+# llm_lsh_eval and llm_lsh_plan each hand-copied the shingle/signature
+# construction, and the "the 4x2 planner row IS the shipped configuration"
+# guarantee rested on three copies staying manually in sync). The Spark
+# expressions and the DuckDB CTE strings below are now the single source of
+# truth for that hash family on both sides of the oracle comparison.
+
+
+def _shingle3_arr():
+    """DISTINCT 3-gram word-shingle array expression over `text`."""
+    toks = F.split(F.col("text"), " ")
+    return F.array_distinct(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        )
+    )
+
+
+def _shingles3(d: DataFrame) -> DataFrame:
+    """Exploded distinct 3-shingles: (doc_id, sh). Map-side only."""
+    return d.select("doc_id", F.explode(_shingle3_arr()).alias("sh"))
+
+
+def _sig8(shingles: DataFrame) -> DataFrame:
+    """THE shipped 8-hash salted-md5 MinHash family (salts b1..b8):
+    (doc_id, h1..h8). Engine-independent, so oracles verify the values."""
+    return shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"b{i}-"), F.col("sh")))).alias(f"h{i}")
+            for i in range(1, 9)
+        ]
+    )
+
+
+def _bands42(sig: DataFrame) -> DataFrame:
+    """The shipped 4-band × 2-row banding of `_sig8`: (doc_id, band, bkey)."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(F.col(f"h{2 * b - 1}"), F.col(f"h{2 * b}")).alias(
+                            "bkey"
+                        ),
+                    )
+                    for b in (1, 2, 3, 4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bkey")
+
+
+def _exact_pairs(shingles: DataFrame, tau: float) -> DataFrame:
+    """Exact shingle-set Jaccard pairs at threshold `tau`:
+    (da, db, jaccard[double, unrounded]). The equi-self-join on `sh`
+    computes |A∩B| without materializing the pair space; quadratic in the
+    hottest shingle's doc frequency, so at 100 TB it runs on LSH
+    candidates or a planning sample, never the full corpus."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .filter(jac >= tau)
+        .select("da", "db", jac.alias("jaccard"))
+    )
+
+
+# DuckDB mirror of the same family, composable CTE fragments (each fragment
+# only references names defined earlier in the composition order used below).
+_LSH_SHINGLE_CTES = """
+    tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tk),
+    shingles AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM idx WHERE i <= len(toks) - 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    )"""
+
+# exact all-pairs truth at tau=0.5: inter (all-pairs intersection) + tp
+_LSH_TRUTH_CTES = """
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), tp AS (
+      SELECT da, db
+      FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    )"""
+
+_LSH_SIG_CTE = """
+    sig AS (
+      SELECT doc_id,
+             min(md5('b1-' || sh)) AS h1, min(md5('b2-' || sh)) AS h2,
+             min(md5('b3-' || sh)) AS h3, min(md5('b4-' || sh)) AS h4,
+             min(md5('b5-' || sh)) AS h5, min(md5('b6-' || sh)) AS h6,
+             min(md5('b7-' || sh)) AS h7, min(md5('b8-' || sh)) AS h8
+      FROM shingles GROUP BY doc_id
+    )"""
+
+_LSH_BANDS42_CTES = """
+    bands AS (
+      SELECT doc_id, 1 AS band, h1 || h2 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 2, h3 || h4 FROM sig
+      UNION ALL SELECT doc_id, 3, h5 || h6 FROM sig
+      UNION ALL SELECT doc_id, 4, h7 || h8 FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )"""
+
 
 @query(
     "llm_dedup_exact",
@@ -63,19 +192,10 @@ def llm_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic and engine-independent (unlike ml.MinHashLSH's internal
     hashes), so the oracle can verify the signature values themselves.
     Map-only: shingle → 4 salted hashes → min. Zero shuffle before the
-    final per-doc aggregate."""
+    final per-doc aggregate. (Distinct 4-hash s1..s4 family — the shipped
+    8-hash banding family lives in `_sig8`.)"""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    # 3-gram shingles via transform over token positions
-    sh = F.array_distinct(
-        F.transform(
-            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda x, i: F.concat_ws(
-                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-            ),
-        )
-    )
-    ex = d.select("doc_id", F.explode(sh).alias("sh"))
+    ex = _shingles3(d)
     return ex.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"s{i}-"), F.col("sh")))).alias(f"mh{i}")
@@ -111,32 +231,8 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     space; at 100 TB this stage runs only on LSH candidate pairs (the
     shingle join is quadratic in the hottest shingle's doc-frequency)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    sh = F.array_distinct(
-        F.transform(
-            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda x, i: F.concat_ws(
-                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-            ),
-        )
-    )
-    shingles = d.select("doc_id", F.explode(sh).alias("sh"))
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(sa, "da")
-        .join(sb, "db")
-        .filter(jac >= 0.35)
-        .select("da", "db", F.round(jac, 4).alias("jaccard"))
+    return _exact_pairs(_shingles3(d), 0.35).select(
+        "da", "db", F.round("jaccard", 4).alias("jaccard")
     )
 
 
@@ -588,31 +684,9 @@ def _component_labels(pairs: DataFrame) -> DataFrame:
 
 @query(
     "llm_dedup_minhash_banded",
-    oracle="""
-    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    idx AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tk),
-    shingles AS (
-      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-      FROM idx WHERE i <= len(toks) - 2
-    ), sig AS (
-      SELECT doc_id,
-             min(md5('b1-' || sh)) AS h1, min(md5('b2-' || sh)) AS h2,
-             min(md5('b3-' || sh)) AS h3, min(md5('b4-' || sh)) AS h4,
-             min(md5('b5-' || sh)) AS h5, min(md5('b6-' || sh)) AS h6,
-             min(md5('b7-' || sh)) AS h7, min(md5('b8-' || sh)) AS h8
-      FROM shingles GROUP BY doc_id
-    ), bands AS (
-      SELECT doc_id, 1 AS band, h1 || h2 AS bkey FROM sig
-      UNION ALL SELECT doc_id, 2, h3 || h4 FROM sig
-      UNION ALL SELECT doc_id, 3, h5 || h6 FROM sig
-      UNION ALL SELECT doc_id, 4, h7 || h8 FROM sig
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    ), sizes AS (
-      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
-    ), inter AS (
+    oracle=f"""
+    WITH {_LSH_SHINGLE_CTES}, {_LSH_SIG_CTE}, {_LSH_BANDS42_CTES},
+    inter AS (
       SELECT c.da, c.db, count(*) AS i
       FROM cand c
       JOIN shingles a ON a.doc_id = c.da
@@ -640,38 +714,8 @@ def llm_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys + doc ids, and hot buckets are bounded by band width (2 rows keeps
     bucket collision probability j^2)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    sh_arr = F.array_distinct(
-        F.transform(
-            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda x, i: F.concat_ws(
-                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-            ),
-        )
-    )
-    shingles = d.select("doc_id", F.explode(sh_arr).alias("sh"))
-    sig = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"b{i}-"), F.col("sh")))).alias(f"h{i}")
-            for i in range(1, 9)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat(F.col(f"h{2 * b - 1}"), F.col(f"h{2 * b}")).alias(
-                            "bkey"
-                        ),
-                    )
-                    for b in (1, 2, 3, 4)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", "e.band", "e.bkey")
+    shingles = _shingles3(d)
+    bands = _bands42(_sig8(shingles))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -704,39 +748,9 @@ def llm_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_lsh_eval",
-    oracle="""
-    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    idx AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tk),
-    shingles AS (
-      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-      FROM idx WHERE i <= len(toks) - 2
-    ), sizes AS (
-      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), tp AS (
-      SELECT da, db
-      FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
-    ), sig AS (
-      SELECT doc_id,
-             min(md5('b1-' || sh)) AS h1, min(md5('b2-' || sh)) AS h2,
-             min(md5('b3-' || sh)) AS h3, min(md5('b4-' || sh)) AS h4,
-             min(md5('b5-' || sh)) AS h5, min(md5('b6-' || sh)) AS h6,
-             min(md5('b7-' || sh)) AS h7, min(md5('b8-' || sh)) AS h8
-      FROM shingles GROUP BY doc_id
-    ), bands AS (
-      SELECT doc_id, 1 AS band, h1 || h2 AS bkey FROM sig
-      UNION ALL SELECT doc_id, 2, h3 || h4 FROM sig
-      UNION ALL SELECT doc_id, 3, h5 || h6 FROM sig
-      UNION ALL SELECT doc_id, 4, h7 || h8 FROM sig
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    ), m AS (
+    oracle=f"""
+    WITH {_LSH_SHINGLE_CTES}, {_LSH_TRUTH_CTES}, {_LSH_SIG_CTE},
+    {_LSH_BANDS42_CTES}, m AS (
       SELECT (SELECT count(*) FROM tp) AS n_true,
              (SELECT count(*) FROM cand) AS n_cand,
              (SELECT count(*) FROM cand c
@@ -756,50 +770,9 @@ def llm_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines compute the SAME audit — the tuning loop for bands-vs-rows
     runs entirely inside the engine before any 100 TB job is launched."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    sh_arr = F.array_distinct(
-        F.transform(
-            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda x, i: F.concat_ws(
-                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-            ),
-        )
-    )
-    shingles = d.select("doc_id", F.explode(sh_arr).alias("sh"))
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = shingles.alias("a"), shingles.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    tp = (
-        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
-        .filter(jac >= 0.5)
-        .select("da", "db")
-    )
-    sig = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"b{i}-"), F.col("sh")))).alias(f"h{i}")
-            for i in range(1, 9)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.concat(F.col(f"h{2 * k - 1}"), F.col(f"h{2 * k}")).alias("bkey"),
-                    )
-                    for k in (1, 2, 3, 4)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", "e.band", "e.bkey")
+    shingles = _shingles3(d)
+    tp = _exact_pairs(shingles, 0.5).select("da", "db")
+    bands = _bands42(_sig8(shingles))
     ba, bb = bands.alias("ba"), bands.alias("bb")
     cand = (
         ba.join(
@@ -837,35 +810,15 @@ _LSH_PLAN_GRID = [
     (8, 1), (4, 1), (2, 1), (4, 2), (3, 2), (2, 2), (2, 3), (2, 4),
     (1, 4), (1, 8),
 ]
+# Every config slices the first b*r of the 8 shared hashes; a wider entry
+# (e.g. (3, 3)) would only fail later with an opaque unresolved-column `h9`
+# error in BOTH engines (ADVICE r7), so guard the grid at definition.
+assert all(b * r <= 8 for b, r in _LSH_PLAN_GRID), "grid config exceeds the 8-hash signature"
 
-# Shared exact-truth + signature CTE prefix (identical to llm_lsh_eval's
-# oracle): shingles -> exact Jaccard pairs at tau=0.5 (tp) -> 8 salted-md5
-# minhashes (sig).
-_LSH_TRUTH_SIG_CTES = """
-    tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    idx AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tk),
-    shingles AS (
-      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-      FROM idx WHERE i <= len(toks) - 2
-    ), sizes AS (
-      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), tp AS (
-      SELECT da, db
-      FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
-    ), sig AS (
-      SELECT doc_id,
-             min(md5('b1-' || sh)) AS h1, min(md5('b2-' || sh)) AS h2,
-             min(md5('b3-' || sh)) AS h3, min(md5('b4-' || sh)) AS h4,
-             min(md5('b5-' || sh)) AS h5, min(md5('b6-' || sh)) AS h6,
-             min(md5('b7-' || sh)) AS h7, min(md5('b8-' || sh)) AS h8
-      FROM shingles GROUP BY doc_id
-    )
-"""
+# Shared exact-truth + signature CTE prefix (same fragments llm_lsh_eval's
+# oracle composes): shingles/sizes -> exact Jaccard pairs at tau=0.5 (tp)
+# -> 8 salted-md5 minhashes (sig).
+_LSH_TRUTH_SIG_CTES = f"{_LSH_SHINGLE_CTES}, {_LSH_TRUTH_CTES}, {_LSH_SIG_CTE}"
 
 
 def _lsh_plan_sql() -> str:
@@ -927,8 +880,9 @@ def llm_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     knob a 100 TB dedup operator actually turns before launching.
 
     One pass computes every config: the 8-hash salted-md5 signature is
-    shared (same family as `llm_dedup_minhash_banded`, so the 4x2 row IS
-    the shipped config), each config's bands are slices of it, and ONE
+    `_sig8` — the SAME code object `llm_dedup_minhash_banded` ships (so
+    the 4x2 row IS the shipped config, by construction rather than by
+    manually-synced copies), each config's bands are slices of it, and ONE
     band-bucket self-join keyed on (cfg, band, bkey) produces all
     candidate sets simultaneously. Per config: exact candidate count,
     hits against ground truth (exact Jaccard >= 0.5), precision, recall,
@@ -947,39 +901,9 @@ def llm_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact self-join, which is why the planner runs on a sample/fixture,
     not the full corpus."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    sh_arr = F.array_distinct(
-        F.transform(
-            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda x, i: F.concat_ws(
-                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-            ),
-        )
-    )
-    shingles = d.select("doc_id", F.explode(sh_arr).alias("sh"))
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa, sb = shingles.alias("a"), shingles.alias("b")
-    inter = (
-        sa.join(
-            sb,
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    tp = (
-        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
-        .filter(jac >= 0.5)
-        .select("da", "db")
-    )
-    sig = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"b{i}-"), F.col("sh")))).alias(f"h{i}")
-            for i in range(1, 9)
-        ]
-    )
+    shingles = _shingles3(d)
+    tp = _exact_pairs(shingles, 0.5).select("da", "db")
+    sig = _sig8(shingles)
     entries = []
     for b, r in _LSH_PLAN_GRID:
         cfg = f"{b}x{r}"

@@ -22,9 +22,23 @@ configuration itself. What "on the frontier" means here, precisely:
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
 from backup_repo_spark.registry import QUERIES
 
+# The frontier assertions are calibrated to the 10x fixture: at smaller
+# scales the planted-dup counts are too small for the r=1-pays->10x-
+# candidates margin to hold robustly (so SPARK_GRAFT_SF_DIR, which may
+# point at any sf, is deliberately NOT honored here). Skip cleanly when
+# the fixture is absent rather than failing on an implicit environment
+# dependency (ADVICE r7: the suite's only hard-coded sf0.1 path).
 SF01 = "/root/testdata/sf0.1"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF01), reason=f"10x fixture dir {SF01} not present"
+)
 
 
 def _plan_rows(spark):
