@@ -21,11 +21,15 @@ tree, strictly sequential, N rounds each, comparing medians — the ONLY
 protocol under which a cross-version headline-bench claim is valid on
 this box.
 
-``--suite tpch`` (VERDICT r5 #5) widens the measured surface to the full
-TPC-H 22-query family at the same sf: per-query Spark best-of-3 PLUS the
-same query's DuckDB oracle best-of-3 on the same parquet, so every row
-carries its own engine-independent baseline (bar: spark ≤ 2× duckdb,
-tracked per round as BENCH_TPCH_r{N}.json).
+``--suite tpch`` (VERDICT r5 #5; dispersion-stamped per VERDICT r7 #2)
+widens the measured surface to the full TPC-H 22-query family at the
+same sf: ``TPCH_PASSES`` interleaved passes time every query on Spark
+AND its DuckDB oracle back-to-back within each pass, so each per-query
+ratio is a same-moment sample. The record stamps per-query best, median
+and spread for BOTH engines — a ratio flag (the r7 q19/q11 class) is
+now adjudicable from BENCH_TPCH_r{N}.json alone: a flagged best whose
+median/spread show a wide same-code envelope is box state, not engine.
+Bar: spark ≤ 2× duckdb per query, 22× DuckDB-anchored flag line.
 """
 
 from __future__ import annotations
@@ -84,14 +88,15 @@ TPCH_QUERIES = {
 }
 
 
-def _best3(run) -> float:
-    run()  # warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+TPCH_PASSES = 5
+
+
+def _disp(times: dict[str, list[float]]) -> tuple[dict, dict, dict]:
+    """(best, median, spread) per key over the interleaved pass samples."""
+    best = {m: round(min(v), 3) for m, v in times.items()}
+    med = {m: round(statistics.median(v), 3) for m, v in times.items()}
+    spr = {m: round(max(v) - min(v), 3) for m, v in times.items()}
+    return best, med, spr
 
 
 def run_tpch(sf_dir: str, sf: float) -> None:
@@ -106,22 +111,52 @@ def run_tpch(sf_dir: str, sf: float) -> None:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
-    spark_secs: dict[str, float] = {}
-    duck_secs: dict[str, float] = {}
-    for metric, key in TPCH_QUERIES.items():
-        fn, osql = registry.QUERIES[key], registry.ORACLES[key]
-        spark_secs[metric] = _best3(lambda: fn(spark, sf_dir).collect())
-        duck_secs[metric] = _best3(lambda: con.execute(osql).fetchall())
+    # Warm pass (untimed, both engines) so the timed passes measure
+    # steady state — same protocol intent as the headline suite.
+    for key in TPCH_QUERIES.values():
+        registry.QUERIES[key](spark, sf_dir).collect()
+        con.execute(registry.ORACLES[key]).fetchall()
+
+    # TPCH_PASSES interleaved passes; within a pass each query runs Spark
+    # then DuckDB back-to-back, so every per-query ratio is a same-moment
+    # sample and box-state drift cancels per query, not just per suite.
+    spark_t: dict[str, list[float]] = {m: [] for m in TPCH_QUERIES}
+    duck_t: dict[str, list[float]] = {m: [] for m in TPCH_QUERIES}
+    pass_totals: list[float] = []
+    for _ in range(TPCH_PASSES):
+        total = 0.0
+        for metric, key in TPCH_QUERIES.items():
+            fn, osql = registry.QUERIES[key], registry.ORACLES[key]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            spark_t[metric].append(dt)
+            total += dt
+            t0 = time.perf_counter()
+            con.execute(osql).fetchall()
+            duck_t[metric].append(time.perf_counter() - t0)
+        pass_totals.append(round(total, 3))
+
+    s_best, s_med, s_spr = _disp(spark_t)
+    d_best, d_med, d_spr = _disp(duck_t)
     print(
         json.dumps(
             {
-                "metric": "bench_tpch_total_best3",
-                "value": round(sum(spark_secs.values()), 3),
+                "metric": f"bench_tpch_total_best{TPCH_PASSES}",
+                "value": round(sum(s_best.values()), 3),
                 "unit": "sec",
-                "queries": spark_secs,
-                "duckdb": duck_secs,
-                "duckdb_total": round(sum(duck_secs.values()), 3),
+                "queries": s_best,
+                "duckdb": d_best,
+                "duckdb_total": round(sum(d_best.values()), 3),
                 "sf": sf,
+                "passes": TPCH_PASSES,
+                "runs": pass_totals,
+                "median": round(statistics.median(pass_totals), 3),
+                "spread": round(max(pass_totals) - min(pass_totals), 3),
+                "spark_median": s_med,
+                "spark_spread": s_spr,
+                "duckdb_median": d_med,
+                "duckdb_spread": d_spr,
             }
         )
     )
@@ -196,32 +231,66 @@ def _bench_record(stdout: str) -> dict:
     raise RuntimeError(f"no JSON line in bench output: {stdout[-500:]!r}")
 
 
-def run_ab(base: str, rounds: int, sf_dir: str, sf: float) -> None:
+def _git(repo: str, *args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", repo, *args], capture_output=True, text=True, check=True,
+    ).stdout.strip()
+
+
+def _ab_worktree(repo: str, sha: str) -> str:
+    """Detached worktree of <sha> at .ab_<sha>, verified usable: a cached
+    dir left by an interrupted `worktree add` or carrying local edits would
+    silently skew the A-side, so an existing dir is re-validated (HEAD ==
+    sha AND clean) and recreated if it fails either check."""
+    ab_dir = os.path.join(repo, f".ab_{sha}")
+    if os.path.isdir(ab_dir):
+        try:
+            ok = (
+                _git(ab_dir, "rev-parse", "HEAD") == _git(repo, "rev-parse", sha)
+                and _git(ab_dir, "status", "--porcelain") == ""
+            )
+        except subprocess.CalledProcessError:
+            ok = False  # not a git dir at all — half-created worktree
+        if ok:
+            return ab_dir
+        print(f"# stale/dirty {ab_dir}: recreating", file=sys.stderr)
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", ab_dir],
+            cwd=repo, capture_output=True,
+        )
+        subprocess.run(["rm", "-rf", ab_dir], check=True)
+        subprocess.run(["git", "worktree", "prune"], cwd=repo, capture_output=True)
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", ab_dir, sha],
+        cwd=repo, check=True, capture_output=True,
+    )
+    return ab_dir
+
+
+def run_ab(base: str, rounds: int, sf_dir: str, sf: float,
+           suite: str = "headline") -> None:
     """SCALING.md round-6 interleaved A/B protocol as code: alternating
     fresh ``python bench.py`` subprocesses (base checkout first, then HEAD
     working tree), strictly sequential, ``rounds`` rounds. Fresh process =
     fresh JVM per sample; interleaving cancels slow box-state drift. The
     medians (not single runs) carry the verdict: on this box the same-code
     envelope is ±10-12%, so only a median gap well past the recorded
-    spreads is an engine regression."""
+    spreads is an engine regression. ``--suite tpch`` runs the same
+    protocol over the TPC-H record (VERDICT r7 #2) — per-query flags in
+    the A/B records stay adjudicable via their own dispersion stamps."""
     repo = os.path.dirname(os.path.abspath(__file__))
-    sha = subprocess.run(
-        ["git", "rev-parse", "--short", base],
-        cwd=repo, capture_output=True, text=True, check=True,
-    ).stdout.strip()
-    ab_dir = os.path.join(repo, f".ab_{sha}")
-    if not os.path.isdir(ab_dir):
-        subprocess.run(
-            ["git", "worktree", "add", "--detach", ab_dir, sha],
-            cwd=repo, check=True, capture_output=True,
-        )
+    sha = _git(repo, "rev-parse", "--short", base)
+    ab_dir = _ab_worktree(repo, sha)
     env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir}
+    cmd = [sys.executable, "bench.py"]
+    if suite != "headline":
+        cmd += ["--suite", suite]
     a_recs: list[dict] = []
     b_recs: list[dict] = []
     for i in range(rounds):
         for label, cwd, sink in (("A", ab_dir, a_recs), ("B", repo, b_recs)):
             p = subprocess.run(
-                [sys.executable, "bench.py"],
+                cmd,
                 cwd=cwd, env=env, capture_output=True, text=True, check=True,
             )
             rec = _bench_record(p.stdout)
@@ -239,6 +308,7 @@ def run_ab(base: str, rounds: int, sf_dir: str, sf: float) -> None:
             {
                 "metric": "bench_ab_interleaved",
                 "base": sha,
+                "suite": suite,
                 "rounds": rounds,
                 "unit": "sec",
                 "stat": stat,
@@ -272,7 +342,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     if args.ab:
-        run_ab(args.ab, args.ab_rounds, sf_dir, sf)
+        run_ab(args.ab, args.ab_rounds, sf_dir, sf, suite=args.suite)
         return
     if args.suite == "tpch":
         run_tpch(sf_dir, sf)

@@ -59,3 +59,36 @@ def test_headline_record_contract_fields():
     for k in ("metric", "value", "unit", "queries", "sf", "runs", "median", "spread"):
         assert k in rec
     assert len(rec["runs"]) == bench.PASSES
+
+
+def test_disp_best_median_spread():
+    """_disp is the per-query dispersion kernel of the TPC-H record
+    (VERDICT r7 #2): best=min, median, spread=max-min, all rounded."""
+    best, med, spr = bench._disp({"q19": [0.5, 0.49, 2.18, 0.51, 0.55]})
+    assert best == {"q19": 0.49}
+    assert med == {"q19": 0.51}
+    assert spr == {"q19": 1.69}
+
+
+def test_tpch_record_contract_fields():
+    """BENCH_TPCH_r{N}.json must carry BOTH engines' per-query dispersion
+    so a ratio flag (the r7 q19/q11 class) is adjudicable from the record
+    alone — pinned so a refactor cannot regress to single best-of-3."""
+    qs = {m: 0.1 for m in bench.TPCH_QUERIES}
+    sample = {
+        "metric": f"bench_tpch_total_best{bench.TPCH_PASSES}",
+        "value": 2.2, "unit": "sec", "queries": qs, "duckdb": qs,
+        "duckdb_total": 2.2, "sf": 0.1, "passes": bench.TPCH_PASSES,
+        "runs": [2.2] * bench.TPCH_PASSES, "median": 2.2, "spread": 0.0,
+        "spark_median": qs, "spark_spread": qs,
+        "duckdb_median": qs, "duckdb_spread": qs,
+    }
+    rec = json.loads(json.dumps(sample))
+    for k in ("queries", "duckdb", "spark_median", "spark_spread",
+              "duckdb_median", "duckdb_spread", "runs", "median", "spread"):
+        assert k in rec
+    assert set(rec["spark_median"]) == set(bench.TPCH_QUERIES)
+    # the A/B statistic rule applies unchanged: a tpch record stamps a
+    # median, so new-vs-new compares medians, new-vs-r7-format falls back
+    assert bench._ab_stat([sample, sample]) == "median"
+    assert bench._ab_stat([sample, {"value": 16.1}]) == "value"
