@@ -16,6 +16,14 @@ hash-derived floats, labels 0..9, vec_id 0 = the query vector) so the
 LLM/ANN keys run at scale too.
 
     python tools/scale_sweep.py [--mult 10] [--report SCALESWEEP.json]
+        [--no-reprobe-regressions] [--prior SCALESWEEP_r07.json]
+
+Any key whose in-sweep ratio is >= 2x its prior-round record is re-probed
+once at the END of the sweep before the record is written (default on,
+VERDICT r7 #6): the in-sweep numbers stay under the key's `insweep` field,
+the re-probe becomes the headline ratio, and the record's `reprobe` stamp
+lists the adjudicated keys — back-to-back-sweep contention flags resolve
+inside the record instead of in SCALING.md prose.
 """
 
 from __future__ import annotations
@@ -142,10 +150,91 @@ def _time_key(fn, spark, sf_dir, sink: str = "collect") -> float:
     return round(best, 3)
 
 
+def _regressed_keys(
+    results: dict[str, dict], prior: dict[str, dict], factor: float = 2.0
+) -> list[str]:
+    """Keys whose in-sweep ratio at least `factor`-ed vs the prior-round
+    record — the candidates for an end-of-sweep quiet re-probe. Round 7
+    adjudicated exactly this class by hand (udf_map_in_pandas 14.65x and
+    fn_null 9.06x in-sweep, both back at prior-round levels on a same-day
+    re-probe: back-to-back-sweep contention, not engine); this automates
+    that adjudication before the record is written (VERDICT r7 #6)."""
+    out = []
+    for name, entry in results.items():
+        pr = prior.get(name, {}).get("ratio")
+        r = entry.get("ratio")
+        if pr and r and r >= factor * pr:
+            out.append(name)
+    return sorted(out)
+
+
+def _latest_prior_record() -> str | None:
+    import glob
+
+    recs = sorted(glob.glob(os.path.join(_REPO, "SCALESWEEP_r*.json")))
+    return recs[-1] if recs else None
+
+
+def _reprobe(results, spark, out, sink, prior_path, mult) -> dict:
+    """Re-measure every regressed key once more at the END of the sweep
+    (after the back-to-back burst has passed), keeping the in-sweep
+    numbers under `insweep` and promoting the re-probe to the key's
+    headline base/scaled/ratio. Returns the report stamp."""
+    try:
+        with open(prior_path) as fh:
+            prior_report = json.load(fh)
+    except (OSError, json.JSONDecodeError, TypeError) as e:
+        print(f"reprobe: no usable prior record ({e}); skipped", file=sys.stderr)
+        return {"prior": prior_path, "skipped": "unreadable prior record"}
+    if (
+        prior_report.get("mult") != mult
+        or prior_report.get("sink", "collect") != sink
+    ):
+        print("reprobe: prior record protocol differs; skipped", file=sys.stderr)
+        return {"prior": prior_path, "skipped": "prior mult/sink differ"}
+    flagged = _regressed_keys(results, prior_report["results"])
+    reprobed = []
+    for name in flagged:
+        entry = results[name]
+        try:
+            _session._TABLE_CACHE.clear()
+            base = _time_key(registry.QUERIES[name], spark, "/root/testdata/sf0.1", sink)
+            _session._TABLE_CACHE.clear()
+            scaled = _time_key(registry.QUERIES[name], spark, out, sink)
+        except Exception as e:  # noqa: BLE001
+            entry["reprobe_err"] = f"{type(e).__name__}: {str(e)[:160]}"
+            continue
+        entry["insweep"] = {
+            "base": entry["base"], "scaled": entry["scaled"], "ratio": entry["ratio"],
+        }
+        entry["base"], entry["scaled"] = base, scaled
+        entry["ratio"] = round(scaled / max(base, 1e-9), 2)
+        reprobed.append(name)
+        print(
+            f"reprobe {name}: prior {prior_report['results'][name]['ratio']} "
+            f"-> insweep {entry['insweep']['ratio']} -> {entry['ratio']}",
+            file=sys.stderr,
+        )
+    return {"prior": os.path.basename(prior_path), "keys": reprobed}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--report", default="SCALESWEEP.json")
+    ap.add_argument(
+        "--reprobe-regressions",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="re-measure any key whose ratio >= 2x its prior-round record "
+        "at the end of the sweep, before the record is written (default on)",
+    )
+    ap.add_argument(
+        "--prior",
+        default=None,
+        help="prior-round SCALESWEEP record to compare against "
+        "(default: newest SCALESWEEP_r*.json in the repo root)",
+    )
     ap.add_argument(
         "--sink",
         choices=["collect", "noop"],
@@ -195,6 +284,11 @@ def main() -> None:
         results[name] = entry
         print(f"{name}: {entry}", file=sys.stderr)
 
+    reprobe_stamp = None
+    if args.reprobe_regressions:
+        prior_path = args.prior or _latest_prior_record()
+        reprobe_stamp = _reprobe(results, spark, out, args.sink, prior_path, args.mult)
+
     if args.merge_into:
         with open(args.merge_into) as fh:
             prior_report = json.load(fh)
@@ -232,6 +326,8 @@ def main() -> None:
         "worst20": [{"key": k, **v} for k, v in worst],
         "results": results,
     }
+    if reprobe_stamp is not None:
+        report["reprobe"] = reprobe_stamp
     with open(args.report, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps({"keys_timed": len(ok), "errored": report["keys_errored"],
