@@ -290,16 +290,9 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    sh = F.array_distinct(
-        F.transform(
-            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda x, i: F.concat_ws(
-                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-            ),
-        )
+    docs = d.select("doc_id", _shingle3_arr().alias("shingles")).filter(
+        F.size("shingles") > 0
     )
-    docs = d.select("doc_id", sh.alias("shingles")).filter(F.size("shingles") > 0)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 14)
     feat = tf.transform(docs)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
@@ -1173,36 +1166,8 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("i.doc_id").alias("doc_id"))
         .agg(F.min(F.col("b.doc_id")).alias("dup_of"))
     )
-    toks = F.split(F.col("text"), " ")
-    sh_arr = F.array_distinct(
-        F.transform(
-            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda x, i: F.concat_ws(
-                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-            ),
-        )
-    )
-    shingles = d.select("doc_id", F.explode(sh_arr).alias("sh"))
-    sig = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"b{i}-"), F.col("sh")))).alias(f"h{i}")
-            for i in range(1, 9)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.concat(F.col(f"h{2 * k - 1}"), F.col(f"h{2 * k}")).alias("bkey"),
-                    )
-                    for k in (1, 2, 3, 4)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", "e.band", "e.bkey")
+    shingles = _shingles3(d)
+    bands = _bands42(_sig8(shingles))
     ib = bands.filter(F.col("doc_id") >= 400).alias("ib")
     bb = bands.filter(F.col("doc_id") < 400).alias("bb")
     cand = (
@@ -1269,16 +1234,7 @@ def llm_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs with zero shared shingles never materialize (the shingle join
     only produces co-occurring pairs). Exact integer bucket arithmetic."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    sh_arr = F.array_distinct(
-        F.transform(
-            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda x, i: F.concat_ws(
-                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-            ),
-        )
-    )
-    shingles = d.select("doc_id", F.explode(sh_arr).alias("sh"))
+    shingles = _shingles3(d)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = shingles.alias("a"), shingles.alias("b")
     inter = (
