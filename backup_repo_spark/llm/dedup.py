@@ -959,12 +959,12 @@ def llm_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _survivor_sql(pairs_sql: str) -> str:
-    """Recursive-CTE survivorship (best-doc-per-component) over a (da, db)
-    pair query — shared oracle template for the exact-ngram and banded-LSH
-    survivorship keys."""
+def _component_keeper_ctes(pairs_sql: str) -> str:
+    """Shared recursive-CTE chain: (da, db) pairs -> connected components
+    (min reachable label) -> best-doc keeper per component (max vocabulary
+    diversity, min doc_id tie-break). Composable base for the
+    survivorship and drop-rate oracles."""
     return f"""
-    WITH RECURSIVE
     pairs AS ({pairs_sql}),
     uedges AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
     nodes AS (SELECT DISTINCT u FROM uedges),
@@ -984,7 +984,15 @@ def _survivor_sql(pairs_sql: str) -> str:
       SELECT j.component, min(j.doc_id) AS keeper, min(j.q) AS keeper_quality
       FROM j JOIN m ON j.component = m.component AND j.q = m.mq
       GROUP BY j.component
-    ),
+    )"""
+
+
+def _survivor_sql(pairs_sql: str) -> str:
+    """Recursive-CTE survivorship (best-doc-per-component) over a (da, db)
+    pair query — shared oracle template for the exact-ngram and banded-LSH
+    survivorship keys."""
+    return f"""
+    WITH RECURSIVE {_component_keeper_ctes(pairs_sql)},
     sz AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1)
     SELECT b.component, b.keeper, b.keeper_quality, sz.csize
     FROM best b JOIN sz USING (component)
@@ -1093,6 +1101,115 @@ def llm_dedup_survivorship_banded(spark: SparkSession, sf_dir: str) -> DataFrame
     labels = _component_labels(pairs)
     d = load_table(spark, sf_dir, "documents")
     return _survivorship(labels, d)
+
+
+@query(
+    "llm_dup_source_matrix",
+    oracle="""
+    WITH pairs AS ({banded}),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(p.jaccard), 4) + 0.0 AS avg_jaccard
+    FROM pairs p
+    JOIN src sa ON p.da = sa.doc_id
+    JOIN src sb ON p.db = sb.doc_id
+    GROUP BY 1, 2
+    """.format(banded=_BANDED_PAIRS_SQL),
+)
+def llm_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: the banded-LSH verified pair set
+    (`llm_dedup_minhash_banded`) joined to each side's `source`, counted
+    per unordered source pair with the mean verified Jaccard — the
+    provenance view a curator reads BEFORE fixing mixture weights (a hot
+    (src_i, src_j) cell means one crawl mirrors another, and sampling
+    both at full weight double-counts that content). Diagonal cells are
+    within-source duplication (templates/boilerplate).
+
+    Scale: two broadcast-able joins of the pair graph against the
+    (doc_id, source) projection, then a groupBy on source pairs — the
+    matrix is |sources|^2-bounded, the work is pair-graph-sized, and the
+    generator is the bucketed LSH join, never the O(n^2) pair space."""
+    pairs = QUERIES["llm_dedup_minhash_banded"](spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    withsrc = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("da"), F.col("source").alias("src_a")),
+            "da",
+        ).join(
+            src.select(F.col("doc_id").alias("db"), F.col("source").alias("src_b")),
+            "db",
+        )
+    )
+    return (
+        withsrc.groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (F.round(F.avg("jaccard"), 4) + 0.0).alias("avg_jaccard"),
+        )
+    )
+
+
+@query(
+    "llm_dedup_drop_rate",
+    oracle="""
+    WITH RECURSIVE {ctes},
+    dropped AS (
+      SELECT c.doc_id
+      FROM comp c JOIN best b ON c.component = b.component
+      WHERE c.doc_id <> b.keeper
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(dr.doc_id) AS BIGINT) AS n_dropped,
+           round(count(dr.doc_id) * 1.0 / count(*), 4) + 0.0 AS drop_rate
+    FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    GROUP BY 1
+    """.format(ctes=_component_keeper_ctes(_BANDED_PAIRS_SQL)),
+)
+def llm_dedup_drop_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus shrinkage under the production dedup path: every
+    non-keeper in a banded-LSH near-dup cluster is a dropped document;
+    report per source (n_docs, n_dropped, drop_rate) — the headline
+    number a dataset curator publishes after a dedup pass ('source X
+    shrank 12%'), and the guardrail that catches a mis-tuned threshold
+    wiping out one source before a 100 TB job ships.
+
+    Composes the verified pair set -> connected components -> keeper rule
+    (all already value-oracled individually) and charges each dropped doc
+    to its source with one left join + groupBy. Docs in no cluster are
+    kept by construction (LEFT join, count(dr) ignores NULLs on both
+    engines)."""
+    pairs = QUERIES["llm_dedup_minhash_banded"](spark, sf_dir).select("da", "db")
+    labels = _component_labels(pairs)
+    d = load_table(spark, sf_dir, "documents")
+    keepers = _survivorship(labels, d).select("component", "keeper")
+    dropped = (
+        labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+        .join(keepers, "component")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", F.lit(1).alias("is_drop"))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(dropped, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce("is_drop", F.lit(0))).cast("bigint").alias("n_dropped"),
+            (
+                F.round(
+                    F.sum(F.coalesce("is_drop", F.lit(0))) * 1.0 / F.count(F.lit(1)), 4
+                )
+                + 0.0
+            ).alias("drop_rate"),
+        )
+    )
 
 
 @query(

@@ -290,6 +290,8 @@ EXTENSION_KEYS = [
     # LSH pair set (VERDICT r6 #1) + (b,r) LSH parameter-plan frontier
     "llm_dedup_cluster_banded", "llm_dedup_survivorship_banded",
     "llm_lsh_plan",
+    # round 8: curator views over the banded verified pair set
+    "llm_dup_source_matrix", "llm_dedup_drop_rate",
 ]
 
 
