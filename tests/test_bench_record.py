@@ -1,11 +1,13 @@
-"""Unit tests for bench.py's record parsing and A/B statistic selection —
-the pure-python half of the dispersion/A-B protocol (VERDICT r6 #2). No
-Spark session needed.
+"""Unit tests for bench.py's record parsing, A/B statistic selection and
+A/B worktree validation — the pure-python half of the dispersion/A-B
+protocol (VERDICT r6 #2, ADVICE r7). No Spark session needed.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 
 import pytest
 
@@ -68,6 +70,61 @@ def test_disp_best_median_spread():
     assert best == {"q19": 0.49}
     assert med == {"q19": 0.51}
     assert spr == {"q19": 1.69}
+
+
+@pytest.fixture()
+def tiny_repo(tmp_path):
+    repo = str(tmp_path / "repo")
+    os.makedirs(repo)
+    def git(*args):
+        subprocess.run(["git", "-C", repo, *args], check=True, capture_output=True)
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    with open(os.path.join(repo, "f.txt"), "w") as fh:
+        fh.write("one\n")
+    git("add", "f.txt")
+    git("commit", "-qm", "c1")
+    return repo
+
+
+def test_ab_worktree_creates_and_reuses_clean(tiny_repo):
+    sha = bench._git(tiny_repo, "rev-parse", "--short", "HEAD")
+    wt = bench._ab_worktree(tiny_repo, sha)
+    assert os.path.isdir(wt) and wt.endswith(f".ab_{sha}")
+    assert bench._git(wt, "rev-parse", "HEAD") == bench._git(
+        tiny_repo, "rev-parse", sha
+    )
+    # second call reuses the verified-clean dir (same path, still clean)
+    assert bench._ab_worktree(tiny_repo, sha) == wt
+
+
+def test_ab_worktree_recreates_dirty_or_wrong_checkout(tiny_repo):
+    """ADVICE r7: a cached .ab_<sha> left dirty (interrupted run, stray
+    edits) must be recreated, not silently benchmarked — local edits on
+    the A side would skew the baseline measurements."""
+    sha = bench._git(tiny_repo, "rev-parse", "--short", "HEAD")
+    wt = bench._ab_worktree(tiny_repo, sha)
+    with open(os.path.join(wt, "f.txt"), "w") as fh:
+        fh.write("tampered\n")
+    wt2 = bench._ab_worktree(tiny_repo, sha)
+    assert wt2 == wt
+    with open(os.path.join(wt2, "f.txt")) as fh:
+        assert fh.read() == "one\n"  # tampering wiped by the recreate
+    assert bench._git(wt2, "status", "--porcelain") == ""
+
+
+def test_ab_worktree_recreates_non_git_dir(tiny_repo):
+    """A half-created dir (crash between mkdir and checkout) is not a git
+    worktree at all — must be detected and rebuilt, not used."""
+    sha = bench._git(tiny_repo, "rev-parse", "--short", "HEAD")
+    stale = os.path.join(tiny_repo, f".ab_{sha}")
+    os.makedirs(stale)
+    wt = bench._ab_worktree(tiny_repo, sha)
+    assert bench._git(wt, "rev-parse", "HEAD") == bench._git(
+        tiny_repo, "rev-parse", sha
+    )
+    assert bench._git(wt, "status", "--porcelain") == ""
 
 
 def test_tpch_record_contract_fields():
