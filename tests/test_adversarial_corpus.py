@@ -65,6 +65,16 @@ FRAGILE_KEYS = [
     "llm_token_count",
     "llm_doc_chunk",
     "llm_stopword_topk",
+    # round 8: the banded-LSH production family + the curator views over
+    # its pair graph — the corpus's exact dups (7/8, 11/12) must surface
+    # as jaccard-1.0 pairs, clusters, keepers and per-source drops, and
+    # the sub-shingle-width docs (0-6) must vanish from the signature
+    # stage identically on both engines.
+    "llm_dedup_minhash_banded",
+    "llm_dedup_cluster_banded",
+    "llm_dedup_survivorship_banded",
+    "llm_dup_source_matrix",
+    "llm_dedup_drop_rate",
 ]
 
 
@@ -111,3 +121,61 @@ def test_fragile_key_on_adversarial_corpus(name, spark, adv_dir, adv_duck):
     duck_pdf = adv_duck.execute(registry.ORACLES[name]).fetchdf()
     problems = hard_problems(compare(spark_pdf, duck_pdf))
     assert not problems, f"{name} diverges on adversarial corpus: {problems}"
+
+
+# ---------------------------------------------------------------------------
+# Zero-duplicate corpus: every doc unique with a disjoint vocabulary, so the
+# banded LSH produces an EMPTY pair graph — the branch the planted-dup
+# fixtures never fire (empty matrix, all-zero drop rates, no clusters).
+
+UNIQUE_DOCS = [
+    (i, " ".join(f"w{i}t{j}" for j in range(8)), "en", f"src{i % 3}")
+    for i in range(9)
+]
+
+
+@pytest.fixture(scope="module")
+def nodup_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("nodup_sf")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in UNIQUE_DOCS], pa.int64()),
+            "text": [r[1] for r in UNIQUE_DOCS],
+            "lang": [r[2] for r in UNIQUE_DOCS],
+            "source": [r[3] for r in UNIQUE_DOCS],
+            "n_chars": pa.array([len(r[1]) for r in UNIQUE_DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_DIR}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["llm_dedup_minhash_banded", "llm_dup_source_matrix", "llm_dedup_drop_rate"],
+)
+def test_curator_keys_on_zero_dup_corpus(name, spark, nodup_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{nodup_dir}/{t}.parquet')"
+        )
+    try:
+        spark_pdf = registry.QUERIES[name](spark, nodup_dir).toPandas()
+        duck_pdf = con.execute(registry.ORACLES[name]).fetchdf()
+    finally:
+        con.close()
+    problems = hard_problems(compare(spark_pdf, duck_pdf))
+    assert not problems, f"{name} diverges on zero-dup corpus: {problems}"
+    if name == "llm_dedup_drop_rate":
+        # every doc kept: 3 sources, zero drops each, drop_rate exactly 0.0
+        assert len(spark_pdf) == 3 and (spark_pdf["n_dropped"] == 0).all()
+        assert (spark_pdf["drop_rate"] == 0.0).all()
+    else:
+        assert len(spark_pdf) == 0, f"{name} fabricated pairs on unique docs"
