@@ -5,6 +5,12 @@
 
 Prints one line per headline query with the measured/baseline ratio and an
 overall PASS/FAIL against the 2× bar.
+
+TPC-H mode reads a dispersion-stamped BENCH_TPCH_r{N}.json (round 8+)
+and adjudicates per-query ratio flags from the record alone — optionally
+against a prior round's record for cross-round moves:
+
+    python tools/bench_report.py --tpch BENCH_TPCH_r08.json [BENCH_TPCH_r07.json]
 """
 
 from __future__ import annotations
@@ -12,6 +18,43 @@ from __future__ import annotations
 import json
 import subprocess
 import sys
+
+TPCH_FLAG = 22.0   # DuckDB-anchored absolute line (BASELINE.md round 6)
+MOVE_FLAG = 1.5    # cross-round ratio-move trigger (BASELINE.md round 7)
+
+
+def tpch_report(path: str, prior_path: str | None) -> int:
+    rec = json.load(open(path))
+    prior = json.load(open(prior_path)) if prior_path else None
+    has_disp = "spark_median" in rec
+    ok = True
+    hdr = f"{'query':<5} {'spark':>7} {'med':>7} {'spr':>6} {'duck':>7} {'ratio':>7}"
+    if prior:
+        hdr += f" {'prior':>7} {'move':>6}"
+    print(hdr)
+    for q, best in rec["queries"].items():
+        duck = rec["duckdb"][q]
+        ratio = best / duck
+        med = rec["spark_median"][q] if has_disp else float("nan")
+        spr = rec["spark_spread"][q] if has_disp else float("nan")
+        line = f"{q:<5} {best:>7.3f} {med:>7.3f} {spr:>6.3f} {duck:>7.3f} {ratio:>6.1f}x"
+        flags = []
+        if ratio > TPCH_FLAG:
+            flags.append(f"over {TPCH_FLAG:.0f}x line")
+            ok = False
+        if prior:
+            pratio = prior["queries"][q] / prior["duckdb"][q]
+            move = ratio / pratio
+            line += f" {pratio:>6.1f}x {move:>5.2f}x"
+            if move > MOVE_FLAG or move < 1 / MOVE_FLAG:
+                flags.append("moved >1.5x vs prior — probe before concluding")
+        if flags:
+            line += "  <-- " + "; ".join(flags)
+        print(line)
+    total, dtotal = rec["value"], rec["duckdb_total"]
+    print(f"TOTAL {total:>7.3f}{'':>15}{dtotal:>8.3f} {total / dtotal:>6.1f}x")
+    print("PASS" if ok else "FAIL (adjudicate via spread/--ab before treating as engine)")
+    return 0 if ok else 1
 
 # PySpark column of BASELINE.md (sf0.1, best-of-3 seconds, measured on this
 # container — see BASELINE.md for methodology).
@@ -27,6 +70,8 @@ BAR = 2.0
 
 
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--tpch":
+        return tpch_report(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
     if len(sys.argv) > 1:
         payload = json.loads(open(sys.argv[1]).read().strip().splitlines()[-1])
     else:
