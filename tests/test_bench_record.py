@@ -127,6 +127,41 @@ def test_ab_worktree_recreates_non_git_dir(tiny_repo):
     assert bench._git(wt, "status", "--porcelain") == ""
 
 
+def test_tpch_report_flags_and_exit(tmp_path, capsys):
+    """bench_report --tpch must flag >22x ratios (exit 1) and >1.5x
+    cross-round moves, and pass a clean record (exit 0)."""
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), "tools"))
+    import bench_report
+
+    def rec(path, q1_spark):
+        r = {
+            "queries": {"q1": q1_spark, "q2": 0.4},
+            "duckdb": {"q1": 0.05, "q2": 0.05},
+            "spark_median": {"q1": q1_spark, "q2": 0.45},
+            "spark_spread": {"q1": 0.1, "q2": 0.1},
+            "value": q1_spark + 0.4, "duckdb_total": 0.1,
+        }
+        p = tmp_path / path
+        p.write_text(json.dumps(r))
+        return str(p)
+
+    clean = rec("clean.json", 0.3)      # 6x and 8x — under the line
+    assert bench_report.tpch_report(clean, None) == 0
+    assert "PASS" in capsys.readouterr().out
+
+    hot = rec("hot.json", 1.2)          # q1 at 24x — over the 22x line
+    assert bench_report.tpch_report(hot, None) == 1
+    assert "over 22x line" in capsys.readouterr().out
+
+    # cross-round move: q1 0.3->0.6 at fixed anchor = 2.0x move, flagged
+    # but NOT a failure (probe-first rule), exit stays 0
+    moved = rec("moved.json", 0.6)
+    assert bench_report.tpch_report(moved, clean) == 0
+    assert "moved >1.5x" in capsys.readouterr().out
+
+
 def test_tpch_record_contract_fields():
     """BENCH_TPCH_r{N}.json must carry BOTH engines' per-query dispersion
     so a ratio flag (the r7 q19/q11 class) is adjudicable from the record
