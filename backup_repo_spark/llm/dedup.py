@@ -1213,6 +1213,91 @@ def llm_dedup_drop_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dup_cluster_profile",
+    oracle="""
+    WITH RECURSIVE {ctes},
+    sz AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1),
+    total AS (SELECT count(*) AS n FROM documents),
+    singles AS (
+      SELECT count(*) AS n FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+    ),
+    hist AS (
+      SELECT csize, count(*) AS n_clusters, sum(csize) AS n_docs
+      FROM sz GROUP BY 1
+      UNION ALL
+      SELECT 1, n, n FROM singles WHERE n > 0
+    )
+    SELECT CAST(h.csize AS INT) AS csize,
+           CAST(sum(h.n_clusters) AS BIGINT) AS n_clusters,
+           CAST(sum(h.n_docs) AS BIGINT) AS n_docs,
+           round(sum(h.n_docs) * 1.0 / max(t.n), 4) + 0.0 AS doc_share
+    FROM hist h CROSS JOIN total t
+    GROUP BY 1
+    """.format(ctes=_component_keeper_ctes(_BANDED_PAIRS_SQL)),
+)
+def llm_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-shape profile of the production dedup pass: the size
+    histogram of the banded-LSH near-dup components, INCLUDING the
+    singleton row (csize=1 = documents in no verified pair) — per size:
+    how many clusters, how many documents, and the share of the corpus
+    they hold. This is the third curator view beside
+    `llm_dup_source_matrix` (which sources overlap) and
+    `llm_dedup_drop_rate` (how much shrinks): it answers "what do the
+    clusters look like" — a fat tail here means one template/boilerplate
+    family dominates and the keeper rule decides a big slice of the
+    corpus; a singleton share near 1.0 means dedup barely bites. Max and
+    mean cluster size read directly off the histogram rows.
+
+    Scale: component labels are pair-graph-sized (bucketed LSH generator,
+    never all-pairs); the singleton count is one left-anti join of the
+    doc-id projection against the label set; the histogram groupBy is
+    bounded by the largest cluster size, and the corpus total rides a
+    1-row-aggregate broadcast crossJoin (the engine's standard idiom).
+    Oracle composes the same `_component_keeper_ctes` component chain the
+    survivorship/drop-rate oracles single-source."""
+    pairs = QUERIES["llm_dedup_minhash_banded"](spark, sf_dir).select("da", "db")
+    labels = _component_labels(pairs)
+    d = load_table(spark, sf_dir, "documents")
+    sz = labels.groupBy(F.col("label").alias("component")).agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+    hist = sz.groupBy("csize").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("csize").alias("n_docs"),
+    )
+    singles = (
+        d.select("doc_id")
+        .join(labels.select(F.col("node").alias("doc_id")), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            F.lit(1).cast("bigint").alias("csize"),
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+    total = d.agg(F.count(F.lit(1)).alias("tn"))
+    return (
+        hist.unionByName(singles)
+        .groupBy("csize")
+        .agg(
+            F.sum("n_clusters").alias("n_clusters"),
+            F.sum("n_docs").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("csize").cast("int").alias("csize"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            (F.round(F.col("n_docs") * 1.0 / F.col("tn"), 4) + 0.0).alias(
+                "doc_share"
+            ),
+        )
+    )
+
+
+@query(
     "llm_incremental_dedup",
     oracle="""
     WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

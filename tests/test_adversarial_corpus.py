@@ -75,6 +75,10 @@ FRAGILE_KEYS = [
     "llm_dedup_survivorship_banded",
     "llm_dup_source_matrix",
     "llm_dedup_drop_rate",
+    # round 9: cluster-shape profile over the same component labels — the
+    # exact dups must land in csize-2 clusters and every sub-shingle-width
+    # doc must count into the singleton row on both engines.
+    "llm_dup_cluster_profile",
 ]
 
 
@@ -158,7 +162,12 @@ def nodup_dir(tmp_path_factory):
 
 @pytest.mark.parametrize(
     "name",
-    ["llm_dedup_minhash_banded", "llm_dup_source_matrix", "llm_dedup_drop_rate"],
+    [
+        "llm_dedup_minhash_banded",
+        "llm_dup_source_matrix",
+        "llm_dedup_drop_rate",
+        "llm_dup_cluster_profile",
+    ],
 )
 def test_curator_keys_on_zero_dup_corpus(name, spark, nodup_dir):
     con = duckdb.connect()
@@ -177,5 +186,11 @@ def test_curator_keys_on_zero_dup_corpus(name, spark, nodup_dir):
         # every doc kept: 3 sources, zero drops each, drop_rate exactly 0.0
         assert len(spark_pdf) == 3 and (spark_pdf["n_dropped"] == 0).all()
         assert (spark_pdf["drop_rate"] == 0.0).all()
+    elif name == "llm_dup_cluster_profile":
+        # no pair graph -> exactly one histogram row: all 9 docs singleton
+        assert len(spark_pdf) == 1
+        row = spark_pdf.iloc[0]
+        assert (row["csize"], row["n_clusters"], row["n_docs"]) == (1, 9, 9)
+        assert row["doc_share"] == 1.0
     else:
         assert len(spark_pdf) == 0, f"{name} fabricated pairs on unique docs"

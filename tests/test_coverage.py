@@ -292,6 +292,9 @@ EXTENSION_KEYS = [
     "llm_lsh_plan",
     # round 8: curator views over the banded verified pair set
     "llm_dup_source_matrix", "llm_dedup_drop_rate",
+    # round 9: cluster-shape profile (size histogram incl. singleton row)
+    # over the same banded component labels
+    "llm_dup_cluster_profile",
 ]
 
 
