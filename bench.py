@@ -246,7 +246,12 @@ def _ab_worktree(repo: str, sha: str) -> str:
     if os.path.isdir(ab_dir):
         try:
             ok = (
-                _git(ab_dir, "rev-parse", "HEAD") == _git(repo, "rev-parse", sha)
+                # an EMPTY stale dir is not a worktree: git walks up to the
+                # parent repo, so HEAD/status alone can validate it by
+                # accident (ADVICE r8) — the toplevel must be ab_dir itself
+                os.path.realpath(_git(ab_dir, "rev-parse", "--show-toplevel"))
+                == os.path.realpath(ab_dir)
+                and _git(ab_dir, "rev-parse", "HEAD") == _git(repo, "rev-parse", sha)
                 and _git(ab_dir, "status", "--porcelain") == ""
             )
         except subprocess.CalledProcessError:

@@ -116,14 +116,24 @@ def test_ab_worktree_recreates_dirty_or_wrong_checkout(tiny_repo):
 
 def test_ab_worktree_recreates_non_git_dir(tiny_repo):
     """A half-created dir (crash between mkdir and checkout) is not a git
-    worktree at all — must be detected and rebuilt, not used."""
+    worktree at all — must be detected and rebuilt, not used. The subtle
+    case (ADVICE r8): an EMPTY dir under a repo whose HEAD == sha and
+    whose tree is clean passes HEAD/status validation by git's walk-up to
+    the parent repo — only a toplevel check catches it, and without the
+    rebuild the A-side subprocess dies on the missing checkout files."""
     sha = bench._git(tiny_repo, "rev-parse", "--short", "HEAD")
     stale = os.path.join(tiny_repo, f".ab_{sha}")
     os.makedirs(stale)
-    wt = bench._ab_worktree(tiny_repo, sha)
-    assert bench._git(wt, "rev-parse", "HEAD") == bench._git(
+    # the trap preconditions hold: parent HEAD == sha, parent tree clean
+    assert bench._git(tiny_repo, "rev-parse", "HEAD") == bench._git(
         tiny_repo, "rev-parse", sha
     )
+    wt = bench._ab_worktree(tiny_repo, sha)
+    # the checkout must actually exist INSIDE the worktree dir
+    assert os.path.realpath(
+        bench._git(wt, "rev-parse", "--show-toplevel")
+    ) == os.path.realpath(wt)
+    assert os.path.exists(os.path.join(wt, "f.txt"))
     assert bench._git(wt, "status", "--porcelain") == ""
 
 
@@ -184,3 +194,61 @@ def test_tpch_record_contract_fields():
     # median, so new-vs-new compares medians, new-vs-r7-format falls back
     assert bench._ab_stat([sample, sample]) == "median"
     assert bench._ab_stat([sample, {"value": 16.1}]) == "value"
+
+
+def test_tpch_report_prior_flag_and_positional_agree(tmp_path, capsys):
+    """--tpch CUR PRIOR and --tpch CUR --prior PRIOR must both work
+    (ADVICE r8 / VERDICT r8 #6: the bare-positional-only form crashed on
+    the --prior idiom its sibling scale_sweep established)."""
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), "tools"))
+    import bench_report
+
+    def rec(path, q1):
+        r = {
+            "queries": {"q1": q1}, "duckdb": {"q1": 0.05},
+            "spark_median": {"q1": q1}, "spark_spread": {"q1": 0.1},
+            "value": q1, "duckdb_total": 0.05,
+        }
+        p = tmp_path / path
+        p.write_text(json.dumps(r))
+        return str(p)
+
+    cur, prior = rec("cur.json", 0.3), rec("prior.json", 0.3)
+    assert bench_report.main(["--tpch", cur, prior]) == 0
+    out_pos = capsys.readouterr().out
+    assert bench_report.main(["--tpch", cur, "--prior", prior]) == 0
+    out_flag = capsys.readouterr().out
+    assert out_pos == out_flag
+    assert "prior" in out_pos  # move column rendered
+
+
+def test_tpch_report_zero_anchor_and_missing_prior_query(tmp_path, capsys):
+    """A 0.000-rounded DuckDB anchor must flag, not ZeroDivisionError; a
+    query absent from the prior record skips its move column instead of
+    KeyError-aborting the report (ADVICE r8)."""
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), "tools"))
+    import bench_report
+
+    cur = {
+        "queries": {"q1": 0.3, "q_new": 0.2},
+        "duckdb": {"q1": 0.0, "q_new": 0.05},
+        "spark_median": {"q1": 0.3, "q_new": 0.2},
+        "spark_spread": {"q1": 0.0, "q_new": 0.0},
+        "value": 0.5, "duckdb_total": 0.05,
+    }
+    prior = {
+        "queries": {"q1": 0.3}, "duckdb": {"q1": 0.05},
+        "value": 0.3, "duckdb_total": 0.05,
+    }
+    pc, pp = tmp_path / "cur.json", tmp_path / "prior.json"
+    pc.write_text(json.dumps(cur))
+    pp.write_text(json.dumps(prior))
+    # q1's 0.0 anchor clamps to 1 ms -> 300x -> legitimately over the line
+    assert bench_report.tpch_report(str(pc), str(pp)) == 1
+    out = capsys.readouterr().out
+    assert "sub-ms DuckDB anchor" in out
+    assert "absent from prior record" in out

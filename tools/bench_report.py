@@ -8,19 +8,26 @@ overall PASS/FAIL against the 2× bar.
 
 TPC-H mode reads a dispersion-stamped BENCH_TPCH_r{N}.json (round 8+)
 and adjudicates per-query ratio flags from the record alone — optionally
-against a prior round's record for cross-round moves:
+against a prior round's record for cross-round moves (both the bare
+positional and the --prior flag idiom work):
 
-    python tools/bench_report.py --tpch BENCH_TPCH_r08.json [BENCH_TPCH_r07.json]
+    python tools/bench_report.py --tpch BENCH_TPCH_r09.json [BENCH_TPCH_r08.json]
+    python tools/bench_report.py --tpch BENCH_TPCH_r09.json --prior BENCH_TPCH_r08.json
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import subprocess
 import sys
 
 TPCH_FLAG = 22.0   # DuckDB-anchored absolute line (BASELINE.md round 6)
 MOVE_FLAG = 1.5    # cross-round ratio-move trigger (BASELINE.md round 7)
+# Times are stamped rounded to 3 decimals, so a sub-ms DuckDB anchor can
+# legitimately round to 0.000 (ADVICE r8) — ratios against it are
+# meaningless; flag the anchor instead of dividing by it.
+MIN_ANCHOR = 0.001
 
 
 def tpch_report(path: str, prior_path: str | None) -> int:
@@ -34,25 +41,33 @@ def tpch_report(path: str, prior_path: str | None) -> int:
     print(hdr)
     for q, best in rec["queries"].items():
         duck = rec["duckdb"][q]
-        ratio = best / duck
+        ratio = best / max(duck, MIN_ANCHOR)
         med = rec["spark_median"][q] if has_disp else float("nan")
         spr = rec["spark_spread"][q] if has_disp else float("nan")
         line = f"{q:<5} {best:>7.3f} {med:>7.3f} {spr:>6.3f} {duck:>7.3f} {ratio:>6.1f}x"
         flags = []
+        if duck < MIN_ANCHOR:
+            flags.append("sub-ms DuckDB anchor — ratio not meaningful")
         if ratio > TPCH_FLAG:
             flags.append(f"over {TPCH_FLAG:.0f}x line")
             ok = False
         if prior:
-            pratio = prior["queries"][q] / prior["duckdb"][q]
-            move = ratio / pratio
-            line += f" {pratio:>6.1f}x {move:>5.2f}x"
-            if move > MOVE_FLAG or move < 1 / MOVE_FLAG:
-                flags.append("moved >1.5x vs prior — probe before concluding")
+            pq_spark = prior.get("queries", {}).get(q)
+            pq_duck = prior.get("duckdb", {}).get(q)
+            if pq_spark is None or pq_duck is None:
+                line += f" {'—':>7} {'—':>6}"
+                flags.append("absent from prior record — no move column")
+            else:
+                pratio = pq_spark / max(pq_duck, MIN_ANCHOR)
+                move = ratio / max(pratio, 1e-9)
+                line += f" {pratio:>6.1f}x {move:>5.2f}x"
+                if move > MOVE_FLAG or move < 1 / MOVE_FLAG:
+                    flags.append("moved >1.5x vs prior — probe before concluding")
         if flags:
             line += "  <-- " + "; ".join(flags)
         print(line)
     total, dtotal = rec["value"], rec["duckdb_total"]
-    print(f"TOTAL {total:>7.3f}{'':>15}{dtotal:>8.3f} {total / dtotal:>6.1f}x")
+    print(f"TOTAL {total:>7.3f}{'':>15}{dtotal:>8.3f} {total / max(dtotal, MIN_ANCHOR):>6.1f}x")
     print("PASS" if ok else "FAIL (adjudicate via spread/--ab before treating as engine)")
     return 0 if ok else 1
 
@@ -69,11 +84,9 @@ BASELINE_PYSPARK = {
 BAR = 2.0
 
 
-def main() -> int:
-    if len(sys.argv) > 1 and sys.argv[1] == "--tpch":
-        return tpch_report(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
-    if len(sys.argv) > 1:
-        payload = json.loads(open(sys.argv[1]).read().strip().splitlines()[-1])
+def headline_report(record_path: str | None) -> int:
+    if record_path:
+        payload = json.loads(open(record_path).read().strip().splitlines()[-1])
     else:
         out = subprocess.run(
             [sys.executable, "bench.py"], capture_output=True, text=True, check=True
@@ -98,6 +111,41 @@ def main() -> int:
     print(f"{'TOTAL':<18} {total:>7.3f} {base_total:>7.3f} {total / base_total:>5.2f}x")
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument(
+        "records",
+        nargs="*",
+        help="headline mode: one bench.py output file (default: run bench.py); "
+        "--tpch mode: CURRENT [PRIOR] TPC-H records",
+    )
+    ap.add_argument(
+        "--tpch",
+        action="store_true",
+        help="adjudicate a dispersion-stamped BENCH_TPCH record's per-query "
+        "ratio flags instead of the headline baseline bar",
+    )
+    ap.add_argument(
+        "--prior",
+        default=None,
+        help="(--tpch) prior-round record for the cross-round move column — "
+        "same meaning as the second positional",
+    )
+    args = ap.parse_args(argv)
+    if args.tpch:
+        if not args.records:
+            ap.error("--tpch needs the current BENCH_TPCH record path")
+        if len(args.records) > 2 or (args.prior and len(args.records) > 1):
+            ap.error("--tpch takes CURRENT [PRIOR] (or --prior PRIOR), nothing more")
+        prior = args.prior or (args.records[1] if len(args.records) > 1 else None)
+        return tpch_report(args.records[0], prior)
+    if args.prior:
+        ap.error("--prior is a --tpch option")
+    if len(args.records) > 1:
+        ap.error("headline mode takes at most one record file")
+    return headline_report(args.records[0] if args.records else None)
 
 
 if __name__ == "__main__":
