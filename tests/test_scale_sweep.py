@@ -36,3 +36,69 @@ def test_sorted_and_factor_override():
     now = {"y": {"ratio": 1.6}, "x": {"ratio": 1.7}}
     assert _regressed_keys(now, prior, factor=1.5) == ["x", "y"]
     assert _regressed_keys(now, prior) == []
+
+
+from scale_sweep import (  # noqa: E402
+    OCTAVE_GENERATORS,
+    _latest_prior_record,
+    _noop_candidates,
+    _octave_plan,
+)
+
+
+def test_noop_candidates_selects_over_8x_without_err_or_stamp():
+    results = {
+        "big_collect": {"ratio": 18.4},          # flagged
+        "fine": {"ratio": 7.9},                  # under threshold
+        "broken": {"ratio": 9.0, "err": "boom"}, # errored: skip
+        "done": {"ratio": 12.0, "noop": {"ratio": 1.1}},  # already stamped
+        "edge": {"ratio": 8.0},                  # exactly 8x: NOT flagged (>)
+    }
+    assert _noop_candidates(results) == ["big_collect"]
+    assert _noop_candidates(results, threshold=5.0) == ["big_collect", "edge", "fine"]
+
+
+def test_octave_plan_maps_dependents_to_generators():
+    keys = ["llm_dup_source_matrix", "llm_dedup_drop_rate"]
+    gens, dep_to_gen = _octave_plan(keys)
+    assert gens == ["llm_dedup_minhash_banded"]
+    assert dep_to_gen == {k: "llm_dedup_minhash_banded" for k in keys}
+
+
+def test_octave_plan_generator_in_keys_not_double_measured():
+    keys = ["llm_dedup_minhash_banded", "llm_dup_cluster_profile"]
+    gens, dep_to_gen = _octave_plan(keys)
+    assert gens == []  # generator measured as a requested key, not twice
+    assert dep_to_gen == {"llm_dup_cluster_profile": "llm_dedup_minhash_banded"}
+
+
+def test_octave_plan_rejects_unknown_keys():
+    import pytest
+    with pytest.raises(SystemExit):
+        _octave_plan(["no_such_key"])
+
+
+def test_octave_generators_all_registered():
+    from backup_repo_spark import registry
+    missing = [
+        k for pair in OCTAVE_GENERATORS.items() for k in pair
+        if k not in registry.QUERIES
+    ]
+    assert not missing
+
+
+def test_latest_prior_record_sorts_by_round_and_excludes_self(tmp_path, monkeypatch):
+    """ADVICE r8: a re-run of the current round must not compare against
+    its own already-committed record, and r9 vs r10 must sort numerically
+    (lexicographic would pick r9)."""
+    import scale_sweep
+    monkeypatch.setattr(scale_sweep, "_REPO", str(tmp_path))
+    (tmp_path / "SCALESWEEP_r08.json").write_text("{}")
+    (tmp_path / "SCALESWEEP_r9.json").write_text("{}")   # unpadded round 9
+    (tmp_path / "SCALESWEEP_r10.json").write_text("{}")
+    got = _latest_prior_record()  # lexicographic would pick r9
+    assert got is not None and got.endswith("SCALESWEEP_r10.json")
+    got = _latest_prior_record(exclude="SCALESWEEP_r10.json")
+    assert got is not None and got.endswith("SCALESWEEP_r9.json")
+    got = _latest_prior_record(exclude=str(tmp_path / "SCALESWEEP_r10.json"))
+    assert got is not None and got.endswith("SCALESWEEP_r9.json")
