@@ -5,7 +5,7 @@ metadata; decode/feature-extract runs as Arrow-batched Pandas in
 batches, never rows).
 
 The container has no image/audio libraries (standing per-round check —
-re-verified 2026-08-15, round 8: PIL, cv2 and soundfile all raise
+re-verified 2026-08-15, round 9: PIL, cv2 and soundfile all raise
 ModuleNotFoundError), so the decoder is a deterministic fake (documented
 below) — the Spark-side plumbing (binary schema, Arrow batch shape,
 partition-parallel decode) is real and oracle-verified because the fake
