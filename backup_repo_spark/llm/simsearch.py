@@ -804,3 +804,182 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def _mmr_oracle(n_queries: int = 3, shortlist: int = 12, k: int = 5) -> str:
+    """Unrolled greedy MMR as pure ANSI SQL. DuckDB's recursive CTEs
+    restrict aggregates in the recursive term, so the k-step greedy
+    selection is unrolled into k chained CTE blocks instead — one
+    (argmax over remaining candidates) per rank. Single-sourced here so
+    the selection rule (lambda=0.7, ties broken by lower vec_id) cannot
+    drift between the Spark path and the oracle."""
+    head = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings
+               WHERE vec_id < {n_queries}),
+    flat AS (
+      SELECT q.qid, v.vec_id,
+             CAST(unnest(v.embedding) AS DOUBLE) AS x,
+             CAST(unnest(q.e) AS DOUBLE) AS y
+      FROM embeddings v, q WHERE v.vec_id >= {n_queries}
+    ),
+    scored AS (
+      SELECT qid, vec_id,
+             round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))),
+                   12) AS cos
+      FROM flat GROUP BY qid, vec_id
+    ),
+    short AS (
+      SELECT qid, vec_id, cos FROM scored WHERE cos IS NOT NULL
+      QUALIFY row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, vec_id) <= {shortlist}
+    ),
+    se AS (SELECT s.qid, s.vec_id, e.embedding
+           FROM short s JOIN embeddings e ON s.vec_id = e.vec_id),
+    ppflat AS (
+      SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+             CAST(unnest(a.embedding) AS DOUBLE) AS x,
+             CAST(unnest(b.embedding) AS DOUBLE) AS y
+      FROM se a JOIN se b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+    ),
+    pp AS (SELECT qid, va, vb,
+                  round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))),
+                        12) AS sim
+           FROM ppflat GROUP BY qid, va, vb),
+    s1 AS (SELECT qid, vec_id, cos AS score FROM short
+           QUALIFY row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, vec_id) = 1),
+    sel1 AS (SELECT qid, vec_id FROM s1)"""
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f""",
+    r{i} AS (
+      SELECT c.qid, c.vec_id, 0.7 * c.cos - 0.3 * max(p.sim) AS score
+      FROM short c
+      JOIN pp p ON p.qid = c.qid AND p.va = c.vec_id
+      JOIN sel{i - 1} t ON t.qid = p.qid AND t.vec_id = p.vb
+      WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} x
+                        WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+      GROUP BY c.qid, c.vec_id, c.cos
+    ),
+    s{i} AS (SELECT qid, vec_id, score FROM r{i}
+             QUALIFY row_number() OVER (PARTITION BY qid
+                                        ORDER BY score DESC, vec_id) = 1),
+    sel{i} AS (SELECT qid, vec_id FROM sel{i - 1}
+               UNION ALL SELECT qid, vec_id FROM s{i})"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT qid, {i} AS rank, vec_id, score FROM s{i}" for i in range(1, k + 1)
+    )
+    tail = f"""
+    SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id,
+           round(score, 6) AS mmr_score
+    FROM ({union})
+    ORDER BY qid, rank"""
+    return head + "".join(steps) + tail
+
+
+@query("llm_mmr_rerank", oracle=_mmr_oracle())
+def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank — the diversification pass a
+    retrieval/curation pipeline runs AFTER top-k: for each query (vec_id
+    0..2), take the exact cosine top-12 shortlist, then greedily pick 5
+    results maximizing 0.7*relevance - 0.3*max-similarity-to-already-
+    selected (Carbonell & Goldstein 1998), ties broken by lower vec_id.
+    Rank 1's score is its raw cosine (nothing selected yet); ranks 2+
+    carry the MMR objective value at selection time.
+
+    Scale shape: the only corpus-sized stage is the scoring scan — the
+    3-query fan-out is a map-side explode over literal query vectors (no
+    join), and the per-query top-12 is a qid-partitioned rank window that
+    Spark rewrites to WindowGroupLimit, so each map task forwards at most
+    12 rows per query into the shuffle. The greedy selection itself is
+    O(shortlist^2 * k) on <=12 rows per query inside one Arrow batch
+    (applyInPandas keyed by qid) — constant work no matter the corpus
+    size, the same shortlist-bounded pattern as llm_pq_refine. The
+    DuckDB oracle unrolls the identical greedy rule (see _mmr_oracle)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).cast("long").alias("qid"),
+                F.array(*[F.lit(float(x)) for x in r.embedding]).alias("qe"),
+            )
+            for r in qrows
+        ]
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= 3)
+        .select("vec_id", "embedding", F.explode(qarr).alias("q"))
+        .select(
+            F.col("q.qid").alias("qid"),
+            "vec_id",
+            "embedding",
+            # scores are quantized to 1e-12 BEFORE selection (both here and
+            # in the oracle) so cos=1 ties from duplicate/scaled vectors
+            # snap to the same double cross-engine and the greedy argmax
+            # cannot flip on sub-ulp summation-order differences
+            F.round(_cosine(F.col("embedding"), F.col("q.qe")), 12).alias("cos"),
+        )
+    )
+    shortlist = (
+        scored.filter(F.col("cos").isNotNull())
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= 12)
+        .drop("rn")
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["cos", "vec_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        emat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(emat, axis=1)
+        # pairwise cosine exactly as the oracle computes it: dot / (na*nb),
+        # quantized to 1e-12 like the relevance scores (see above)
+        sims = np.round((emat @ emat.T) / np.outer(norms, norms), 12)
+        cos = pdf["cos"].to_numpy(dtype=np.float64)
+        vid = pdf["vec_id"].to_numpy()
+        k = min(5, len(pdf))
+        selected, scores = [0], [float(cos[0])]
+        remaining = list(range(1, len(pdf)))
+        while len(selected) < k:
+            best_i, best_s = None, None
+            for i in remaining:
+                s = 0.7 * cos[i] - 0.3 * max(float(sims[i, j]) for j in selected)
+                if (
+                    best_i is None
+                    or s > best_s
+                    or (s == best_s and vid[i] < vid[best_i])
+                ):
+                    best_i, best_s = i, s
+            selected.append(best_i)
+            remaining.remove(best_i)
+            scores.append(float(best_s))
+        return pd.DataFrame(
+            {
+                "qid": np.full(len(selected), pdf["qid"].iloc[0], dtype=np.int64),
+                "rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+                "vec_id": vid[selected],
+                "mmr_score": np.array(scores, dtype=np.float64),
+            }
+        )
+
+    return (
+        shortlist.groupBy("qid")
+        .applyInPandas(_greedy, "qid bigint, rank int, vec_id bigint, mmr_score double")
+        .select("qid", "rank", "vec_id", F.round("mmr_score", 6).alias("mmr_score"))
+        .orderBy("qid", "rank")
+    )

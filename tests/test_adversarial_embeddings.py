@@ -69,6 +69,12 @@ _EMB_KEYS = [
     # semdedup: exact duplicate (cos=1), antipodal (cos=-1), and zero
     # vector (NULL cosine — must not count as a dup) all land in clusters
     "llm_semdedup",
+    # MMR: queries here are vec_ids 0-2, i.e. the query, its EXACT
+    # DUPLICATE, and its antipodal copy; the corpus shortlists carry the
+    # scaled copy (cos snaps to exactly 1.0 under the 1e-12 quantization)
+    # and the zero vector (NULL cosine, must be excluded) — the greedy
+    # tie-breaks and the quantization contract are what is under test
+    "llm_mmr_rerank",
 ]
 
 
@@ -114,3 +120,59 @@ def test_embedding_key_on_adversarial_corpus(name, spark, adv_emb_dir, adv_emb_d
     duck_pdf = adv_emb_duck.execute(registry.ORACLES[name]).fetchdf()
     problems = hard_problems(compare(spark_pdf, duck_pdf))
     assert not problems, f"{name} diverges on adversarial embeddings: {problems}"
+
+
+def test_mmr_rerank_diversifies(spark, tmp_path_factory):
+    """The MMR property itself: plant two near-identical high-relevance
+    vectors (cos to the query ~0.99 each, cos to each other ~1.0) plus a
+    moderately-relevant but orthogonal-ish one. Pure top-k would rank the
+    twin SECOND; MMR's redundancy penalty (0.3 * sim-to-selected ~ 0.3)
+    must demote it below the diverse candidate at rank 2."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng_dim = DIM
+    q = np.zeros(rng_dim)
+    q[0] = 1.0
+    # a sits 25° off q on the +e1 side; a2 is a SCALED COPY of a (same
+    # cosine to everything, sim(a,a2)=1); b sits ~27° off q on the -e1
+    # side, so cos(q,b)=.89 but cos(a,b)=cos(52°)~.61. MMR rank-2 scores:
+    # twin 0.7*.905-0.3*1.0 = .3335 < diverse 0.7*.89-0.3*.6115 = .4396.
+    a = np.zeros(rng_dim); a[0] = 0.905; a[1] = np.sqrt(1 - 0.905**2)
+    a2 = 0.9 * a
+    b = np.zeros(rng_dim); b[0] = 0.89; b[1] = -np.sqrt(1 - 0.89**2)
+    rows = [(0, q), (1, q * 0.9), (2, -q), (3, a), (4, a2), (5, b)]
+    # padding so each query still fills a shortlist
+    rng = np.random.RandomState(7)
+    for k in range(6, 20):
+        v = rng.randn(rng_dim) * 0.1
+        v[0] += 0.2
+        rows.append((k, v))
+    d = tmp_path_factory.mktemp("mmr_prop")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in r[1]] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(rows), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{SF_DIR}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    out = registry.QUERIES["llm_mmr_rerank"](spark, str(d)).toPandas()
+    q0 = out[out.qid == 0].sort_values("rank")
+    picks = list(q0.vec_id)
+    # rank 1 is pure relevance: vec 3 (cos .905; its scaled copy vec 4
+    # ties at .905 after quantization and loses the vec_id tie-break)
+    assert picks[0] == 3
+    # pure top-2 would be {3, 4}; MMR's redundancy penalty must demote
+    # the scaled copy and promote the diverse vec 5 to rank 2
+    assert picks[1] == 5
+    assert 4 in picks[2:]  # demoted, not dropped — still high-relevance
+    # per-query outputs are 5 distinct picks
+    assert len(picks) == 5 == len(set(picks))

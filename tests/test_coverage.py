@@ -295,6 +295,8 @@ EXTENSION_KEYS = [
     # round 9: cluster-shape profile (size histogram incl. singleton row)
     # over the same banded component labels
     "llm_dup_cluster_profile",
+    # round 9: MMR diversified re-rank over the exact top-k shortlist
+    "llm_mmr_rerank",
 ]
 
 
