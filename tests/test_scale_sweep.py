@@ -102,3 +102,30 @@ def test_latest_prior_record_sorts_by_round_and_excludes_self(tmp_path, monkeypa
     assert got is not None and got.endswith("SCALESWEEP_r9.json")
     got = _latest_prior_record(exclude=str(tmp_path / "SCALESWEEP_r10.json"))
     assert got is not None and got.endswith("SCALESWEEP_r9.json")
+
+
+def test_merge_stamps_preserves_full_run_adjudication():
+    """round 9: a --keys --merge-into re-measure produced an empty reprobe
+    ({'prior': <itself>, 'keys': []}) and no noop list, and rewrote the
+    record WITHOUT the full sweep's stamps — erasing the very
+    self-adjudication the record exists to carry. The merge rule must
+    carry the prior record's stamps forward and union any new ones."""
+    from scale_sweep import _merge_stamps
+
+    prior = {
+        "reprobe": {"prior": "SCALESWEEP_r08.json", "keys": ["a", "b"]},
+        "noop_exonerated": ["x", "y"],
+    }
+    # merge run adjudicated nothing (the common single-key re-measure)
+    rp, noop = _merge_stamps(prior, {"prior": "SCALESWEEP_r09.json", "keys": []}, None)
+    assert rp == prior["reprobe"]
+    assert noop == ["x", "y"]
+    # merge run adjudicated something of its own: union, keep prior anchor
+    rp, noop = _merge_stamps(
+        prior, {"prior": "SCALESWEEP_r09.json", "keys": ["c"]}, ["z"]
+    )
+    assert rp == {"prior": "SCALESWEEP_r08.json", "keys": ["a", "b", "c"]}
+    assert noop == ["x", "y", "z"]
+    # no prior stamps at all: the merge run's own stamps pass through
+    rp, noop = _merge_stamps({}, None, ["z"])
+    assert rp is None and noop == ["z"]

@@ -180,6 +180,32 @@ def _regressed_keys(
     return sorted(out)
 
 
+def _merge_stamps(
+    prior_report: dict, reprobe_stamp: dict | None, noop_stamp: list | None
+) -> tuple[dict | None, list | None]:
+    """Stamp rule for --merge-into: a partial re-measure must not ERASE
+    the full run's adjudication. Carry the prior record's reprobe/noop
+    stamps forward, unioning anything the (usually tiny) merge run
+    adjudicated itself. Without this, a --keys merge rewrote the record
+    with an empty reprobe and no noop_exonerated list — the
+    self-adjudication the full sweep exists to provide (round 9)."""
+    prior_reprobe = prior_report.get("reprobe")
+    if prior_reprobe:
+        if reprobe_stamp is None or not reprobe_stamp.get("keys"):
+            reprobe_stamp = prior_reprobe
+        else:
+            reprobe_stamp = {
+                "prior": prior_reprobe.get("prior", reprobe_stamp["prior"]),
+                "keys": sorted(
+                    set(prior_reprobe.get("keys", [])) | set(reprobe_stamp["keys"])
+                ),
+            }
+    prior_noop = prior_report.get("noop_exonerated")
+    if prior_noop:
+        noop_stamp = sorted(set(prior_noop) | set(noop_stamp or []))
+    return reprobe_stamp, noop_stamp
+
+
 def _noop_candidates(results: dict[str, dict], threshold: float = 8.0) -> list[str]:
     """Keys whose headline collect-sink ratio exceeds `threshold` — the
     candidates for the end-of-sweep noop-sink exoneration pass. Rounds 5-8
@@ -451,7 +477,11 @@ def main() -> None:
 
     reprobe_stamp = None
     if args.reprobe_regressions:
-        prior_path = args.prior or _latest_prior_record(exclude=args.report)
+        # a --merge-into run must not compare against (or later overwrite
+        # the stamps of) the very record it is merging into
+        prior_path = args.prior or _latest_prior_record(
+            exclude=args.merge_into or args.report
+        )
         reprobe_stamp = _reprobe(results, spark, out, args.sink, prior_path, args.mult)
 
     noop_stamp = None
@@ -481,6 +511,9 @@ def main() -> None:
         prior.update(results)
         results = prior
         args.report = args.merge_into
+        reprobe_stamp, noop_stamp = _merge_stamps(
+            prior_report, reprobe_stamp, noop_stamp
+        )
 
     ok = {k: v for k, v in results.items() if "ratio" in v}
     worst = sorted(ok.items(), key=lambda kv: -kv[1]["ratio"])[:20]
