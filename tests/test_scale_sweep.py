@@ -129,3 +129,27 @@ def test_merge_stamps_preserves_full_run_adjudication():
     # no prior stamps at all: the merge run's own stamps pass through
     rp, noop = _merge_stamps({}, None, ["z"])
     assert rp is None and noop == ["z"]
+
+
+def test_octave_verdict_rule():
+    """round 9: cluster_profile's octave step read 14% above its generator
+    in two independent sessions, yet its 50x ABSOLUTE time was within 4-10%
+    of the generator it wholly contains — the step was a small-base
+    artifact. The verdict rule encodes that adjudication: step at/below
+    generator passes outright; step above with a flat absolute gap is
+    exonerated; only step above AND a widening gap flags (and the octave
+    mode then re-probes it in-session)."""
+    from scale_sweep import _octave_verdict
+
+    gen = {"base": 17.7, "scaled": 81.7, "step": 4.61}
+    # at/below generator step: clean pass, gap stamped for the record
+    v = _octave_verdict({"base": 19.7, "scaled": 90.4, "step": 4.59}, gen)
+    assert v["verdict"] == "at-or-below-generator"
+    # above on step, flat on absolute gap (the cluster_profile case)
+    v = _octave_verdict({"base": 17.1, "scaled": 89.8, "step": 5.25}, gen)
+    assert v["verdict"] == "flat-absolute-gap"
+    assert v["gap50_pct"] == 9.9
+    # above on both: flagged (octave mode re-probes this in-session)
+    v = _octave_verdict({"base": 17.1, "scaled": 120.0, "step": 7.02}, gen)
+    assert v["verdict"] == "above-generator"
+    assert v["gap50_pct"] > 10
