@@ -120,15 +120,44 @@ def test_merge_stamps_preserves_full_run_adjudication():
     rp, noop = _merge_stamps(prior, {"prior": "SCALESWEEP_r09.json", "keys": []}, None)
     assert rp == prior["reprobe"]
     assert noop == ["x", "y"]
-    # merge run adjudicated something of its own: union, keep prior anchor
+    # merge run adjudicated something of its own: both stamps kept, each
+    # attributed to ITS OWN prior anchor (never a false cross-attribution)
     rp, noop = _merge_stamps(
         prior, {"prior": "SCALESWEEP_r09.json", "keys": ["c"]}, ["z"]
     )
-    assert rp == {"prior": "SCALESWEEP_r08.json", "keys": ["a", "b", "c"]}
+    assert rp == {
+        "prior": "SCALESWEEP_r09.json",
+        "keys": ["c"],
+        "carried": {"prior": "SCALESWEEP_r08.json", "keys": ["a", "b"]},
+    }
     assert noop == ["x", "y", "z"]
     # no prior stamps at all: the merge run's own stamps pass through
     rp, noop = _merge_stamps({}, None, ["z"])
     assert rp is None and noop == ["z"]
+
+
+def test_merge_stamps_drops_adjudications_of_remeasured_keys():
+    """A key the merge run itself re-measured has a brand-new entry — the
+    prior record's reprobe/noop adjudication no longer describes it and
+    must not be carried forward; a prior 'skipped' marker survives."""
+    from scale_sweep import _merge_stamps
+
+    prior = {
+        "reprobe": {"prior": "SCALESWEEP_r08.json", "keys": ["a", "b"]},
+        "noop_exonerated": ["a", "x"],
+    }
+    rp, noop = _merge_stamps(prior, None, None, remeasured={"a"})
+    assert rp == {"prior": "SCALESWEEP_r08.json", "keys": ["b"]}
+    assert noop == ["x"]
+    # every previously-stamped key re-measured: nothing left to carry
+    rp, noop = _merge_stamps(prior, None, ["a"], remeasured={"a", "b", "x"})
+    assert rp is None
+    assert noop == ["a"]
+    # a 'skipped' reprobe stamp (no comparable prior was found) carries
+    prior2 = {"reprobe": {"prior": None, "skipped": "protocol mismatch"}}
+    rp, _ = _merge_stamps(prior2, {"prior": "p", "keys": ["c"]}, None, {"c"})
+    assert rp["keys"] == ["c"]
+    assert rp["carried"] == prior2["reprobe"]
 
 
 def test_octave_verdict_rule():

@@ -207,28 +207,38 @@ def _octave_verdict(entry: dict, gen_entry: dict, gap_tol_pct: float = 10.0) -> 
 
 
 def _merge_stamps(
-    prior_report: dict, reprobe_stamp: dict | None, noop_stamp: list | None
+    prior_report: dict,
+    reprobe_stamp: dict | None,
+    noop_stamp: list | None,
+    remeasured: set | None = None,
 ) -> tuple[dict | None, list | None]:
     """Stamp rule for --merge-into: a partial re-measure must not ERASE
     the full run's adjudication. Carry the prior record's reprobe/noop
-    stamps forward, unioning anything the (usually tiny) merge run
-    adjudicated itself. Without this, a --keys merge rewrote the record
-    with an empty reprobe and no noop_exonerated list — the
-    self-adjudication the full sweep exists to provide (round 9)."""
+    stamps forward — MINUS any key this merge run itself re-measured
+    (its entry was just overwritten, so the old adjudication no longer
+    describes it) — and keep the merge run's own stamps attributed to
+    the merge run's own prior anchor, never the old record's. Without
+    this, a --keys merge rewrote the record with an empty reprobe and no
+    noop_exonerated list (round 9); the naive union then mis-attributed
+    merge-run reprobes to the old anchor and kept stamps for overwritten
+    entries."""
+    rem = remeasured or set()
     prior_reprobe = prior_report.get("reprobe")
     if prior_reprobe:
+        carried = dict(prior_reprobe)
+        if "keys" in carried:
+            carried["keys"] = sorted(set(carried["keys"]) - rem)
+        carried_alive = carried.get("keys") or "skipped" in carried
         if reprobe_stamp is None or not reprobe_stamp.get("keys"):
-            reprobe_stamp = prior_reprobe
-        else:
-            reprobe_stamp = {
-                "prior": prior_reprobe.get("prior", reprobe_stamp["prior"]),
-                "keys": sorted(
-                    set(prior_reprobe.get("keys", [])) | set(reprobe_stamp["keys"])
-                ),
-            }
+            reprobe_stamp = carried if carried_alive else reprobe_stamp
+        elif carried_alive:
+            # both contribute: keep each attributed to its own anchor
+            reprobe_stamp = {**reprobe_stamp, "carried": carried}
     prior_noop = prior_report.get("noop_exonerated")
     if prior_noop:
-        noop_stamp = sorted(set(prior_noop) | set(noop_stamp or []))
+        noop_stamp = sorted(
+            (set(prior_noop) - rem) | set(noop_stamp or [])
+        )
     return reprobe_stamp, noop_stamp
 
 
@@ -479,11 +489,24 @@ def main() -> None:
         # re-probe — fresh key + generator pair — stamped into the
         # record before it lands, so the reader never needs a second
         # session to tell growth from box state.
+        gen_cache: dict[str, dict] = {}
         for k, g in dep_to_gen.items():
             if record["keys"][k].get("verdict") != "above-generator":
                 continue
-            gen2 = measure(g)
-            key2 = measure(k)
+            # One FRESH generator measure per reprobe pass, shared by its
+            # flagged dependents: still a same-session pairing, without
+            # re-paying ~4 min of generator timings per extra dependent.
+            # A failed measure must not discard 30+ minutes of collected
+            # first-pass data — stamp the error and still write the record
+            # (the full sweep's _reprobe/_noop_exonerate do the same).
+            try:
+                gen2 = gen_cache.setdefault(g, measure(g))
+                key2 = measure(k)
+            except Exception as e:  # noqa: BLE001
+                record["keys"][k]["reprobe_err"] = (
+                    f"{type(e).__name__}: {str(e)[:160]}"
+                )
+                continue
             record["keys"][k]["reprobe"] = {
                 "generator": gen2,
                 "key": key2,
@@ -501,6 +524,13 @@ def main() -> None:
         return
 
     out = fixture_dir(args.mult)
+
+    # mirror _octave_plan's unknown-key guard: a typo'd --keys otherwise
+    # measures nothing and still rewrites the report
+    if args.keys is not None:
+        unknown = sorted(set(args.keys) - set(registry.QUERIES))
+        if unknown:
+            sys.exit(f"--keys: unknown registry keys: {unknown}")
 
     results: dict[str, dict] = {}
     for name in sorted(registry.QUERIES):
@@ -554,11 +584,12 @@ def main() -> None:
                 "or write a separate report)"
             )
         prior = prior_report["results"]
+        remeasured = set(results)
         prior.update(results)
         results = prior
         args.report = args.merge_into
         reprobe_stamp, noop_stamp = _merge_stamps(
-            prior_report, reprobe_stamp, noop_stamp
+            prior_report, reprobe_stamp, noop_stamp, remeasured
         )
 
     ok = {k: v for k, v in results.items() if "ratio" in v}
