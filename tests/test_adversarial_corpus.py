@@ -194,3 +194,85 @@ def test_curator_keys_on_zero_dup_corpus(name, spark, nodup_dir):
         assert row["doc_share"] == 1.0
     else:
         assert len(spark_pdf) == 0, f"{name} fabricated pairs on unique docs"
+
+
+# ---------------------------------------------------------------------------
+# Total-collapse corpus: every doc IDENTICAL, the opposite extreme of the
+# zero-dup case — one complete-graph component whose every pair lands in the
+# same band bucket (the quadratic hot-bucket shape the banded join must
+# survive), a single keeper under the min-doc_id rule, near-1 drop rates,
+# and a one-row size-N histogram.
+
+COLLAPSE_TEXT = "the same document body repeated across every row verbatim"
+COLLAPSE_DOCS = [
+    (i, COLLAPSE_TEXT, "en", f"src{i % 3}") for i in range(12)
+]
+
+
+@pytest.fixture(scope="module")
+def collapse_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("collapse_sf")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in COLLAPSE_DOCS], pa.int64()),
+            "text": [r[1] for r in COLLAPSE_DOCS],
+            "lang": [r[2] for r in COLLAPSE_DOCS],
+            "source": [r[3] for r in COLLAPSE_DOCS],
+            "n_chars": pa.array([len(r[1]) for r in COLLAPSE_DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_DIR}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "llm_dedup_minhash_banded",
+        "llm_dedup_cluster_banded",
+        "llm_dedup_survivorship_banded",
+        "llm_dup_source_matrix",
+        "llm_dedup_drop_rate",
+        "llm_dup_cluster_profile",
+    ],
+)
+def test_curator_keys_on_total_collapse_corpus(name, spark, collapse_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{collapse_dir}/{t}.parquet')"
+        )
+    try:
+        spark_pdf = registry.QUERIES[name](spark, collapse_dir).toPandas()
+        duck_pdf = con.execute(registry.ORACLES[name]).fetchdf()
+    finally:
+        con.close()
+    problems = hard_problems(compare(spark_pdf, duck_pdf))
+    assert not problems, f"{name} diverges on total-collapse corpus: {problems}"
+    n = len(COLLAPSE_DOCS)
+    if name == "llm_dedup_minhash_banded":
+        # complete graph: every ordered (a<b) pair is a verified jaccard-1 dup
+        assert len(spark_pdf) == n * (n - 1) // 2
+    elif name == "llm_dedup_survivorship_banded":
+        # one component of all N docs, min-doc_id keeper: doc 0 survives
+        assert len(spark_pdf) == 1
+        row = spark_pdf.iloc[0]
+        assert (row["keeper"], row["csize"]) == (0, n)
+    elif name == "llm_dedup_drop_rate":
+        # 3 sources x 4 docs; only src0 keeps its doc 0 -> drops 3/4;
+        # src1/src2 drop everything
+        assert len(spark_pdf) == 3
+        by_src = dict(zip(spark_pdf["source"], spark_pdf["n_dropped"]))
+        assert by_src == {"src0": 3, "src1": 4, "src2": 4}
+    elif name == "llm_dup_cluster_profile":
+        # one cluster of size N, zero singletons
+        assert len(spark_pdf) == 1
+        row = spark_pdf.iloc[0]
+        assert (row["csize"], row["n_clusters"], row["n_docs"]) == (n, 1, n)
