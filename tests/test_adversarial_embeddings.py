@@ -176,3 +176,52 @@ def test_mmr_rerank_diversifies(spark, tmp_path_factory):
     assert 4 in picks[2:]  # demoted, not dropped — still high-relevance
     # per-query outputs are 5 distinct picks
     assert len(picks) == 5 == len(set(picks))
+
+
+def test_mmr_rerank_shortlist_smaller_than_k(spark, tmp_path_factory):
+    """Under-filled corpus: only 4 non-query vectors and 2 of them are
+    ZERO vectors (NULL cosine, excluded), so every query's shortlist has
+    2 candidates — fewer than the k=5 selection. The pandas greedy
+    truncates via k=min(5, n); the unrolled oracle's later argmax CTEs
+    must go empty rather than fabricate rows, and both engines must
+    return exactly 2 ranks per query."""
+    import duckdb as ddb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(DIM) * 0.5) for i in range(3)]       # queries 0-2
+    rows += [(3, rng.randn(DIM)), (4, rng.randn(DIM))]         # 2 candidates
+    rows += [(5, np.zeros(DIM)), (6, np.zeros(DIM))]           # excluded
+    d = tmp_path_factory.mktemp("mmr_short")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in r[1]] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(rows), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{SF_DIR}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    spark_pdf = registry.QUERIES["llm_mmr_rerank"](spark, str(d)).toPandas()
+    con = ddb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    try:
+        duck_pdf = con.execute(registry.ORACLES["llm_mmr_rerank"]).fetchdf()
+    finally:
+        con.close()
+    problems = hard_problems(compare(spark_pdf, duck_pdf))
+    assert not problems, f"under-k shortlist diverges: {problems}"
+    # exactly 2 ranks per query, zero vectors never selected
+    assert len(spark_pdf) == 6
+    assert set(spark_pdf.groupby("qid")["rank"].max()) == {2}
+    assert not set(spark_pdf["vec_id"]) & {5, 6}
