@@ -326,29 +326,29 @@ def test_driver_sample_prefix_is_fully_oracled():
     prior CORRECTNESS record; import order in backup_repo_spark/__init__
     deliberately rotates never-driver-sampled families to the front each
     round — r8: the §2 scan/filter/join/aggregate core, r9: windows/
-    sorts/setops/subqueries/DSv2/layout/streaming-parity/UDx). Guard the
+    sorts/setops/subqueries/DSv2/layout/streaming-parity/UDx, r10:
+    events-analytics + time-series + storage-clustering). Guard the
     rotation: every key in that prefix must carry a value oracle, so a
     future rows-only key registered in an early module cannot silently
     displace an oracled contract key from the driver's hard check."""
     prefix = list(registry.QUERIES)[:50]
     missing = [k for k in prefix if k not in registry.ORACLES]
     assert not missing, f"driver-sample prefix keys without oracle: {missing}"
-    # and the rotation itself: pin the round-9 slice — the prefix must be
-    # drawn ONLY from the third-slice modules (zero overlap by module with
-    # everything rounds 1-8 sampled: functions.packs, llm.*, and the
-    # r8 scans/projections/joins/aggregates core)
-    assert prefix[0] == "win_rank"
+    # and the rotation itself: pin the round-10 slice — the prefix must be
+    # drawn ONLY from the fourth-slice modules (zero overlap by module
+    # with everything rounds 1-9 sampled: functions.packs, llm.*, the r8
+    # scans/projections/joins/aggregates core, and the r9 windows/sorts/
+    # setops/subqueries/DSv2/layout/streaming-parity/UDx slice). The
+    # slice is sized to EXACTLY 50 (26 events + 20 timeseries + 4
+    # clustering), so the driver cut lands on a module boundary.
+    assert prefix[0] == "events_funnel"
     allowed = {
-        "backup_repo_spark.operators.windows",
-        "backup_repo_spark.operators.sorts",
-        "backup_repo_spark.operators.setops",
-        "backup_repo_spark.operators.subqueries",
-        "backup_repo_spark.sources.astro_datasource",
-        "backup_repo_spark.sources.layout",
-        "backup_repo_spark.streaming.windows",
-        "backup_repo_spark.udx.surface",
+        "backup_repo_spark.operators.events_analytics",
+        "backup_repo_spark.operators.timeseries",
+        "backup_repo_spark.sources.clustering",
     }
     stray = [
         k for k in prefix if registry.QUERIES[k].__module__ not in allowed
     ]
-    assert not stray, f"keys outside the round-9 rotation slice: {stray}"
+    assert not stray, f"keys outside the round-10 rotation slice: {stray}"
+    assert prefix[49] == "codec_sortkey", "slice-4 cut must land on the clustering/dml boundary"
