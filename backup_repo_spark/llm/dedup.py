@@ -107,6 +107,120 @@ def _exact_pairs(shingles: DataFrame, tau: float) -> DataFrame:
     )
 
 
+# --- exact-duplicate collapse for the banded family (VERDICT r9 #1) -------
+#
+# Band-bucket hot keys are bounded by band width only for RANDOM collisions:
+# exact-duplicate documents share EVERY band key, so a duplicate cluster of
+# size m used to contribute m²/2 candidate pairs in one bucket no matter how
+# wide the bands are (a boilerplate-heavy crawl at 100 TB makes that bucket a
+# straggler task that never finishes). The fix composes the layer the engine
+# already had (`llm_dedup_exact`'s md5(text) hash-collapse) IN FRONT of the
+# banded join: shingle/sign/band ONE representative per content hash, run the
+# candidate join and the exact-Jaccard verification on representatives only,
+# and expand pairs/clusters/keepers back through the hash groups afterward.
+# Results are provably identical — identical text ⇒ identical shingle set ⇒
+# intra-group Jaccard is exactly 1 (≥ any threshold) and every group member
+# inherits its representative's bands, candidates, and verified Jaccard —
+# and the representative IS the group's min doc_id, so min-label propagation
+# over the representative graph converges to the same component labels as
+# over the expanded graph.
+
+
+def _collapse(d: DataFrame):
+    """Exact-duplicate collapse of `documents`: one representative (the
+    group-min doc_id) per md5(text) content hash.
+
+    Returns (mem, repdocs): `mem` = (doc_id, rep, gsize) membership map,
+    `repdocs` = the representative document rows only. Shuffles carry
+    16-byte hashes / 8-byte ids, never text bodies twice."""
+    withth = d.withColumn("th", F.md5("text"))
+    groups = withth.groupBy("th").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("gsize")
+    )
+    mem = withth.select("doc_id", "th").join(groups, "th").select(
+        "doc_id", "rep", "gsize"
+    )
+    repdocs = d.join(
+        groups.select(F.col("rep").alias("doc_id")), "doc_id"
+    )
+    return mem, repdocs
+
+
+def _banded_rep_pairs(d: DataFrame):
+    """The collapse-first banded-LSH core: verified near-dup pairs over
+    exact-duplicate REPRESENTATIVES.
+
+    Returns (mem, rep_pairs, sig_reps):
+    - mem: (doc_id, rep, gsize) content-hash membership map,
+    - rep_pairs: (da, db, jaccard[rounded 4]) verified pairs, both ends
+      representatives, da < db,
+    - sig_reps: (rep) representatives with ≥1 shingle (docs under 3 tokens
+      produce no signature, hence no bands, hence no pairs — group
+      expansion must observe the same cutoff)."""
+    mem, repdocs = _collapse(d)
+    shingles = _shingles3(repdocs)
+    bands = _bands42(_sig8(shingles))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(shingles.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(
+            shingles.alias("sb"),
+            (F.col("db") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    rep_pairs = (
+        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("da", "db", F.round(jac, 4).alias("jaccard"))
+    )
+    sig_reps = sizes.select(F.col("doc_id").alias("rep"))
+    return mem, rep_pairs, sig_reps
+
+
+def _banded_doc_labels(d: DataFrame) -> DataFrame:
+    """Doc-level (node, label) connected-component labels over the banded
+    verified pair graph, computed collapse-first: min-label propagation
+    runs on the REPRESENTATIVE pair graph (one node per content hash), and
+    labels expand to members through the hash groups with one linear join.
+    A duplicate-only group (gsize ≥ 2, no cross-content pair) is its own
+    complete-graph component in the expanded graph, so its representative
+    joins the label set as a singleton rep-component — provided it has a
+    signature at all (sub-3-token docs band nowhere and stay unlabeled,
+    exactly as in the expanded graph). Labels are identical to running
+    `_component_labels` on the expanded pair set because the expanded
+    component minimum is always a representative (rep = group min)."""
+    mem, rep_pairs, sig_reps = _banded_rep_pairs(d)
+    rep_labels = _component_labels(rep_pairs)
+    lone_dup_reps = (
+        mem.filter(F.col("gsize") >= 2)
+        .select("rep")
+        .distinct()
+        .join(sig_reps, "rep")
+        .join(rep_labels.select(F.col("node").alias("rep")), "rep", "left_anti")
+        .select(F.col("rep").alias("node"), F.col("rep").alias("label"))
+    )
+    rep_labels_all = rep_labels.unionByName(lone_dup_reps)
+    return (
+        mem.join(rep_labels_all, mem.rep == rep_labels_all.node)
+        .select(F.col("doc_id").alias("node"), "label")
+    )
+
+
 # DuckDB mirror of the same family, composable CTE fragments (each fragment
 # only references names defined earlier in the composition order used below).
 _LSH_SHINGLE_CTES = """
@@ -695,48 +809,48 @@ def _component_labels(pairs: DataFrame) -> DataFrame:
 )
 def llm_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline, VALUE-verified end to end:
-    8 md5-family minhashes -> 4 bands of 2 rows -> band-bucket equi-join for
-    candidate pairs -> exact Jaccard verification at threshold 0.5.
+    exact-duplicate collapse (one representative per md5(text)) ->
+    8 md5-family minhashes -> 4 bands of 2 rows -> band-bucket equi-join
+    for candidate pairs -> exact Jaccard verification at threshold 0.5 ->
+    expansion of the representative pairs back through the hash groups.
 
     Unlike ml.feature.MinHashLSH (impl-specific hashes, rows-only oracle in
     `llm_dedup_minhash`), the salted-md5 hash family is engine-independent,
     so DuckDB reproduces the exact candidate set AND the exact verified
-    pairs. Scale shape: candidate generation is the O(n*bands) LSH join on
-    16-byte band keys (never the O(n^2) pair space), and the exact-Jaccard
-    join runs only on candidate pairs — at 100 TB the shuffle carries band
-    keys + doc ids, and hot buckets are bounded by band width (2 rows keeps
-    bucket collision probability j^2)."""
+    pairs. Scale shape (VERDICT r9 #1): the band join's input carries ONE
+    row per content hash, so an m-copy boilerplate cluster contributes one
+    representative instead of m²/2 same-bucket candidates, and hot buckets
+    really are bounded by band width — 2-row bands keep the RANDOM bucket
+    collision probability at j², and the one systematic collision source
+    (identical text) is collapsed before banding. Exact-duplicate mass
+    re-enters only at output expansion: intra-group pairs are emitted at
+    Jaccard 1.0 straight from the membership map (id-level rows, no
+    shingle work), and cross-group pairs inherit the representative pair's
+    verified Jaccard (identical text ⇒ identical shingle set)."""
     d = load_table(spark, sf_dir, "documents")
-    shingles = _shingles3(d)
-    bands = _bands42(_sig8(shingles))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    mem, rep_pairs, sig_reps = _banded_rep_pairs(d)
+    p, ma, mb = rep_pairs.alias("p"), mem.alias("ma"), mem.alias("mb")
+    cross = (
+        p.join(ma, F.col("ma.rep") == F.col("p.da"))
+        .join(mb, F.col("mb.rep") == F.col("p.db"))
+        .select(
+            F.least("ma.doc_id", "mb.doc_id").alias("da"),
+            F.greatest("ma.doc_id", "mb.doc_id").alias("db"),
+            F.col("p.jaccard").alias("jaccard"),
         )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(shingles.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .join(
-            shingles.alias("sb"),
-            (F.col("db") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
-        )
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("i"))
+    dup_mem = mem.filter(F.col("gsize") >= 2).join(sig_reps, "rep")
+    x, y = dup_mem.alias("x"), dup_mem.alias("y")
+    intra = x.join(
+        y,
+        (F.col("x.rep") == F.col("y.rep"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("da"),
+        F.col("y.doc_id").alias("db"),
+        F.lit(1.0).alias("jaccard"),
     )
-    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    return (
-        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
-        .filter(jac >= 0.5)
-        .select("da", "db", F.round(jac, 4).alias("jaccard"))
-    )
+    return cross.unionByName(intra)
 
 
 @query(
@@ -1070,9 +1184,14 @@ def llm_dedup_cluster_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     21.5 s at 10× → 90.1 s at 50× — step 4.20× for 5× data, AT/BELOW the
     generator's own same-session 4.79× (label propagation adds nothing
     measurable) and ~1.8× faster than the exact-ngram-fed cluster key's
-    161 s at 50×."""
-    pairs = QUERIES["llm_dedup_minhash_banded"](spark, sf_dir).select("da", "db")
-    labels = _component_labels(pairs)
+    161 s at 50×.
+
+    COLLAPSE-FIRST (VERDICT r9 #1): label propagation runs on the
+    REPRESENTATIVE pair graph (`_banded_doc_labels`) — an m-copy duplicate
+    cluster is one node, never m²/2 edges — and labels expand to members
+    with one linear join, provably identical because the expanded
+    component minimum is always a representative."""
+    labels = _banded_doc_labels(load_table(spark, sf_dir, "documents"))
     return (
         labels.groupBy(F.col("label").alias("component"))
         .agg(F.count(F.lit(1)).alias("csize"))
@@ -1096,11 +1215,14 @@ def llm_dedup_survivorship_banded(spark: SparkSession, sf_dir: str) -> DataFrame
     Measured (round 7, same-session trio with the generator, SCALING.md):
     19.4 s at 10× → 87.0 s at 50× — step 4.48× vs the generator's
     same-session 4.79× (the keeper argmax is two partial-aggregable
-    passes over graph-sized data; it adds nothing)."""
-    pairs = QUERIES["llm_dedup_minhash_banded"](spark, sf_dir).select("da", "db")
-    labels = _component_labels(pairs)
+    passes over graph-sized data; it adds nothing).
+
+    COLLAPSE-FIRST (VERDICT r9 #1): components come from the
+    representative pair graph via `_banded_doc_labels`; the keeper rule
+    then runs on doc-level labels (linear in corpus size, never in the
+    expanded pair count)."""
     d = load_table(spark, sf_dir, "documents")
-    return _survivorship(labels, d)
+    return _survivorship(_banded_doc_labels(d), d)
 
 
 @query(
@@ -1184,10 +1306,10 @@ def llm_dedup_drop_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (all already value-oracled individually) and charges each dropped doc
     to its source with one left join + groupBy. Docs in no cluster are
     kept by construction (LEFT join, count(dr) ignores NULLs on both
-    engines)."""
-    pairs = QUERIES["llm_dedup_minhash_banded"](spark, sf_dir).select("da", "db")
-    labels = _component_labels(pairs)
+    engines). Collapse-first (VERDICT r9 #1): components come from the
+    representative pair graph via `_banded_doc_labels`."""
     d = load_table(spark, sf_dir, "documents")
+    labels = _banded_doc_labels(d)
     keepers = _survivorship(labels, d).select("component", "keeper")
     dropped = (
         labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
@@ -1249,16 +1371,17 @@ def llm_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; a singleton share near 1.0 means dedup barely bites. Max and
     mean cluster size read directly off the histogram rows.
 
-    Scale: component labels are pair-graph-sized (bucketed LSH generator,
-    never all-pairs); the singleton count is one left-anti join of the
-    doc-id projection against the label set; the histogram groupBy is
-    bounded by the largest cluster size, and the corpus total rides a
-    1-row-aggregate broadcast crossJoin (the engine's standard idiom).
-    Oracle composes the same `_component_keeper_ctes` component chain the
-    survivorship/drop-rate oracles single-source."""
-    pairs = QUERIES["llm_dedup_minhash_banded"](spark, sf_dir).select("da", "db")
-    labels = _component_labels(pairs)
+    Scale: component labels are REPRESENTATIVE-graph-sized (collapse-first
+    bucketed LSH generator via `_banded_doc_labels`, VERDICT r9 #1 — never
+    all-pairs, and never the expanded duplicate-cluster edge set); the
+    singleton count is one left-anti join of the doc-id projection against
+    the label set; the histogram groupBy is bounded by the largest cluster
+    size, and the corpus total rides a 1-row-aggregate broadcast crossJoin
+    (the engine's standard idiom). Oracle composes the same
+    `_component_keeper_ctes` component chain the survivorship/drop-rate
+    oracles single-source."""
     d = load_table(spark, sf_dir, "documents")
+    labels = _banded_doc_labels(d)
     sz = labels.groupBy(F.col("label").alias("component")).agg(
         F.count(F.lit(1)).alias("csize")
     )
@@ -1358,7 +1481,15 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to (incoming x base) band pairs, exact-Jaccard verified at
     0.5, exact-dup hits excluded. At 100 TB the base side's signatures are
     precomputed and stored — each nightly batch joins only its own bands
-    against the band index."""
+    against the band index.
+
+    COLLAPSE-FIRST (VERDICT r9 #1): each side is collapsed to one
+    representative per content hash BEFORE shingling/banding, so a
+    boilerplate cluster on either side enters the band join once. Member
+    expansion is exact: an incoming duplicate group shares its
+    representative's candidates and verified Jaccards verbatim, and
+    min(dup_of) over base representatives equals min over all base
+    members because the representative IS its group's min doc_id."""
     d = load_table(spark, sf_dir, "documents")
     base = d.filter(F.col("doc_id") < 400)
     inc = d.filter(F.col("doc_id") >= 400)
@@ -1368,7 +1499,11 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("i.doc_id").alias("doc_id"))
         .agg(F.min(F.col("b.doc_id")).alias("dup_of"))
     )
-    shingles = _shingles3(d)
+    # Per-side collapse: the doc_id<400 / >=400 split survives collapse
+    # because representatives are chosen within each side.
+    _, base_reps = _collapse(base)
+    inc_mem, inc_reps = _collapse(inc)
+    shingles = _shingles3(base_reps.unionByName(inc_reps))
     bands = _bands42(_sig8(shingles))
     ib = bands.filter(F.col("doc_id") >= 400).alias("ib")
     bb = bands.filter(F.col("doc_id") < 400).alias("bb")
@@ -1392,12 +1527,16 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("i"))
     )
     jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    near = (
+    near_rep = (
         inter.join(sizes.alias("sa"), F.col("di") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
         .filter(jac >= 0.5)
-        .groupBy(F.col("di").alias("doc_id"))
+        .groupBy(F.col("di").alias("rep"))
         .agg(F.min("db").alias("dup_of"))
+    )
+    near = (
+        inc_mem.join(near_rep, "rep")
+        .select("doc_id", "dup_of")
         .join(exact.select("doc_id"), "doc_id", "left_anti")
     )
     return exact.select("doc_id", F.lit("exact").alias("how"), "dup_of").union(
