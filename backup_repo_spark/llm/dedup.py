@@ -1073,6 +1073,77 @@ def llm_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "llm_lsh_bucket_stats",
+    oracle="""
+    WITH rep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    tk AS (
+      SELECT d.doc_id, string_split(d.text, ' ') AS toks
+      FROM documents d JOIN rep USING (doc_id)
+    ),
+    idx AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tk),
+    shingles AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM idx WHERE i <= len(toks) - 2
+    ),
+    sig AS (
+      SELECT doc_id,
+             min(md5('b1-' || sh)) AS h1, min(md5('b2-' || sh)) AS h2,
+             min(md5('b3-' || sh)) AS h3, min(md5('b4-' || sh)) AS h4,
+             min(md5('b5-' || sh)) AS h5, min(md5('b6-' || sh)) AS h6,
+             min(md5('b7-' || sh)) AS h7, min(md5('b8-' || sh)) AS h8
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 1 AS band, h1 || h2 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 2, h3 || h4 FROM sig
+      UNION ALL SELECT doc_id, 3, h5 || h6 FROM sig
+      UNION ALL SELECT doc_id, 4, h7 || h8 FROM sig
+    ),
+    bucket AS (SELECT band, bkey, count(*) AS m FROM bands GROUP BY 1, 2)
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(m) AS BIGINT) AS n_docs,
+           CAST(max(m) AS BIGINT) AS max_bucket,
+           CAST(sum(m * (m - 1) // 2) AS BIGINT) AS cand_pairs,
+           round(max(m) * 1.0 / sum(m), 4) + 0.0 AS top_share
+    FROM bucket GROUP BY band
+    """,
+)
+def llm_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket population diagnostics for the PRODUCTION LSH join
+    (VERDICT r9 #4): per band — bucket count, doc rows, the hottest
+    bucket's size, the total candidate-pair mass sum(m*(m-1)/2) the
+    bucket populations imply, and the hottest bucket's share of the
+    band's rows. This is the `stats_key_skew` pattern applied to band
+    keys: a curator reads it BEFORE launching a 100 TB dedup job — a
+    max_bucket in the thousands after collapse means a near-identical
+    (but not byte-identical) template family that band width alone won't
+    bound, and the salt-or-collapse / threshold decision becomes
+    data-driven instead of hoped.
+
+    Measures the join input the shipped `llm_dedup_minhash_banded`
+    actually uses: exact-duplicate collapse first (one representative per
+    md5(text)), then the 4x2 salted-md5 banding of `_sig8` — so exact
+    boilerplate shows up as ONE row here, exactly as it enters the join.
+    One aggregation pass over the bands relation (groupBy (band, bkey),
+    then groupBy band); everything shuffles on 16-byte keys; output is
+    4 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    _, repdocs = _collapse(d)
+    bands = _bands42(_sig8(_shingles3(repdocs)))
+    bucket = bands.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("m"))
+    return bucket.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("m").cast("bigint").alias("n_docs"),
+        F.max("m").cast("bigint").alias("max_bucket"),
+        F.sum(F.expr("m * (m - 1) DIV 2")).cast("bigint").alias("cand_pairs"),
+        (F.round(F.max("m") * 1.0 / F.sum("m"), 4) + 0.0).alias("top_share"),
+    )
+
+
 def _component_keeper_ctes(pairs_sql: str) -> str:
     """Shared recursive-CTE chain: (da, db) pairs -> connected components
     (min reachable label) -> best-doc keeper per component (max vocabulary

@@ -240,6 +240,7 @@ def collapse_dir(tmp_path_factory):
         "llm_dup_source_matrix",
         "llm_dedup_drop_rate",
         "llm_dup_cluster_profile",
+        "llm_lsh_bucket_stats",
     ],
 )
 def test_curator_keys_on_total_collapse_corpus(name, spark, collapse_dir):
@@ -276,6 +277,13 @@ def test_curator_keys_on_total_collapse_corpus(name, spark, collapse_dir):
         assert len(spark_pdf) == 1
         row = spark_pdf.iloc[0]
         assert (row["csize"], row["n_clusters"], row["n_docs"]) == (n, 1, n)
+    elif name == "llm_lsh_bucket_stats":
+        # post-collapse join input: ONE representative -> every band holds
+        # one 1-doc bucket, zero implied candidate pairs
+        assert len(spark_pdf) == 4
+        assert (spark_pdf["n_buckets"] == 1).all()
+        assert (spark_pdf["max_bucket"] == 1).all()
+        assert (spark_pdf["cand_pairs"] == 0).all()
 
 
 def test_collapse_shrinks_band_input_to_one_representative(spark, collapse_dir):

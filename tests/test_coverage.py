@@ -297,6 +297,9 @@ EXTENSION_KEYS = [
     "llm_dup_cluster_profile",
     # round 9: MMR diversified re-rank over the exact top-k shortlist
     "llm_mmr_rerank",
+    # round 10: band-bucket population diagnostics over the collapsed
+    # (production) LSH join input — the salt-or-collapse curator view
+    "llm_lsh_bucket_stats",
 ]
 
 
