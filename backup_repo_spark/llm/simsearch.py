@@ -806,7 +806,23 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mmr_oracle(n_queries: int = 3, shortlist: int = 12, k: int = 5) -> str:
+# The MMR configuration, single-sourced (ADVICE r9): these constants feed
+# BOTH _mmr_oracle's SQL text and llm_mmr_rerank's Spark/greedy path, so an
+# edit to one side cannot silently desynchronize the other. 0.3 is spelled
+# as its own constant rather than 1 - lambda because 1 - 0.7 is not 0.3 in
+# binary floating point, and both engines must multiply by the same double.
+_MMR_N_QUERIES = 3
+_MMR_SHORTLIST = 12
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+_MMR_ONE_MINUS_LAMBDA = 0.3
+
+
+def _mmr_oracle(
+    n_queries: int = _MMR_N_QUERIES,
+    shortlist: int = _MMR_SHORTLIST,
+    k: int = _MMR_K,
+) -> str:
     """Unrolled greedy MMR as pure ANSI SQL. DuckDB's recursive CTEs
     restrict aggregates in the recursive term, so the k-step greedy
     selection is unrolled into k chained CTE blocks instead — one
@@ -853,7 +869,8 @@ def _mmr_oracle(n_queries: int = 3, shortlist: int = 12, k: int = 5) -> str:
     for i in range(2, k + 1):
         steps.append(f""",
     r{i} AS (
-      SELECT c.qid, c.vec_id, 0.7 * c.cos - 0.3 * max(p.sim) AS score
+      SELECT c.qid, c.vec_id,
+             {_MMR_LAMBDA} * c.cos - {_MMR_ONE_MINUS_LAMBDA} * max(p.sim) AS score
       FROM short c
       JOIN pp p ON p.qid = c.qid AND p.va = c.vec_id
       JOIN sel{i - 1} t ON t.qid = p.qid AND t.vec_id = p.vb
@@ -901,11 +918,19 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.window import Window
 
+    out_schema = "qid bigint, rank int, vec_id bigint, mmr_score double"
     emb = load_table(spark, sf_dir, "embeddings")
     qrows = sorted(
-        emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect(),
+        emb.filter(F.col("vec_id") < _MMR_N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
         key=lambda r: r.vec_id,
     )
+    if not qrows:
+        # Degenerate corpus with no query rows (ADVICE r9): F.array() with
+        # zero elements types as array<null> and the q.qid access fails
+        # analysis — return the empty result the oracle produces instead.
+        return spark.createDataFrame([], out_schema)
     qarr = F.array(
         *[
             F.struct(
@@ -916,7 +941,7 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     scored = (
-        emb.filter(F.col("vec_id") >= 3)
+        emb.filter(F.col("vec_id") >= _MMR_N_QUERIES)
         .select("vec_id", "embedding", F.explode(qarr).alias("q"))
         .select(
             F.col("q.qid").alias("qid"),
@@ -937,7 +962,7 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
             ),
         )
-        .filter(F.col("rn") <= 12)
+        .filter(F.col("rn") <= _MMR_SHORTLIST)
         .drop("rn")
     )
 
@@ -952,13 +977,15 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims = np.round((emat @ emat.T) / np.outer(norms, norms), 12)
         cos = pdf["cos"].to_numpy(dtype=np.float64)
         vid = pdf["vec_id"].to_numpy()
-        k = min(5, len(pdf))
+        k = min(_MMR_K, len(pdf))
         selected, scores = [0], [float(cos[0])]
         remaining = list(range(1, len(pdf)))
         while len(selected) < k:
             best_i, best_s = None, None
             for i in remaining:
-                s = 0.7 * cos[i] - 0.3 * max(float(sims[i, j]) for j in selected)
+                s = _MMR_LAMBDA * cos[i] - _MMR_ONE_MINUS_LAMBDA * max(
+                    float(sims[i, j]) for j in selected
+                )
                 if (
                     best_i is None
                     or s > best_s
@@ -979,7 +1006,7 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         shortlist.groupBy("qid")
-        .applyInPandas(_greedy, "qid bigint, rank int, vec_id bigint, mmr_score double")
+        .applyInPandas(_greedy, out_schema)
         .select("qid", "rank", "vec_id", F.round("mmr_score", 6).alias("mmr_score"))
         .orderBy("qid", "rank")
     )

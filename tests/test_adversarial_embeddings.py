@@ -225,3 +225,44 @@ def test_mmr_rerank_shortlist_smaller_than_k(spark, tmp_path_factory):
     assert len(spark_pdf) == 6
     assert set(spark_pdf.groupby("qid")["rank"].max()) == {2}
     assert not set(spark_pdf["vec_id"]) & {5, 6}
+
+
+def test_mmr_rerank_no_query_rows(spark, tmp_path_factory):
+    """Degenerate corpus whose every vec_id is >= the query cutoff
+    (ADVICE r9): zero query rows used to type F.array() of zero elements
+    as array<null> and fail analysis on the q.qid access. The Spark path
+    must short-circuit to the same EMPTY result the oracle produces."""
+    import duckdb as ddb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(12)
+    rows = [(i + 100, rng.randn(DIM)) for i in range(5)]  # no vec_id < 3
+    d = tmp_path_factory.mktemp("mmr_noq")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in r[1]] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(rows), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{SF_DIR}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    spark_pdf = registry.QUERIES["llm_mmr_rerank"](spark, str(d)).toPandas()
+    con = ddb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    try:
+        duck_pdf = con.execute(registry.ORACLES["llm_mmr_rerank"]).fetchdf()
+    finally:
+        con.close()
+    assert len(spark_pdf) == 0 and len(duck_pdf) == 0
+    assert list(spark_pdf.columns) == ["qid", "rank", "vec_id", "mmr_score"]

@@ -171,9 +171,10 @@ def test_octave_verdict_rule():
     from scale_sweep import _octave_verdict
 
     gen = {"base": 17.7, "scaled": 81.7, "step": 4.61}
-    # at/below generator step: clean pass, gap stamped for the record
-    v = _octave_verdict({"base": 19.7, "scaled": 90.4, "step": 4.59}, gen)
+    # at/below generator step AND flat gap: clean pass, gap stamped
+    v = _octave_verdict({"base": 19.2, "scaled": 88.0, "step": 4.58}, gen)
     assert v["verdict"] == "at-or-below-generator"
+    assert v["gap50_pct"] <= 10
     # above on step, flat on absolute gap (the cluster_profile case)
     v = _octave_verdict({"base": 17.1, "scaled": 89.8, "step": 5.25}, gen)
     assert v["verdict"] == "flat-absolute-gap"
@@ -181,4 +182,10 @@ def test_octave_verdict_rule():
     # above on both: flagged (octave mode re-probes this in-session)
     v = _octave_verdict({"base": 17.1, "scaled": 120.0, "step": 7.02}, gen)
     assert v["verdict"] == "above-generator"
+    assert v["gap50_pct"] > 10
+    # ADVICE r9: a passing step minted by a contention-inflated 10x base
+    # (step <= generator, but the 50x absolute gap exceeds tolerance) must
+    # NOT stamp a clean pass — it gets its own verdict (and a re-probe)
+    v = _octave_verdict({"base": 25.0, "scaled": 95.0, "step": 3.80}, gen)
+    assert v["verdict"] == "step-pass-gap-wide"
     assert v["gap50_pct"] > 10

@@ -198,7 +198,15 @@ def _octave_verdict(entry: dict, gen_entry: dict, gap_tol_pct: float = 10.0) -> 
     )
     out = {"gap50_pct": gap}
     if entry["step"] <= gen_entry["step"]:
-        out["verdict"] = "at-or-below-generator"
+        # ADVICE r9: a passing step can be minted by a contention-inflated
+        # 10x base (the docstring above calls step the noisy statistic), so
+        # a wide absolute gap must stay visible in the record rather than
+        # be adjudicated silently — stamp the ambiguity as its own verdict.
+        out["verdict"] = (
+            "at-or-below-generator"
+            if gap <= gap_tol_pct
+            else "step-pass-gap-wide"
+        )
     elif gap <= gap_tol_pct:
         out["verdict"] = "flat-absolute-gap"
     else:
@@ -491,7 +499,13 @@ def main() -> None:
         # session to tell growth from box state.
         gen_cache: dict[str, dict] = {}
         for k, g in dep_to_gen.items():
-            if record["keys"][k].get("verdict") != "above-generator":
+            # step-pass-gap-wide reprobes too (ADVICE r9): the step pass
+            # may have been minted by a contention-inflated base, and a
+            # fresh same-session pairing is exactly what resolves it.
+            if record["keys"][k].get("verdict") not in (
+                "above-generator",
+                "step-pass-gap-wide",
+            ):
                 continue
             # One FRESH generator measure per reprobe pass, shared by its
             # flagged dependents: still a same-session pairing, without
@@ -523,14 +537,19 @@ def main() -> None:
         }))
         return
 
-    out = fixture_dir(args.mult)
-
     # mirror _octave_plan's unknown-key guard: a typo'd --keys otherwise
-    # measures nothing and still rewrites the report
+    # measures nothing and still rewrites the report. Guard BEFORE fixture
+    # generation (ADVICE r9: a typo used to pay the ~4 min fixture build
+    # first), and reject an empty --keys list, which would also measure
+    # nothing and still re-stamp the report.
     if args.keys is not None:
+        if not args.keys:
+            sys.exit("--keys: empty key list (nothing to measure)")
         unknown = sorted(set(args.keys) - set(registry.QUERIES))
         if unknown:
             sys.exit(f"--keys: unknown registry keys: {unknown}")
+
+    out = fixture_dir(args.mult)
 
     results: dict[str, dict] = {}
     for name in sorted(registry.QUERIES):
