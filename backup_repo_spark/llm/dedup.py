@@ -192,6 +192,42 @@ def _banded_rep_pairs(d: DataFrame):
     return mem, rep_pairs, sig_reps
 
 
+def _expand_rep_pairs(
+    rep_pairs: DataFrame, mem: DataFrame, sig_reps: DataFrame
+) -> DataFrame:
+    """Expand verified REPRESENTATIVE pairs (da, db, jaccard) back through
+    the content-hash groups: cross-group member pairs inherit their
+    representative pair's verified Jaccard (identical text ⇒ identical
+    shingle set), intra-group pairs are emitted at exactly 1.0 straight
+    from the membership map — id-level rows only, no shingle work. Groups
+    whose representative has no shingle (`sig_reps`) are excluded from the
+    intra expansion, matching the uncollapsed pipeline where sub-3-token
+    docs band nowhere. least/greatest re-orders each expanded pair because
+    a member of the lower-rep group may carry the higher doc_id."""
+    p, ma, mb = rep_pairs.alias("p"), mem.alias("ma"), mem.alias("mb")
+    cross = (
+        p.join(ma, F.col("ma.rep") == F.col("p.da"))
+        .join(mb, F.col("mb.rep") == F.col("p.db"))
+        .select(
+            F.least("ma.doc_id", "mb.doc_id").alias("da"),
+            F.greatest("ma.doc_id", "mb.doc_id").alias("db"),
+            F.col("p.jaccard").alias("jaccard"),
+        )
+    )
+    dup_mem = mem.filter(F.col("gsize") >= 2).join(sig_reps, "rep")
+    x, y = dup_mem.alias("x"), dup_mem.alias("y")
+    intra = x.join(
+        y,
+        (F.col("x.rep") == F.col("y.rep"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("da"),
+        F.col("y.doc_id").alias("db"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    return cross.unionByName(intra)
+
+
 def _banded_doc_labels(d: DataFrame) -> DataFrame:
     """Doc-level (node, label) connected-component labels over the banded
     verified pair graph, computed collapse-first: min-label propagation
@@ -400,11 +436,21 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (below) ANDs 2 hashes per band (b=4, r=2), squaring the bucket
     collision probability — its candidates stay near-linear and it is
     measured sub-5× per octave through 100×/500k docs. Use the banded
-    key at scale; keep this one for pyspark.ml API parity at ≤10×."""
+    key at scale; keep this one for pyspark.ml API parity at ≤10×.
+
+    COLLAPSE-FIRST (VERDICT r9 #1, applied to the ml path too): the
+    HashingTF/MinHashLSH pipeline and approxSimilarityJoin run over one
+    representative per md5(text) content hash — ml's r=1 buckets are the
+    MOST exposed to the exact-duplicate m²/2 blowup, since identical docs
+    collide in every table — and the verified representative pairs expand
+    back through the hash groups exactly as in the banded key. The r=1
+    structural superlinearity on RANDOM collisions remains (hence the
+    standing demotion), but duplicate mass no longer multiplies it."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select("doc_id", _shingle3_arr().alias("shingles")).filter(
+    mem, repdocs = _collapse(d)
+    docs = repdocs.select("doc_id", _shingle3_arr().alias("shingles")).filter(
         F.size("shingles") > 0
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 14)
@@ -432,11 +478,14 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("i"))
     )
     jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    return (
+    rep_pairs = (
         inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
         .filter(jac >= 0.5)
         .select("da", "db", F.round(jac, 4).alias("jaccard"))
+    )
+    return _expand_rep_pairs(
+        rep_pairs, mem, docs.select(F.col("doc_id").alias("rep"))
     )
 
 
@@ -829,28 +878,7 @@ def llm_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified Jaccard (identical text ⇒ identical shingle set)."""
     d = load_table(spark, sf_dir, "documents")
     mem, rep_pairs, sig_reps = _banded_rep_pairs(d)
-    p, ma, mb = rep_pairs.alias("p"), mem.alias("ma"), mem.alias("mb")
-    cross = (
-        p.join(ma, F.col("ma.rep") == F.col("p.da"))
-        .join(mb, F.col("mb.rep") == F.col("p.db"))
-        .select(
-            F.least("ma.doc_id", "mb.doc_id").alias("da"),
-            F.greatest("ma.doc_id", "mb.doc_id").alias("db"),
-            F.col("p.jaccard").alias("jaccard"),
-        )
-    )
-    dup_mem = mem.filter(F.col("gsize") >= 2).join(sig_reps, "rep")
-    x, y = dup_mem.alias("x"), dup_mem.alias("y")
-    intra = x.join(
-        y,
-        (F.col("x.rep") == F.col("y.rep"))
-        & (F.col("x.doc_id") < F.col("y.doc_id")),
-    ).select(
-        F.col("x.doc_id").alias("da"),
-        F.col("y.doc_id").alias("db"),
-        F.lit(1.0).alias("jaccard"),
-    )
-    return cross.unionByName(intra)
+    return _expand_rep_pairs(rep_pairs, mem, sig_reps)
 
 
 @query(

@@ -235,6 +235,7 @@ def collapse_dir(tmp_path_factory):
     "name",
     [
         "llm_dedup_minhash_banded",
+        "llm_dedup_minhash",
         "llm_dedup_cluster_banded",
         "llm_dedup_survivorship_banded",
         "llm_dup_source_matrix",
@@ -258,7 +259,7 @@ def test_curator_keys_on_total_collapse_corpus(name, spark, collapse_dir):
     problems = hard_problems(compare(spark_pdf, duck_pdf))
     assert not problems, f"{name} diverges on total-collapse corpus: {problems}"
     n = len(COLLAPSE_DOCS)
-    if name == "llm_dedup_minhash_banded":
+    if name in ("llm_dedup_minhash_banded", "llm_dedup_minhash"):
         # complete graph: every ordered (a<b) pair is a verified jaccard-1 dup
         assert len(spark_pdf) == n * (n - 1) // 2
     elif name == "llm_dedup_survivorship_banded":
