@@ -317,6 +317,13 @@ OCTAVE_GENERATORS = {
     "llm_dedup_survivorship_banded": "llm_dedup_minhash_banded",
     "llm_dedup_cluster": "llm_dedup_ngram",
     "llm_dedup_survivorship": "llm_dedup_ngram",
+    # round 10 rotation (VERDICT r9 #6): the PQ serving chain — search
+    # wholly contains codebook training; recall and refine wholly contain
+    # the ADC search. llm_ann_partitioned has no generator: it is
+    # self-bounded (bucket-pruned scan) and is measured alone.
+    "llm_pq_search": "llm_pq_codebook",
+    "llm_pq_recall": "llm_pq_search",
+    "llm_pq_refine": "llm_pq_search",
 }
 
 
