@@ -317,12 +317,25 @@ def test_quantize_is_map_only(spark):
 
 def test_lsh_candidate_join_is_hash_not_nested_loop(spark):
     """Banded MinHash candidate generation must join on band keys — a
-    BroadcastNestedLoopJoin would mean the pair space is being scanned."""
+    BroadcastNestedLoopJoin would mean the pair space is being scanned.
+    The shipped key localCheckpoints the verified pair set before group
+    expansion (round 10), which truncates the returned plan's lineage —
+    so the candidate-join assertion runs on the INTERNAL representative
+    pair plan, and the no-cartesian assertion additionally covers the
+    expansion joins in the returned plan."""
+    from backup_repo_spark.llm.dedup import _banded_rep_pairs
+    from backup_repo_spark.session import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    _, rep_pairs, _ = _banded_rep_pairs(d)
+    inner = plan_of(rep_pairs)
+    assert "CartesianProduct" not in inner
+    # The only allowed nested-loop is none at all: band equality must drive
+    # every many-to-many join in this plan.
+    assert "BroadcastNestedLoopJoin" not in inner
     df = registry.QUERIES["llm_dedup_minhash_banded"](spark, SF_DIR)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
-    # The only allowed nested-loop is none at all: band equality must drive
-    # every many-to-many join in this plan.
     assert "BroadcastNestedLoopJoin" not in plan
 
 
