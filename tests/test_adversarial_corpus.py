@@ -314,3 +314,87 @@ def test_collapse_shrinks_band_input_to_one_representative(spark, collapse_dir):
     assert rep_pairs.count() == 0
     # membership map still carries all N docs for the expansion
     assert mem.count() == len(COLLAPSE_DOCS)
+
+
+# ---------------------------------------------------------------------------
+# Interleaved-id expansion corpus: a duplicate group whose member ids
+# STRADDLE a near-dup partner's id (group {1, 100} identical, doc 2 a
+# near-dup of both). The representative pair is (1, 2), but the expanded
+# member pair (2, 100) must come out re-ordered as da=2 < db=100 — the
+# least/greatest branch of `_expand_rep_pairs` that no other corpus
+# exercises (the collapse corpus has one group, the sf corpora's dup
+# groups don't straddle their near-dup partners).
+
+STRADDLE_BODY = (
+    "spark shuffles the banded candidate pairs across every executor "
+    "before the exact jaccard verification pass begins"
+)
+# near-dup: same text with a two-word tail change (3-shingle Jaccard vs
+# STRADDLE_BODY is well above the 0.5 threshold)
+STRADDLE_NEAR = (
+    "spark shuffles the banded candidate pairs across every executor "
+    "before the exact jaccard verification pass completes today"
+)
+STRADDLE_DOCS = [
+    (1, STRADDLE_BODY, "en", "a"),
+    (2, STRADDLE_NEAR, "en", "b"),
+    (100, STRADDLE_BODY, "en", "c"),   # exact dup of 1, id ABOVE the near-dup
+    (200, "unrelated filler text with nothing shared here at all", "en", "d"),
+]
+
+
+@pytest.fixture(scope="module")
+def straddle_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("straddle_sf")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in STRADDLE_DOCS], pa.int64()),
+            "text": [r[1] for r in STRADDLE_DOCS],
+            "lang": [r[2] for r in STRADDLE_DOCS],
+            "source": [r[3] for r in STRADDLE_DOCS],
+            "n_chars": pa.array([len(r[1]) for r in STRADDLE_DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_DIR}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["llm_dedup_minhash_banded", "llm_dedup_cluster_banded",
+     "llm_dedup_survivorship_banded", "llm_dup_source_matrix"],
+)
+def test_expansion_reorders_straddling_member_pairs(name, spark, straddle_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{straddle_dir}/{t}.parquet')"
+        )
+    try:
+        spark_pdf = registry.QUERIES[name](spark, straddle_dir).toPandas()
+        duck_pdf = con.execute(registry.ORACLES[name]).fetchdf()
+    finally:
+        con.close()
+    problems = hard_problems(compare(spark_pdf, duck_pdf))
+    assert not problems, f"{name} diverges on straddle corpus: {problems}"
+    if name == "llm_dedup_minhash_banded":
+        pairs = set(zip(spark_pdf["da"], spark_pdf["db"]))
+        # (1,100) intra at jaccard 1.0; (1,2) rep pair; (2,100) is the
+        # straddling expansion — MUST be ordered 2 < 100, and carry the
+        # same verified jaccard as its representative pair (1,2)
+        assert pairs == {(1, 2), (1, 100), (2, 100)}
+        by = {(r.da, r.db): r.jaccard for r in spark_pdf.itertuples()}
+        assert by[(1, 100)] == 1.0
+        assert by[(2, 100)] == by[(1, 2)] < 1.0
+    elif name in ("llm_dedup_cluster_banded", "llm_dedup_survivorship_banded"):
+        # one component {1, 2, 100}, labeled by its minimum (= rep 1)
+        assert len(spark_pdf) == 1
+        assert spark_pdf.iloc[0]["component"] == 1
+        assert spark_pdf.iloc[0]["csize"] == 3
