@@ -17,12 +17,22 @@ from backup_repo_spark import registry, session  # noqa: F401
 # first-50 prefix). Rounds 1-7 sampled the fn_*/llm_* families; round 8
 # rotated the §2 contract core (scans, projections, joins, aggregates) to
 # the front; round 9 rotated windows/sorts/setops/subqueries/DSv2/layout/
-# streaming-parity/UDx. Round 10 rotates a FOURTH, zero-overlap slice to
-# the front: the events-analytics suite (26), the time-series suite (20),
-# and the storage-clustering layout keys (4) — exactly 50, so the driver
-# cut lands on the clustering/dml module boundary. No key is renamed;
-# only registration order changes. tools/selfcheck.py still covers the
-# full registry every round regardless of this ordering.
+# streaming-parity/UDx; round 10 rotated events-analytics + time-series +
+# storage-clustering. Round 11 rotates a FIFTH, zero-overlap slice to the
+# front (verified 0-key overlap with the 210 keys sampled in
+# CORRECTNESS_r01..r10): the full-TPC-H suites (11 + 10), graph (9),
+# ML-on-SQL (13), rank-stats (5), and skew-handling (2) — exactly 50, so
+# the driver cut lands on the skew/clustering module boundary. No key is
+# renamed; only registration order changes. tools/selfcheck.py still
+# covers the full registry every round regardless of this ordering.
+from backup_repo_spark.operators import (  # noqa: F401
+    tpch_full,
+    tpch_more,
+    graph,
+    mlsql,
+    rankstats,
+    skew,
+)
 from backup_repo_spark.operators import (  # noqa: F401
     events_analytics,
     timeseries,
@@ -52,17 +62,11 @@ from backup_repo_spark.sources import (  # noqa: F401
 )
 from backup_repo_spark.streaming import live as streaming_live  # noqa: F401
 from backup_repo_spark.operators import (  # noqa: F401
-    graph,
-    mlsql,
     modern_sql,
     nested,
-    rankstats,
     reshape,
-    skew,
     skyline,
     similarity_join,
-    tpch_full,
-    tpch_more,
 )
 from backup_repo_spark.functions import packs  # noqa: F401
 from backup_repo_spark.llm import (  # noqa: F401

@@ -330,28 +330,31 @@ def test_driver_sample_prefix_is_fully_oracled():
     deliberately rotates never-driver-sampled families to the front each
     round — r8: the §2 scan/filter/join/aggregate core, r9: windows/
     sorts/setops/subqueries/DSv2/layout/streaming-parity/UDx, r10:
-    events-analytics + time-series + storage-clustering). Guard the
+    events-analytics + time-series + storage-clustering, r11: TPC-H full
+    suites + graph + ML-on-SQL + rank-stats + skew). Guard the
     rotation: every key in that prefix must carry a value oracle, so a
     future rows-only key registered in an early module cannot silently
     displace an oracled contract key from the driver's hard check."""
     prefix = list(registry.QUERIES)[:50]
     missing = [k for k in prefix if k not in registry.ORACLES]
     assert not missing, f"driver-sample prefix keys without oracle: {missing}"
-    # and the rotation itself: pin the round-10 slice — the prefix must be
-    # drawn ONLY from the fourth-slice modules (zero overlap by module
-    # with everything rounds 1-9 sampled: functions.packs, llm.*, the r8
-    # scans/projections/joins/aggregates core, and the r9 windows/sorts/
-    # setops/subqueries/DSv2/layout/streaming-parity/UDx slice). The
-    # slice is sized to EXACTLY 50 (26 events + 20 timeseries + 4
-    # clustering), so the driver cut lands on a module boundary.
-    assert prefix[0] == "events_funnel"
+    # and the rotation itself: pin the round-11 slice — the prefix must be
+    # drawn ONLY from the fifth-slice modules (zero key overlap with the
+    # 210 keys sampled in CORRECTNESS_r01..r10, verified at rotation
+    # time). The slice is sized to EXACTLY 50 (11 tpch_full + 10
+    # tpch_more + 9 graph + 13 mlsql + 5 rankstats + 2 skew), so the
+    # driver cut lands on a module boundary.
+    assert prefix[0] == "tpch_q2_style"
     allowed = {
-        "backup_repo_spark.operators.events_analytics",
-        "backup_repo_spark.operators.timeseries",
-        "backup_repo_spark.sources.clustering",
+        "backup_repo_spark.operators.tpch_full",
+        "backup_repo_spark.operators.tpch_more",
+        "backup_repo_spark.operators.graph",
+        "backup_repo_spark.operators.mlsql",
+        "backup_repo_spark.operators.rankstats",
+        "backup_repo_spark.operators.skew",
     }
     stray = [
         k for k in prefix if registry.QUERIES[k].__module__ not in allowed
     ]
-    assert not stray, f"keys outside the round-10 rotation slice: {stray}"
-    assert prefix[49] == "codec_sortkey", "slice-4 cut must land on the clustering/dml boundary"
+    assert not stray, f"keys outside the round-11 rotation slice: {stray}"
+    assert prefix[49] == "agg_skew_twophase", "slice-5 cut must land on the skew/events boundary"
