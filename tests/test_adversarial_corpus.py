@@ -398,3 +398,182 @@ def test_expansion_reorders_straddling_member_pairs(name, spark, straddle_dir):
         assert len(spark_pdf) == 1
         assert spark_pdf.iloc[0]["component"] == 1
         assert spark_pdf.iloc[0]["csize"] == 3
+
+
+# ---------------------------------------------------------------------------
+# Template-family corpus (VERDICT r10 #3): m NEAR-identical variants of one
+# template — same boilerplate, ONE token varying mid-document — the duplicate
+# shape the exact-dup collapse cannot bound (no two variants share md5(text))
+# and the shape that makes an unsalted band bucket quadratic. The fixtures
+# above have zero of these; this corpus exists to prove the salt arm
+# (llm_dedup_salted_band) actually splits the hot bucket and to measure the
+# recall it trades away (llm_lsh_salt_eval), value-exact on both engines.
+
+TEMPLATE_HEAD = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+)
+TEMPLATE_TAIL = (
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+)
+N_TEMPLATE = 24
+TEMPLATE_DOCS = [
+    (i, f"{TEMPLATE_HEAD} v{i} {TEMPLATE_TAIL}", "en", f"src{i % 3}")
+    for i in range(N_TEMPLATE)
+]
+
+
+@pytest.fixture(scope="module")
+def template_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("template_sf")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in TEMPLATE_DOCS], pa.int64()),
+            "text": [r[1] for r in TEMPLATE_DOCS],
+            "lang": [r[2] for r in TEMPLATE_DOCS],
+            "source": [r[3] for r in TEMPLATE_DOCS],
+            "n_chars": pa.array(
+                [len(r[1]) for r in TEMPLATE_DOCS], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_DIR}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", ["llm_dedup_salted_band", "llm_lsh_salt_eval",
+             "llm_lsh_bucket_stats", "llm_dedup_minhash_banded"]
+)
+def test_salt_keys_on_template_family_corpus(name, spark, template_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{template_dir}/{t}.parquet')"
+        )
+    try:
+        spark_pdf = registry.QUERIES[name](spark, template_dir).toPandas()
+        duck_pdf = con.execute(registry.ORACLES[name]).fetchdf()
+    finally:
+        con.close()
+    problems = hard_problems(compare(spark_pdf, duck_pdf))
+    assert not problems, f"{name} diverges on template corpus: {problems}"
+    if name == "llm_lsh_bucket_stats":
+        # the diagnostic FIRES: post-collapse (collapse is a no-op here —
+        # all 24 texts distinct) at least one band's hottest bucket holds
+        # most of the family, implying a near-quadratic candidate mass
+        assert int(spark_pdf["max_bucket"].max()) >= N_TEMPLATE // 2
+    elif name == "llm_lsh_salt_eval":
+        row = spark_pdf.iloc[0]
+        # the cap binds: the salted join's largest key group is a small
+        # fraction of the unsalted hot bucket (expected ~cap, bounded
+        # loosely against salt-hash luck), and candidate mass collapses
+        assert row["max_bucket"] >= N_TEMPLATE // 2
+        assert row["max_subbucket"] <= 8
+        assert row["n_cand_salted"] < row["n_cand"] / 2
+        # the recall cost is real, measured, and non-degenerate
+        assert 0.0 < row["recall"] < 1.0
+        # unsalted verified pairs ~ the full family: the 4x2 banding
+        # detects a J~0.73 pair with p = 1-(1-0.73^2)^4 ~ 0.95, so most
+        # (not all) of the 276 template pairs are candidates (267 here)
+        assert row["n_pairs"] >= 0.9 * (N_TEMPLATE * (N_TEMPLATE - 1) // 2)
+
+
+def test_salted_pairs_are_subset_of_unsalted(spark, template_dir):
+    """Salting only ever REMOVES candidates: every surviving pair must
+    appear in the unsalted output with the identical verified jaccard."""
+    salted = registry.QUERIES["llm_dedup_salted_band"](
+        spark, template_dir
+    ).toPandas()
+    full = registry.QUERIES["llm_dedup_minhash_banded"](
+        spark, template_dir
+    ).toPandas()
+    sset = {(r.da, r.db): r.jaccard for r in salted.itertuples()}
+    fset = {(r.da, r.db): r.jaccard for r in full.itertuples()}
+    assert set(sset) < set(fset)  # strict: the template corpus loses pairs
+    assert all(fset[k] == v for k, v in sset.items())
+
+
+def test_salted_equals_unsalted_when_no_bucket_exceeds_cap(spark, straddle_dir):
+    """On a corpus whose post-collapse band buckets are all <= cap, the
+    salt arm is byte-identical to the shipped unsalted key (n_sub = 1
+    everywhere — the sub column is constant 0)."""
+    salted = registry.QUERIES["llm_dedup_salted_band"](spark, straddle_dir)
+    full = registry.QUERIES["llm_dedup_minhash_banded"](spark, straddle_dir)
+    s = sorted(map(tuple, salted.collect()))
+    f = sorted(map(tuple, full.collect()))
+    assert s == f and len(s) == 3
+
+
+# ---------------------------------------------------------------------------
+# NULL-text corpus (ADVICE r10): md5(NULL) is NULL, so NULL-text documents
+# group in _collapse's groupBy but fail the membership equi-join — they are
+# intentionally absent from mem/repdocs pair expansion, exactly like
+# sub-shingle-width docs. Pin that the whole banded family (and the exact
+# key) agrees with DuckDB when NULL texts are present.
+
+NULLTEXT_DOCS = [
+    (1, None, "en", "null"),
+    (2, None, "en", "null"),          # a NULL-text "duplicate group"
+    (3, "the quick brown fox jumps over the lazy dog", "en", "plain"),
+    (4, "the quick brown fox jumps over the lazy dog", "en", "dup"),
+    (5, "one two", "en", "tiny"),
+]
+
+
+@pytest.fixture(scope="module")
+def nulltext_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("nulltext_sf")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in NULLTEXT_DOCS], pa.int64()),
+            "text": pa.array([r[1] for r in NULLTEXT_DOCS], pa.string()),
+            "lang": [r[2] for r in NULLTEXT_DOCS],
+            "source": [r[3] for r in NULLTEXT_DOCS],
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] is not None else 0 for r in NULLTEXT_DOCS],
+                pa.int64(),
+            ),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_DIR}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["llm_dedup_exact", "llm_dedup_minhash_banded", "llm_dedup_salted_band",
+     "llm_incremental_dedup", "llm_lsh_bucket_stats"],
+)
+def test_dedup_keys_on_null_text_corpus(name, spark, nulltext_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{nulltext_dir}/{t}.parquet')"
+        )
+    try:
+        spark_pdf = registry.QUERIES[name](spark, nulltext_dir).toPandas()
+        duck_pdf = con.execute(registry.ORACLES[name]).fetchdf()
+    finally:
+        con.close()
+    problems = hard_problems(compare(spark_pdf, duck_pdf))
+    assert not problems, f"{name} diverges on NULL-text corpus: {problems}"
+    if name in ("llm_dedup_minhash_banded", "llm_dedup_salted_band"):
+        # the NULL-text group pairs NOWHERE (can't shingle); only the
+        # real exact-dup pair (3, 4) survives, at jaccard 1.0
+        assert [(r.da, r.db, r.jaccard) for r in spark_pdf.itertuples()] == [
+            (3, 4, 1.0)
+        ]

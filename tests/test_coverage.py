@@ -300,6 +300,11 @@ EXTENSION_KEYS = [
     # round 10: band-bucket population diagnostics over the collapsed
     # (production) LSH join input — the salt-or-collapse curator view
     "llm_lsh_bucket_stats",
+    # round 11: the mitigation arm that diagnostic was shipped for —
+    # hot band buckets salted into ~cap-sized sub-buckets, plus the
+    # recall-cost audit pricing the salt against the unsalted join
+    "llm_dedup_salted_band",
+    "llm_lsh_salt_eval",
 ]
 
 
