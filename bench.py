@@ -308,6 +308,18 @@ def run_ab(base: str, rounds: int, sf_dir: str, sf: float,
     stat = _ab_stat(a_recs + b_recs)
     a_runs = [float(r[stat]) for r in a_recs]
     b_runs = [float(r[stat]) for r in b_recs]
+    # Per-query adjudication (VERDICT r10 #4: a single drifting headline
+    # query must be A/B-attributable without a second session): median of
+    # each query's per-run best across the A and B record sets.
+    per_query = {}
+    for q in (a_recs[0].get("queries") or {}):
+        qa = statistics.median(float(r["queries"][q]) for r in a_recs)
+        qb = statistics.median(float(r["queries"][q]) for r in b_recs)
+        per_query[q] = {
+            "a": round(qa, 3),
+            "b": round(qb, 3),
+            "delta_pct": round(100.0 * (qb - qa) / qa, 1) if qa else None,
+        }
     print(
         json.dumps(
             {
@@ -327,6 +339,7 @@ def run_ab(base: str, rounds: int, sf_dir: str, sf: float,
                     / statistics.median(a_runs),
                     1,
                 ),
+                "queries": per_query or None,
                 "sf": sf,
             }
         )

@@ -324,6 +324,16 @@ OCTAVE_GENERATORS = {
     "llm_pq_search": "llm_pq_codebook",
     "llm_pq_recall": "llm_pq_search",
     "llm_pq_refine": "llm_pq_search",
+    # round 11 rotation (VERDICT r10 #5): BPE encode replays the merge
+    # table llm_bpe_merges trains (it collects that key's output), so
+    # merges bounds it; the salt arm and its eval both contain the
+    # collapsed banded join (salted candidates are a subset of unsalted;
+    # the eval computes both joins), so the unsalted banded key is their
+    # generator. llm_sim_search / llm_semdedup are self-bounded
+    # (brute-force top-k; adaptive-cluster cosine) and measured alone.
+    "llm_bpe_encode": "llm_bpe_merges",
+    "llm_dedup_salted_band": "llm_dedup_minhash_banded",
+    "llm_lsh_salt_eval": "llm_dedup_minhash_banded",
 }
 
 
