@@ -277,7 +277,13 @@ def _expand_rep_pairs(
     pair-graph-sized relation (da, db, jaccard), never the corpus — the
     same barrier `_component_labels` already puts under label
     propagation. (NOTE: this executes the verification jobs at plan-build
-    time — the standing sweep caveat for localCheckpoint keys.)"""
+    time — the standing sweep caveat for localCheckpoint keys. ADVICE
+    r10 weighed `localCheckpoint(eager=False)` as the escape hatch if
+    plan-only consumers — explain(), the plan sweep — ever need to stop
+    paying execution; kept eager deliberately: every production consumer
+    executes the pairs anyway, and lazy checkpoints first materialize
+    INSIDE another action, which muddies the per-stage timing records
+    the octave protocol depends on.)"""
     rep_pairs = rep_pairs.localCheckpoint()
     p, ma, mb = rep_pairs.alias("p"), mem.alias("ma"), mem.alias("mb")
     cross = (
