@@ -154,6 +154,31 @@ def _collapse(d: DataFrame):
     return mem, repdocs
 
 
+def _jaccard_verify(cand: DataFrame, shingles: DataFrame, tau: float = 0.5) -> DataFrame:
+    """Exact shingle-Jaccard verification of CANDIDATE pairs (da, db):
+    returns (da, db, jaccard[double, unrounded]) for pairs at >= tau.
+    Linear in candidate-pair x shared-shingle mass — the post-LSH step,
+    never an all-pairs join. Single implementation shared by the banded
+    pipeline, the salt arm, and the salt planner/eval audits."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(shingles.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(
+            shingles.alias("sb"),
+            (F.col("db") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .filter(jac >= tau)
+        .select("da", "db", jac.alias("jaccard"))
+    )
+
+
 def _salt_bands(bands: DataFrame, repdocs: DataFrame, cap: int) -> DataFrame:
     """Hot-bucket mitigation (VERDICT r10 #3, pairs with the
     `llm_lsh_bucket_stats` diagnostic): split every band bucket larger
@@ -229,22 +254,8 @@ def _banded_rep_pairs(d: DataFrame, salt_cap: int | None = None):
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(shingles.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .join(
-            shingles.alias("sb"),
-            (F.col("db") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
-        )
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    rep_pairs = (
-        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
-        .filter(jac >= 0.5)
-        .select("da", "db", F.round(jac, 4).alias("jaccard"))
+    rep_pairs = _jaccard_verify(cand, shingles).select(
+        "da", "db", F.round("jaccard", 4).alias("jaccard")
     )
     # "has ≥1 shingle" ⟺ "has ≥3 tokens" (the slice emits len-2 shingles
     # and array_distinct of a non-empty array is non-empty), so the cutoff
@@ -1454,24 +1465,7 @@ def llm_lsh_salt_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _verified(cand: DataFrame) -> DataFrame:
-        sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-        inter = (
-            cand.join(shingles.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-            .join(
-                shingles.alias("sb"),
-                (F.col("db") == F.col("sb.doc_id"))
-                & (F.col("sa.sh") == F.col("sb.sh")),
-            )
-            .groupBy("da", "db")
-            .agg(F.count(F.lit(1)).alias("i"))
-        )
-        jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-        return (
-            inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-            .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
-            .filter(jac >= 0.5)
-            .select("da", "db")
-        )
+        return _jaccard_verify(cand, shingles).select("da", "db")
 
     cand0, cand1 = _cands(bands, False), _cands(sbands, True)
     n_cand = cand0.agg(F.count(F.lit(1)).alias("n_cand"))
@@ -1506,6 +1500,248 @@ def llm_lsh_salt_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_bucket",
             "max_subbucket",
         )
+    )
+
+
+# Cap grid for llm_lsh_salt_plan: cap=1 is maximal splitting (every doc its
+# own expected sub-bucket; survivors are salt collisions only), the top cap
+# approximates the unsalted join on fixture-scale buckets. Production picks
+# from the measured frontier the same way llm_lsh_plan picks (b, r).
+_SALT_PLAN_CAPS = [1, 2, 4, 8, 16]
+
+
+def _salt_plan_sql() -> str:
+    """Generated DuckDB oracle for llm_lsh_salt_plan: one co-bucket pass,
+    per-cap survival flags as conditional aggregates (a pair survives at
+    cap c iff some shared band bucket puts both docs in the same
+    salt % ceil(m/c) sub-bucket), verified pairs computed once on the
+    unsalted candidate set. CTEs materialized per the round-3 rule."""
+    surv_cols = ", ".join(
+        f"max(CASE WHEN (salta % ((m + {c - 1}) // {c})) = "
+        f"(saltb % ((m + {c - 1}) // {c})) THEN 1 ELSE 0 END) AS s{c}"
+        for c in _SALT_PLAN_CAPS
+    )
+    sub_union = " UNION ALL ".join(
+        f"SELECT {c} AS cap, band, bkey, salt % ((m + {c - 1}) // {c}) AS sub FROM sb"
+        for c in _SALT_PLAN_CAPS
+    )
+    stat_arms = " UNION ALL ".join(
+        f"SELECT {c} AS cap, "
+        f"(SELECT CAST(coalesce(sum(s{c}), 0) AS BIGINT) FROM surv) AS n_cand_salted, "
+        f"(SELECT CAST(coalesce(sum(s{c}), 0) AS BIGINT) FROM hits) AS n_pairs_salted"
+        for c in _SALT_PLAN_CAPS
+    )
+    return f"""
+    WITH {_COLLAPSE_CTES}, {_REP_SHINGLE_CTES}, {_LSH_SIG_CTE}, {_REP_BANDS_CTE},
+    bsz AS MATERIALIZED (
+      SELECT band, bkey, count(*) AS m FROM bands GROUP BY 1, 2
+    ),
+    sb AS MATERIALIZED (
+      SELECT b.doc_id, b.band, b.bkey, z.m,
+             CAST(('0x' || substring(md5('salt-' || CAST(b.band AS VARCHAR)
+                    || '-' || md5(r.text)), 1, 4)) AS INTEGER) AS salt
+      FROM bands b
+      JOIN bsz z ON b.band = z.band AND b.bkey = z.bkey
+      JOIN repdocs r ON b.doc_id = r.doc_id
+    ),
+    cob AS MATERIALIZED (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.m AS m,
+             a.salt AS salta, b.salt AS saltb
+      FROM sb a JOIN sb b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    surv AS MATERIALIZED (
+      SELECT da, db, {surv_cols} FROM cob GROUP BY da, db
+    ),
+    inter AS MATERIALIZED (
+      SELECT c.da, c.db, count(*) AS i
+      FROM (SELECT DISTINCT da, db FROM cob) c
+      JOIN shingles a ON a.doc_id = c.da
+      JOIN shingles b ON b.doc_id = c.db AND b.sh = a.sh
+      GROUP BY c.da, c.db
+    ),
+    vp AS MATERIALIZED (
+      SELECT i.da, i.db
+      FROM inter i
+      JOIN sizes za ON i.da = za.doc_id
+      JOIN sizes zb ON i.db = zb.doc_id
+      WHERE i.i * 1.0 / (za.n + zb.n - i.i) >= 0.5
+    ),
+    hits AS MATERIALIZED (
+      SELECT s.* FROM surv s JOIN vp ON s.da = vp.da AND s.db = vp.db
+    ),
+    np AS MATERIALIZED (SELECT count(*) AS n_pairs FROM vp),
+    subs AS MATERIALIZED ({sub_union}),
+    msub AS MATERIALIZED (
+      SELECT cap, CAST(coalesce(max(cnt), 0) AS BIGINT) AS max_subbucket
+      FROM (SELECT cap, band, bkey, sub, count(*) AS cnt
+            FROM subs GROUP BY 1, 2, 3, 4)
+      GROUP BY cap
+    ),
+    stats AS MATERIALIZED ({stat_arms})
+    SELECT st.cap, st.n_cand_salted, st.n_pairs_salted, np.n_pairs,
+           st.n_pairs_salted * 1.0 / nullif(np.n_pairs, 0) AS recall,
+           CAST(coalesce(ms.max_subbucket, 0) AS BIGINT) AS max_subbucket
+    FROM stats st
+    CROSS JOIN np
+    LEFT JOIN msub ms USING (cap)
+    ORDER BY st.cap
+    """
+
+
+@query("llm_lsh_salt_plan", oracle=_salt_plan_sql())
+def llm_lsh_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALT-CAP PLANNER — the `llm_lsh_plan` analog for the hot-bucket
+    mitigation knob: sweep the cap grid over the corpus in ONE pass and
+    emit, per cap, the salted candidate count, verified-pair survival
+    (recall vs the unsalted join's verified pairs), and the max
+    sub-bucket size (the straggler bound the cap buys). The curator
+    workflow is now closed-loop: `llm_lsh_bucket_stats` says WHETHER
+    buckets are hot, this table says WHICH cap to set, and
+    `llm_lsh_salt_eval` audits the shipped choice.
+
+    One-pass mechanics: the band self-join is computed ONCE into a
+    co-bucket relation (da, db, m, salt_a, salt_b); a pair survives cap
+    c iff SOME shared bucket has salt_a % ceil(m/c) == salt_b %
+    ceil(m/c) — a map-side conditional aggregate per cap, no per-cap
+    joins. Exact-Jaccard verification runs once, on the unsalted
+    candidate set (every salted set is a subset). Scale: the co-bucket
+    relation is the unsalted join's candidate mass — the planner, like
+    llm_lsh_plan's ground truth, runs on a sample/fixture or
+    post-collapse corpus slice, and is itself why the cap exists: at
+    100 TB you plan on a sample, then launch `llm_dedup_salted_band`
+    with the chosen cap. All hashes are the shipped salted-md5 family,
+    so DuckDB reproduces every number."""
+    d = load_table(spark, sf_dir, "documents")
+    _, repdocs = _collapse(d)
+    shingles = _shingles3(repdocs)
+    bands = _bands42(_sig8(shingles))
+    bsz = bands.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("m"))
+    rsalt = repdocs.select("doc_id", F.md5("text").alias("th"))
+    salt16 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("salt-"),
+                    F.col("band").cast("string"),
+                    F.lit("-"),
+                    F.col("th"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    sb = (
+        bands.join(bsz, ["band", "bkey"])
+        .join(rsalt, "doc_id")
+        .select("doc_id", "band", "bkey", "m", salt16.alias("salt"))
+    )
+    a, b = sb.alias("a"), sb.alias("b")
+    cob = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        F.col("a.m").alias("m"),
+        F.col("a.salt").alias("salta"),
+        F.col("b.salt").alias("saltb"),
+    )
+
+    def _nsub(c: int):
+        return F.expr(f"(m + {c - 1}) DIV {c}")
+
+    surv = cob.groupBy("da", "db").agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("salta") % _nsub(c)) == (F.col("saltb") % _nsub(c)),
+                    1,
+                ).otherwise(0)
+            ).alias(f"s{c}")
+            for c in _SALT_PLAN_CAPS
+        ]
+    )
+    vp = _jaccard_verify(cob.select("da", "db").distinct(), shingles).select(
+        "da", "db"
+    )
+    hits = surv.join(vp, ["da", "db"])
+    cands_row = surv.agg(
+        *[
+            F.coalesce(F.sum(f"s{c}"), F.lit(0)).cast("bigint").alias(f"nc{c}")
+            for c in _SALT_PLAN_CAPS
+        ]
+    )
+    hits_row = hits.agg(
+        *[
+            F.coalesce(F.sum(f"s{c}"), F.lit(0)).cast("bigint").alias(f"nh{c}")
+            for c in _SALT_PLAN_CAPS
+        ]
+    )
+    np_row = vp.agg(F.count(F.lit(1)).alias("n_pairs"))
+    # single explode over the one wide row — NOT a per-cap union, which
+    # would re-evaluate the aggregate DAG once per branch
+    stats = (
+        cands_row.crossJoin(hits_row)
+        .crossJoin(np_row)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("cap"),
+                            F.col(f"nc{c}").alias("n_cand_salted"),
+                            F.col(f"nh{c}").alias("n_pairs_salted"),
+                        )
+                        for c in _SALT_PLAN_CAPS
+                    ]
+                )
+            ).alias("e"),
+            "n_pairs",
+        )
+        .select("e.cap", "e.n_cand_salted", "e.n_pairs_salted", "n_pairs")
+    )
+    subs = sb.select(
+        "band",
+        "bkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("cap"),
+                        (F.col("salt") % _nsub(c)).alias("sub"),
+                    )
+                    for c in _SALT_PLAN_CAPS
+                ]
+            )
+        ).alias("e"),
+    ).select("band", "bkey", "e.cap", "e.sub")
+    msub = (
+        subs.groupBy("cap", "band", "bkey", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("cap")
+        .agg(F.max("cnt").cast("bigint").alias("max_subbucket"))
+    )
+    return (
+        stats.join(msub, "cap", "left")
+        .select(
+            "cap",
+            "n_cand_salted",
+            "n_pairs_salted",
+            "n_pairs",
+            F.try_divide(F.col("n_pairs_salted") * 1.0, F.col("n_pairs")).alias(
+                "recall"
+            ),
+            F.coalesce("max_subbucket", F.lit(0)).cast("bigint").alias(
+                "max_subbucket"
+            ),
+        )
+        .orderBy("cap")
     )
 
 

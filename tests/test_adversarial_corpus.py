@@ -577,3 +577,36 @@ def test_dedup_keys_on_null_text_corpus(name, spark, nulltext_dir):
         assert [(r.da, r.db, r.jaccard) for r in spark_pdf.itertuples()] == [
             (3, 4, 1.0)
         ]
+
+
+def test_salt_plan_frontier_on_template_family(spark, template_dir):
+    """The cap planner's frontier must be monotone and non-degenerate on
+    the corpus it exists for: raising the cap admits more candidates
+    (n_cand_salted non-decreasing), recovers more true pairs (recall
+    non-decreasing), and relaxes the straggler bound (max_subbucket
+    non-decreasing) — with real spread between the tightest and loosest
+    cap, value-exact against DuckDB."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{template_dir}/{t}.parquet')"
+        )
+    try:
+        sp = registry.QUERIES["llm_lsh_salt_plan"](spark, template_dir).toPandas()
+        du = con.execute(registry.ORACLES["llm_lsh_salt_plan"]).fetchdf()
+    finally:
+        con.close()
+    problems = hard_problems(compare(sp, du))
+    assert not problems, f"llm_lsh_salt_plan diverges on template corpus: {problems}"
+    sp = sp.sort_values("cap").reset_index(drop=True)
+    assert list(sp["cap"]) == [1, 2, 4, 8, 16]
+    assert sp["n_cand_salted"].is_monotonic_increasing
+    assert sp["recall"].is_monotonic_increasing
+    assert sp["max_subbucket"].is_monotonic_increasing
+    # the frontier is real on a hot-bucket family: the tightest cap loses
+    # most pairs, the loosest keeps most of them, and n_pairs matches the
+    # unsalted verified count the eval key reports
+    assert sp["recall"].iloc[0] < 0.5 < sp["recall"].iloc[-1]
+    assert (sp["n_pairs"] == sp["n_pairs"].iloc[0]).all()
+    assert sp["max_subbucket"].iloc[0] < N_TEMPLATE // 4

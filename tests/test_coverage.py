@@ -302,9 +302,11 @@ EXTENSION_KEYS = [
     "llm_lsh_bucket_stats",
     # round 11: the mitigation arm that diagnostic was shipped for —
     # hot band buckets salted into ~cap-sized sub-buckets, plus the
-    # recall-cost audit pricing the salt against the unsalted join
+    # recall-cost audit pricing the salt against the unsalted join and
+    # the one-pass cap planner (the llm_lsh_plan analog for the cap knob)
     "llm_dedup_salted_band",
     "llm_lsh_salt_eval",
+    "llm_lsh_salt_plan",
 ]
 
 
