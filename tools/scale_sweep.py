@@ -334,6 +334,9 @@ OCTAVE_GENERATORS = {
     "llm_bpe_encode": "llm_bpe_merges",
     "llm_dedup_salted_band": "llm_dedup_minhash_banded",
     "llm_lsh_salt_eval": "llm_dedup_minhash_banded",
+    # the cap planner contains the unsalted co-bucket join + one-shot
+    # verification; its per-cap arithmetic is map-side conditional aggs
+    "llm_lsh_salt_plan": "llm_dedup_minhash_banded",
 }
 
 
