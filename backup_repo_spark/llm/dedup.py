@@ -179,6 +179,29 @@ def _jaccard_verify(cand: DataFrame, shingles: DataFrame, tau: float = 0.5) -> D
     )
 
 
+def _salt32(band, th):
+    """Engine-independent 32-bit band salt: first 8 hex chars of
+    md5('salt-<band>-<text-hash>') as BIGINT. The single Spark-side salt
+    definition — `_SALT32_SQL` is its DuckDB mirror; change both or
+    neither (the salted keys' value oracles pin them equal)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("salt-"), band.cast("string"), F.lit("-"), th)),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+# DuckDB mirror of _salt32 (band expr, text-hash expr are spliced in).
+_SALT32_SQL = (
+    "CAST(('0x' || substring(md5('salt-' || CAST({band} AS VARCHAR)"
+    " || '-' || {th}), 1, 8)) AS BIGINT)"
+)
+
+
 def _salt_bands(bands: DataFrame, repdocs: DataFrame, cap: int) -> DataFrame:
     """Hot-bucket mitigation (VERDICT r10 #3, pairs with the
     `llm_lsh_bucket_stats` diagnostic): split every band bucket larger
@@ -186,8 +209,14 @@ def _salt_bands(bands: DataFrame, repdocs: DataFrame, cap: int) -> DataFrame:
     so the candidate join's largest key group is bounded by ~cap instead
     of by the hottest template family's size. Returns bands + `sub`.
 
-    The salt is engine-independent (16 bits of md5 over
-    'salt-<band>-<md5(text)>') and PER BAND: the same pair of documents
+    The salt is engine-independent (32 bits of md5 over
+    'salt-<band>-<md5(text)>'; widened from 16 per ADVICE r11 so a hot
+    bucket of m > 65536*cap docs — crawl-scale template families against
+    a production cap of O(10^3) — still spreads over all ceil(m/cap)
+    sub-buckets instead of silently degrading to ~m/65536 per group; 32
+    bits bounds the operating range at m <= 4.3e9*cap, past any
+    single-bucket population a 100 TB corpus can produce) and PER BAND:
+    the same pair of documents
     draws an independent sub-bucket assignment in each of the 4 bands, so
     bands keep their OR-over-trials LSH character — a true pair inside one
     hot bucket survives with p = 1-(1-1/n_sub)^(#shared hot bands) rather
@@ -198,26 +227,11 @@ def _salt_bands(bands: DataFrame, repdocs: DataFrame, cap: int) -> DataFrame:
     bsz = bands.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("m"))
     rsalt = repdocs.select("doc_id", F.md5("text").alias("th"))
     n_sub = F.expr(f"(m + {cap - 1}) DIV {cap}")
-    salt16 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("salt-"),
-                    F.col("band").cast("string"),
-                    F.lit("-"),
-                    F.col("th"),
-                )
-            ),
-            1,
-            4,
-        ),
-        16,
-        10,
-    ).cast("int")
+    salt = _salt32(F.col("band"), F.col("th"))
     return (
         bands.join(bsz, ["band", "bkey"])
         .join(rsalt, "doc_id")
-        .select("doc_id", "band", "bkey", (salt16 % n_sub).alias("sub"))
+        .select("doc_id", "band", "bkey", (salt % n_sub).alias("sub"))
     )
 
 
@@ -1304,6 +1318,17 @@ _COLLAPSE_CTES = """
     repdocs AS (SELECT d.* FROM documents d
                 JOIN grp g ON d.doc_id = g.rep)"""
 
+# Retarget the shared shingle fragment from `documents` to the collapsed
+# `repdocs` relation. Guarded (ADVICE r11): if the fragment is ever
+# reworded so it no longer references `documents` exactly once, the
+# salted oracles would silently shingle the wrong relation — fail loudly
+# at import time instead.
+if _LSH_SHINGLE_CTES.count("FROM documents") != 1:
+    raise AssertionError(
+        "_LSH_SHINGLE_CTES must reference 'FROM documents' exactly once "
+        f"(found {_LSH_SHINGLE_CTES.count('FROM documents')}); "
+        "_REP_SHINGLE_CTES retargets that single occurrence to repdocs"
+    )
 _REP_SHINGLE_CTES = _LSH_SHINGLE_CTES.replace("FROM documents", "FROM repdocs")
 
 _REP_BANDS_CTE = """
@@ -1318,8 +1343,7 @@ _SALTED_BANDS_CTES = f"""
     bsz AS (SELECT band, bkey, count(*) AS m FROM bands GROUP BY 1, 2),
     sbands AS (
       SELECT b.doc_id, b.band, b.bkey,
-             CAST(('0x' || substring(md5('salt-' || CAST(b.band AS VARCHAR)
-                    || '-' || md5(r.text)), 1, 4)) AS INTEGER)
+             {_SALT32_SQL.format(band="b.band", th="md5(r.text)")}
                % ((z.m + {_SALT_CAP - 1}) // {_SALT_CAP}) AS sub
       FROM bands b
       JOIN bsz z ON b.band = z.band AND b.bkey = z.bkey
@@ -1538,8 +1562,7 @@ def _salt_plan_sql() -> str:
     ),
     sb AS MATERIALIZED (
       SELECT b.doc_id, b.band, b.bkey, z.m,
-             CAST(('0x' || substring(md5('salt-' || CAST(b.band AS VARCHAR)
-                    || '-' || md5(r.text)), 1, 4)) AS INTEGER) AS salt
+             {_SALT32_SQL.format(band="b.band", th="md5(r.text)")} AS salt
       FROM bands b
       JOIN bsz z ON b.band = z.band AND b.bkey = z.bkey
       JOIN repdocs r ON b.doc_id = r.doc_id
@@ -1618,26 +1641,16 @@ def llm_lsh_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _bands42(_sig8(shingles))
     bsz = bands.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("m"))
     rsalt = repdocs.select("doc_id", F.md5("text").alias("th"))
-    salt16 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("salt-"),
-                    F.col("band").cast("string"),
-                    F.lit("-"),
-                    F.col("th"),
-                )
-            ),
-            1,
-            4,
-        ),
-        16,
-        10,
-    ).cast("int")
     sb = (
         bands.join(bsz, ["band", "bkey"])
         .join(rsalt, "doc_id")
-        .select("doc_id", "band", "bkey", "m", salt16.alias("salt"))
+        .select(
+            "doc_id",
+            "band",
+            "bkey",
+            "m",
+            _salt32(F.col("band"), F.col("th")).alias("salt"),
+        )
     )
     a, b = sb.alias("a"), sb.alias("b")
     cob = a.join(
@@ -2162,6 +2175,18 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative's candidates and verified Jaccards verbatim, and
     min(dup_of) over base representatives equals min over all base
     members because the representative IS its group's min doc_id."""
+    return _incremental_dedup(spark, sf_dir, salt_cap=None)
+
+
+def _incremental_dedup(
+    spark: SparkSession, sf_dir: str, salt_cap: int | None
+) -> DataFrame:
+    """Shared incoming-vs-base dedup pipeline. `salt_cap=None` is the
+    unsalted band join (`llm_incremental_dedup`); an integer cap routes
+    the band join through `_salt_bands` over the combined (base ∪
+    incoming) representative band relation (`llm_incremental_dedup_salted`)
+    — the same hot-bucket mitigation the self-join arm ships, on the path
+    that runs unattended every night (VERDICT r11 #2)."""
     d = load_table(spark, sf_dir, "documents")
     base = d.filter(F.col("doc_id") < 400)
     inc = d.filter(F.col("doc_id") >= 400)
@@ -2175,15 +2200,24 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # because representatives are chosen within each side.
     _, base_reps = _collapse(base)
     inc_mem, inc_reps = _collapse(inc)
-    shingles = _shingles3(base_reps.unionByName(inc_reps))
+    repdocs = base_reps.unionByName(inc_reps)
+    shingles = _shingles3(repdocs)
     bands = _bands42(_sig8(shingles))
+    if salt_cap is not None:
+        # Bucket size m counts BOTH sides' representatives: the straggler
+        # this bounds is the band bucket hot on both sides (mi × mb join
+        # output); cold buckets get n_sub = 1 and stay byte-identical to
+        # the unsalted join input.
+        bands = _salt_bands(bands, repdocs, salt_cap)
+        key_cols = ["band", "bkey", "sub"]
+    else:
+        key_cols = ["band", "bkey"]
     ib = bands.filter(F.col("doc_id") >= 400).alias("ib")
     bb = bands.filter(F.col("doc_id") < 400).alias("bb")
     cand = (
         ib.join(
             bb,
-            (F.col("ib.band") == F.col("bb.band"))
-            & (F.col("ib.bkey") == F.col("bb.bkey")),
+            [F.col(f"ib.{c}") == F.col(f"bb.{c}") for c in key_cols],
         )
         .select(F.col("ib.doc_id").alias("di"), F.col("bb.doc_id").alias("db"))
         .distinct()
@@ -2214,6 +2248,85 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.select("doc_id", F.lit("exact").alias("how"), "dup_of").union(
         near.select("doc_id", F.lit("near").alias("how"), "dup_of")
     )
+
+
+# Per-side collapse for the incremental oracle: representatives are chosen
+# WITHIN each side of the doc_id<400 split (an incoming exact-dup of a
+# base doc must surface as an exact hit, never collapse across sides).
+_INC_COLLAPSE_CTES = """
+    thx AS (SELECT doc_id, md5(text) AS th,
+                   CASE WHEN doc_id < 400 THEN 0 ELSE 1 END AS side
+            FROM documents),
+    grp AS (SELECT side, th, min(doc_id) AS rep
+            FROM thx GROUP BY side, th),
+    mem AS (SELECT t.doc_id, g.rep FROM thx t
+            JOIN grp g ON t.th = g.th AND t.side = g.side),
+    repdocs AS (SELECT d.* FROM documents d
+                JOIN grp g ON d.doc_id = g.rep)"""
+
+
+@query(
+    "llm_incremental_dedup_salted",
+    oracle=f"""
+    WITH {_INC_COLLAPSE_CTES}, {_REP_SHINGLE_CTES}, {_LSH_SIG_CTE},
+    {_REP_BANDS_CTE}, {_SALTED_BANDS_CTES},
+    exact AS (
+      SELECT i.doc_id, min(b.doc_id) AS dup_of
+      FROM (SELECT doc_id, text FROM documents WHERE doc_id >= 400) i
+      JOIN (SELECT doc_id, text FROM documents WHERE doc_id < 400) b
+        ON md5(i.text) = md5(b.text)
+      GROUP BY i.doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS di, b.doc_id AS db
+      FROM sbands a JOIN sbands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.sub = b.sub
+      WHERE a.doc_id >= 400 AND b.doc_id < 400
+    ),
+    inter AS (
+      SELECT c.di, c.db, count(*) AS i
+      FROM cand c
+      JOIN shingles a ON a.doc_id = c.di
+      JOIN shingles b2 ON b2.doc_id = c.db AND b2.sh = a.sh
+      GROUP BY 1, 2
+    ),
+    near_rep AS (
+      SELECT i2.di AS rep, min(i2.db) AS dup_of
+      FROM inter i2
+      JOIN sizes sa ON i2.di = sa.doc_id
+      JOIN sizes sb ON i2.db = sb.doc_id
+      WHERE i2.i * 1.0 / (sa.n + sb.n - i2.i) >= 0.5
+      GROUP BY i2.di
+    ),
+    near AS (
+      SELECT m.doc_id, nr.dup_of
+      FROM mem m JOIN near_rep nr ON m.rep = nr.rep
+      WHERE m.doc_id NOT IN (SELECT doc_id FROM exact)
+    )
+    SELECT doc_id, 'exact' AS how, dup_of FROM exact
+    UNION ALL
+    SELECT doc_id, 'near', dup_of FROM near
+    """,
+)
+def llm_incremental_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-capped incremental dedup — `llm_incremental_dedup` with the
+    hot-bucket mitigation wired into the nightly incoming×base band join
+    (VERDICT r11 #2). The unsalted incremental path has no bound on a
+    band bucket hot on both sides: a template family arriving in
+    tonight's crawl batch against its base-resident siblings produces an
+    mi×mb candidate blow-up on one key — exactly the straggler
+    `llm_dedup_salted_band` was built to kill on the self-join path.
+    Here the SAME `_salt_bands` splits every combined-representative band
+    bucket larger than `_SALT_CAP` into ceil(m/cap) sub-buckets by the
+    per-doc-per-band 32-bit salt, and the incoming×base join additionally
+    requires sub equality. Cold buckets are byte-identical to the
+    unsalted join input; true cross-side pairs inside hot buckets keep
+    OR-over-bands survival. Exact layer, per-side collapse, member
+    expansion, and Jaccard verification are shared with the unsalted key
+    (`_incremental_dedup`); the oracle mirrors the whole chain including
+    the salt (`_SALT32_SQL`) in DuckDB. Production cap: the
+    `llm_lsh_salt_plan` output, passed as `salt_cap`."""
+    return _incremental_dedup(spark, sf_dir, salt_cap=_SALT_CAP)
 
 
 @query(

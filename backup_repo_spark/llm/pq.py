@@ -218,7 +218,23 @@ def llm_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the entire point of PQ at billion-vector scale. Integer distances make
     the top-10 selection boundary exact (no 1-ulp rank flips)."""
     subv, cent = _train_codebook(spark, sf_dir)
-    dist = (
+    dist = pq_dist(subv, cent)
+    codes = pq_codes(dist)
+    lut = pq_lut(dist)
+    return release_with(pq_adc_topk(codes, lut, k=10), subv)
+
+
+# --- stage builders -------------------------------------------------------
+# These four ARE llm_pq_search's pipeline (the key above only composes
+# them); tools/pq_stage_probe.py times the same builders with stage
+# barriers, so the probe cannot drift from the shipped expressions
+# (ADVICE r11).
+
+
+def pq_dist(subv: DataFrame, cent: DataFrame) -> DataFrame:
+    """Per-(vector, subspace, centroid) squared distance over the cached
+    subvector exploded view and the broadcast trained codebook."""
+    return (
         subv.join(F.broadcast(cent), ["sub", "pos"])
         .groupBy("vec_id", "sub", "cid")
         .agg(
@@ -227,23 +243,38 @@ def llm_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d")
         )
     )
+
+
+def pq_codes(dist: DataFrame) -> DataFrame:
+    """Encode: nearest centroid id per (vec_id, sub) — one window over
+    the dist relation, ties broken by cid for exactness."""
     w = Window.partitionBy("vec_id", "sub").orderBy("d", "cid")
-    codes = (
+    return (
         dist.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "sub", "cid")
     )
-    # the LUT holds the query's distance to EVERY centroid (8 rows), not
-    # only the query's own codes
-    lut = dist.filter(F.col("vec_id") == 0).select("sub", "cid", F.col("d").alias("qd"))
-    return release_with(
+
+
+def pq_lut(dist: DataFrame) -> DataFrame:
+    """The query's centroid LUT: distance from vec_id 0 to EVERY centroid
+    (8 per subspace), not only the query's own codes. The vec_id = 0
+    filter pushes down through the aggregate to the subv scan."""
+    return dist.filter(F.col("vec_id") == 0).select(
+        "sub", "cid", F.col("d").alias("qd")
+    )
+
+
+def pq_adc_topk(codes: DataFrame, lut: DataFrame, k: int = 10) -> DataFrame:
+    """ADC ranking: exact integer sum of broadcast-LUT entries over the
+    codes — the search never touches raw vectors, only codes."""
+    return (
         codes.filter(F.col("vec_id") != 0)
         .join(F.broadcast(lut), ["sub", "cid"])
         .groupBy("vec_id")
         .agg(F.sum("qd").alias("adc_dist"))
         .orderBy("adc_dist", "vec_id")
-        .limit(10),
-        subv,
+        .limit(k)
     )
 
 

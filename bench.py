@@ -310,15 +310,28 @@ def run_ab(base: str, rounds: int, sf_dir: str, sf: float,
     b_runs = [float(r[stat]) for r in b_recs]
     # Per-query adjudication (VERDICT r10 #4: a single drifting headline
     # query must be A/B-attributable without a second session): median of
-    # each query's per-run best across the A and B record sets.
+    # each query's per-run best across the A and B record sets. Queries
+    # present on only one side (added/renamed between the base commit and
+    # HEAD — the exact situation --ab exists for) are adjudicated as
+    # one-sided rather than crashing after all rounds have completed.
     per_query = {}
-    for q in (a_recs[0].get("queries") or {}):
-        qa = statistics.median(float(r["queries"][q]) for r in a_recs)
-        qb = statistics.median(float(r["queries"][q]) for r in b_recs)
+    q_keys = set()
+    for r in a_recs + b_recs:
+        q_keys |= set(r.get("queries") or {})
+    for q in sorted(q_keys):
+        qa_runs = [float(r["queries"][q]) for r in a_recs
+                   if q in (r.get("queries") or {})]
+        qb_runs = [float(r["queries"][q]) for r in b_recs
+                   if q in (r.get("queries") or {})]
+        qa = statistics.median(qa_runs) if qa_runs else None
+        qb = statistics.median(qb_runs) if qb_runs else None
         per_query[q] = {
-            "a": round(qa, 3),
-            "b": round(qb, 3),
-            "delta_pct": round(100.0 * (qb - qa) / qa, 1) if qa else None,
+            "a": round(qa, 3) if qa is not None else None,
+            "b": round(qb, 3) if qb is not None else None,
+            "delta_pct": (
+                round(100.0 * (qb - qa) / qa, 1)
+                if qa and qb is not None else None
+            ),
         }
     print(
         json.dumps(

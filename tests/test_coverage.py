@@ -307,6 +307,9 @@ EXTENSION_KEYS = [
     "llm_dedup_salted_band",
     "llm_lsh_salt_eval",
     "llm_lsh_salt_plan",
+    # round 12: the salt cap wired into the unattended nightly path —
+    # incoming×base band join with hot (combined-rep) buckets sub-split
+    "llm_incremental_dedup_salted",
 ]
 
 

@@ -40,9 +40,6 @@ import os
 import sys
 import time
 
-from pyspark.sql import Window
-from pyspark.sql import functions as F
-
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
@@ -66,8 +63,10 @@ def _fixture_dir(spark, mult: int) -> str:
 
 
 def _stages_once(spark, sf_dir: str) -> dict[str, float]:
-    """One timed pass of the search key's stages, mirroring
-    llm_pq_search's exact expressions (pq.py) with stage barriers."""
+    """One timed pass of the search key's stages, composing the SAME
+    stage builders the registered key ships (pq.pq_dist/pq_codes/pq_lut/
+    pq_adc_topk — factored per ADVICE r11 so the probe cannot drift from
+    the shipped expressions), with localCheckpoint stage barriers."""
     _session._TABLE_CACHE.clear()
     out: dict[str, float] = {}
 
@@ -76,43 +75,18 @@ def _stages_once(spark, sf_dir: str) -> dict[str, float]:
     cent.count()  # checkpointed (eager); count is a barrier formality
     out["train"] = time.perf_counter() - t0
 
-    dist = (
-        subv.join(F.broadcast(cent), ["sub", "pos"])
-        .groupBy("vec_id", "sub", "cid")
-        .agg(
-            F.sum(
-                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
-            ).alias("d")
-        )
-    )
-    w = Window.partitionBy("vec_id", "sub").orderBy("d", "cid")
+    dist = pq.pq_dist(subv, cent)
+
     t0 = time.perf_counter()
-    codes = (
-        dist.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", "cid")
-        .localCheckpoint()  # materializes: the encode barrier
-    )
+    codes = pq.pq_codes(dist).localCheckpoint()  # the encode barrier
     out["encode"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    lut = (
-        dist.filter(F.col("vec_id") == 0)
-        .select("sub", "cid", F.col("d").alias("qd"))
-        .localCheckpoint()
-    )
+    lut = pq.pq_lut(dist).localCheckpoint()
     out["lut"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    (
-        codes.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(lut), ["sub", "cid"])
-        .groupBy("vec_id")
-        .agg(F.sum("qd").alias("adc_dist"))
-        .orderBy("adc_dist", "vec_id")
-        .limit(10)
-        .collect()
-    )
+    pq.pq_adc_topk(codes, lut, k=10).collect()
     out["adc"] = time.perf_counter() - t0
     subv.unpersist(False)
 
