@@ -5,7 +5,7 @@ metadata; decode/feature-extract runs as Arrow-batched Pandas in
 batches, never rows).
 
 The container has no image/audio libraries (standing per-round check —
-re-verified 2026-08-16, round 11, 9th consecutive round: PIL, cv2 and
+re-verified 2026-08-16, round 12, 10th consecutive round: PIL, cv2 and
 soundfile all raise ModuleNotFoundError), so the decoder is a
 deterministic fake (documented
 below) — the Spark-side plumbing (binary schema, Arrow batch shape,

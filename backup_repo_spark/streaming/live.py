@@ -356,7 +356,7 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NOTE: transformWithStateInPandas (the successor API to applyInPandasWithState,
 # used in stream_stateful above) is NOT exposed as a query: its driver worker
 # requires the `protobuf` package, which this container does not ship and the
-# environment forbids installing (re-verified 2026-08-16, round 11 — 9th
+# environment forbids installing (re-verified 2026-08-16, round 12 — 10th
 # consecutive round: `import google.protobuf` still fails with
 # ModuleNotFoundError). The applyInPandasWithState path covers the
 # arbitrary-stateful-processing semantics — including crash-restart
