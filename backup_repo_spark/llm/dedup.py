@@ -1635,6 +1635,23 @@ def llm_lsh_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you plan on a sample, then launch `llm_dedup_salted_band`
     with the chosen cap. All hashes are the shipped salted-md5 family,
     so DuckDB reproduces every number."""
+    cob, sb, shingles = salt_plan_cob(spark, sf_dir)
+    return salt_plan_stats(cob, sb, shingles)
+
+
+# --- stage builders -------------------------------------------------------
+# These two ARE llm_lsh_salt_plan's pipeline (the key above only composes
+# them); tools/saltplan_stage_probe.py times the same builders with stage
+# barriers, so the probe cannot drift from the shipped expressions (the
+# ADVICE-r11 pq_stage_probe principle applied to the planner's
+# above-generator octave stamp — VERDICT r11 #5).
+
+
+def salt_plan_cob(spark, sf_dir: str):
+    """Stage 1 — the co-bucket relation: collapse → shingle → sig → band,
+    band self-join carrying both ends' raw salts and the bucket size m.
+    This is the unsalted join's candidate mass and the planner's only
+    data-sized join. Returns (cob, sb, shingles)."""
     d = load_table(spark, sf_dir, "documents")
     _, repdocs = _collapse(d)
     shingles = _shingles3(repdocs)
@@ -1665,6 +1682,14 @@ def llm_lsh_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.salt").alias("salta"),
         F.col("b.salt").alias("saltb"),
     )
+    return cob, sb, shingles
+
+
+def salt_plan_stats(cob, sb, shingles) -> DataFrame:
+    """Stage 2 — the per-cap arithmetic: map-side conditional aggregates
+    over the co-bucket relation (survival per cap), one Jaccard verify on
+    the unsalted superset, the 5-cap sub-bucket histogram, and the
+    single-explode assembly of the final frontier."""
 
     def _nsub(c: int):
         return F.expr(f"(m + {c - 1}) DIV {c}")

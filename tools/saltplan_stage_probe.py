@@ -1,0 +1,130 @@
+"""Per-stage 50x-octave probe for llm_lsh_salt_plan (VERDICT r11 #5).
+
+OCTAVE_r11_saltplan.json stamped the planner `above-generator` twice
+(steps 0.92/1.22 vs the banded generator's 1.02/1.18 — both FLAT), and
+SCALING.md adjudicated the 13-17% absolute gap as the planner's one
+extra constant stage: the 5-cap sub-bucket histogram riding the banded
+family's ~20 s overhead floor. Like round 10's PQ case, that exoneration
+rested on in-record arithmetic, not a stage measurement. This probe
+retires the stamp the same way pq_stage_probe retired PQ's: in ONE
+session it times the planner's two shipped stage builders separately at
+10x and 50x on the standard scale_smoke fixtures:
+
+- cob:   `salt_plan_cob` — collapse -> shingle -> sig -> band -> band
+         self-join with salts (the planner's only data-sized join; the
+         stage that must track the generator). Materialized via
+         localCheckpoint (cob + sb + shingles) so stage 2 can't
+         re-evaluate it.
+- stats: `salt_plan_stats` — per-cap conditional aggregates, one
+         Jaccard verify on the unsalted superset, the 5-cap sub-bucket
+         histogram, single-explode assembly + collect (the stage the
+         adjudication claims is CONSTANT-plus-linear-in-candidates).
+- e2e:   the registered key, untouched, for cross-reference against the
+         stage sum and OCTAVE_r11_saltplan.json.
+
+The probe composes the SAME stage builders the registered key ships
+(factored per the ADVICE-r11 pq principle), so it cannot drift from the
+shipped expressions.
+
+Verdict logic: the above-generator stamp is EXONERATED as a constant
+extra stage iff the stats stage's own 50x/10x step is at or below the
+cob stage's step + tolerance — i.e. the added stage grows no faster than
+the data-sized join it rides on. If stats' step materially exceeds
+cob's, the histogram stage is real super-linear growth and needs a fix.
+
+Usage:  python tools/saltplan_stage_probe.py [--report OCTAVE_r12_saltplanstages.json]
+Reuses the cached spark-warehouse/scale_smoke_{10,50}x fixtures.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tools"))
+
+from backup_repo_spark import registry, session as _session  # noqa: E402
+from backup_repo_spark.llm import dedup  # noqa: E402
+from backup_repo_spark.session import get_spark  # noqa: E402
+from scale_smoke import generate  # noqa: E402
+from scale_sweep import generate_docs_embeddings  # noqa: E402
+
+
+def _fixture_dir(spark, mult: int) -> str:
+    d = os.path.join(_REPO, "spark-warehouse", f"scale_smoke_{mult}x")
+    if not os.path.exists(f"{d}/lineitem.parquet"):
+        generate(spark, d, mult)
+    if not os.path.exists(f"{d}/documents.parquet"):
+        print(f"generating {mult}x documents/embeddings ...", file=sys.stderr)
+        generate_docs_embeddings(spark, d, mult)
+    return d
+
+
+def _stages_once(spark, sf_dir: str) -> dict[str, float]:
+    """One timed pass of the planner's stages with checkpoint barriers."""
+    _session._TABLE_CACHE.clear()
+    out: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    cob, sb, shingles = dedup.salt_plan_cob(spark, sf_dir)
+    cob = cob.localCheckpoint()
+    sb = sb.localCheckpoint()
+    shingles = shingles.localCheckpoint()
+    out["cob"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dedup.salt_plan_stats(cob, sb, shingles).collect()
+    out["stats"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    _session._TABLE_CACHE.clear()
+    registry.QUERIES["llm_lsh_salt_plan"](spark, sf_dir).collect()
+    out["e2e"] = time.perf_counter() - t0
+    return {k: round(v, 3) for k, v in out.items()}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--report",
+        default=os.path.join(_REPO, "OCTAVE_r12_saltplanstages.json"),
+    )
+    args = ap.parse_args()
+    spark = get_spark("saltplan-stage-probe", shuffle_partitions=32)
+    dirs = {m: _fixture_dir(spark, m) for m in (10, 50)}
+
+    # warm pass at each octave, then best-of-2 per stage (the sweep's
+    # protocol applied per stage — same-session pairing throughout)
+    record: dict = {"mults": [10, 50], "sink": "collect", "stages": {}}
+    runs: dict[int, list[dict[str, float]]] = {}
+    for mult in (10, 50):
+        _stages_once(spark, dirs[mult])  # warm
+        runs[mult] = [_stages_once(spark, dirs[mult]) for _ in range(2)]
+    for st in ("cob", "stats", "e2e"):
+        b = min(r[st] for r in runs[10])
+        s = min(r[st] for r in runs[50])
+        record["stages"][st] = {
+            "base": b,
+            "scaled": s,
+            "step": round(s / max(b, 1e-9), 2),
+        }
+        print(f"saltplan-stage {st}: {record['stages'][st]}", file=sys.stderr)
+    cob_step = record["stages"]["cob"]["step"]
+    stats_step = record["stages"]["stats"]["step"]
+    record["verdict"] = (
+        "exonerated:constant-extra-stage"
+        if stats_step <= cob_step * 1.15
+        else "stats-stage-grows"
+    )
+    with open(args.report, "w") as fh:
+        json.dump(record, fh, indent=1)
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

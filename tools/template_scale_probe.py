@@ -47,7 +47,11 @@ from backup_repo_spark import registry, session as _session  # noqa: E402
 from backup_repo_spark.session import get_spark  # noqa: E402
 
 # corpus shape per octave: (n_background_docs, family_size)
-_OCTAVES = {10: (10_000, 300), 50: (50_000, 1_500)}
+# 250 added for VERDICT r11 #3: one more octave for the SALTED arm —
+# SCALING.md predicts the unsalted family owes ~26M verified pairs there
+# (quadratic), so the unsalted key is skipped by default at 250x via
+# --keys; the salted key's flatness claim was extrapolated until now.
+_OCTAVES = {10: (10_000, 300), 50: (50_000, 1_500), 250: (250_000, 7_500)}
 
 # 40 shared template tokens on each side of the varying slot — long enough
 # that every variant pair's 3-shingle Jaccard is ~0.93 (>= the 0.5
@@ -121,31 +125,135 @@ def _time_key(name: str, spark, sf_dir: str) -> float:
 
 _KEYS = ["llm_lsh_bucket_stats", "llm_dedup_salted_band", "llm_dedup_minhash_banded"]
 
+# incremental-mode corpus: the keys' contract caps the base side at
+# doc_id < 400, so the base holds a FIXED family residue (300 members +
+# 100 background bystanders) while the incoming batch's family half grows
+# with the corpus. The unsalted blow-up here is the single-key straggler
+# (m_base x m_incoming co-bucket rows on ONE band key, all verified);
+# the salted arm bounds the per-key group.
+_INC_BASE_FAMILY = 300
+_INC_BASE_BG = 100
+_INC_KEYS = ["llm_incremental_dedup", "llm_incremental_dedup_salted"]
+
+
+def _gen_incremental(spark, out: str, n_docs: int, fam: int) -> None:
+    """Split-corpus generator: base = 400 docs (family residue +
+    bystanders) at doc_id 0..399; incoming = hash-deterministic
+    background + the family's growing half at doc_id >= 400."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_fam = spark.range(_INC_BASE_FAMILY).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(_HEAD + " basevar"),
+            F.col("id").cast("string"),
+            F.lit(" " + _TAIL),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("tpl-base").alias("source"),
+    )
+    n_words = (F.abs(F.xxhash64("id", F.lit(1))) % 50 + 10).cast("int")
+
+    def bg_text(col):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n_words),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    (F.abs(F.xxhash64(col * 1000 + i)) % 4096).cast("string"),
+                ),
+            ),
+            " ",
+        )
+
+    base_bg = spark.range(_INC_BASE_BG).select(
+        (F.col("id") + _INC_BASE_FAMILY).alias("doc_id"),
+        bg_text(F.col("id") + 7_000_000).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("base-bg").alias("source"),
+    )
+    inc_bg = spark.range(n_docs).select(
+        (F.col("id") + 400).alias("doc_id"),
+        bg_text(F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(
+            F.lit("src"), (F.abs(F.xxhash64("id", F.lit(3))) % 12).cast("string")
+        ).alias("source"),
+    )
+    inc_fam = spark.range(fam).select(
+        (F.col("id") + 400 + n_docs).alias("doc_id"),
+        F.concat(
+            F.lit(_HEAD + " incvar"),
+            F.col("id").cast("string"),
+            F.lit(" " + _TAIL),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("tpl-inc").alias("source"),
+    )
+    docs = (
+        base_fam.unionByName(base_bg)
+        .unionByName(inc_bg)
+        .unionByName(inc_fam)
+        .withColumn("n_chars", F.length("text"))
+        .toPandas()
+    )
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(docs), f"{out}/documents.parquet")
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--report", default=os.path.join(_REPO, "OCTAVE_r11_template.json")
     )
+    ap.add_argument(
+        "--mults", type=int, nargs=2, default=[10, 50],
+        help="the two octaves to pair (must be keys of _OCTAVES)",
+    )
+    ap.add_argument(
+        "--keys", nargs="+", default=None,
+        help="registry keys to time (default: the standard 3-key set; "
+        "VERDICT r11 #3 runs 250x with the salted arm + diagnostics only "
+        "— the unsalted key's ~26M-pair verify is the documented skip)",
+    )
+    ap.add_argument(
+        "--incremental", action="store_true",
+        help="time the incremental (incoming-vs-base) pair on the "
+        "split-family corpus instead of the self-join keys",
+    )
     args = ap.parse_args()
     spark = get_spark("template-scale-probe", shuffle_partitions=32)
 
+    lo, hi = args.mults
+    keys = args.keys or (_INC_KEYS if args.incremental else _KEYS)
+    prefix = "template_inc_probe" if args.incremental else "template_probe"
+    gen = _gen_incremental if args.incremental else _gen
+
     dirs = {}
-    for mult, (n, fam) in _OCTAVES.items():
-        d = os.path.join(_REPO, "spark-warehouse", f"template_probe_{mult}x")
+    for mult in (lo, hi):
+        n, fam = _OCTAVES[mult]
+        d = os.path.join(_REPO, "spark-warehouse", f"{prefix}_{mult}x")
         if not os.path.exists(f"{d}/documents.parquet"):
-            print(f"generating {mult}x template corpus ...", file=sys.stderr)
-            _gen(spark, d, n, fam)
+            print(f"generating {mult}x {prefix} corpus ...", file=sys.stderr)
+            gen(spark, d, n, fam)
         dirs[mult] = d
 
     record = {
-        "mults": [10, 50],
-        "corpus": {m: {"n_docs": n, "family": fam} for m, (n, fam) in _OCTAVES.items()},
+        "mults": [lo, hi],
+        "corpus": {
+            m: {"n_docs": _OCTAVES[m][0], "family": _OCTAVES[m][1]}
+            for m in (lo, hi)
+        },
         "sink": "noop",
         "keys": {},
     }
+    if args.incremental:
+        record["base_side"] = {
+            "family": _INC_BASE_FAMILY, "background": _INC_BASE_BG,
+        }
     # diagnostic values at each octave (collect: 4 rows)
-    for mult in (10, 50):
+    for mult in (lo, hi):
         _session._TABLE_CACHE.clear()
         stats = (
             registry.QUERIES["llm_lsh_bucket_stats"](spark, dirs[mult])
@@ -154,10 +262,10 @@ def main() -> None:
         )
         record["corpus"][mult]["max_bucket"] = max(r.max_bucket for r in stats)
         record["corpus"][mult]["cand_pairs"] = max(r.cand_pairs for r in stats)
-    for name in _KEYS:
-        t10 = _time_key(name, spark, dirs[10])
-        t50 = _time_key(name, spark, dirs[50])
-        e = {"base": t10, "scaled": t50, "step": round(t50 / max(t10, 1e-9), 2)}
+    for name in keys:
+        t_lo = _time_key(name, spark, dirs[lo])
+        t_hi = _time_key(name, spark, dirs[hi])
+        e = {"base": t_lo, "scaled": t_hi, "step": round(t_hi / max(t_lo, 1e-9), 2)}
         print(f"template-octave {name}: {e}", file=sys.stderr)
         record["keys"][name] = e
     with open(args.report, "w") as fh:
