@@ -3,6 +3,8 @@ registry (the judge checks the operator inventory line by line)."""
 
 from __future__ import annotations
 
+import pytest
+
 from backup_repo_spark import registry
 
 # Every `Impl key` declared in SURVEY.md §2 tables (A/B/C/D).
@@ -375,3 +377,26 @@ def test_driver_sample_prefix_is_fully_oracled():
         k for k in prefix if registry.QUERIES[k].__module__ not in allowed
     ]
     assert not stray, f"keys outside the round-12 rotation slice: {stray}"
+
+
+def test_registry_promote_semantics():
+    """registry.promote is the rotation mechanism from round 12 on: the
+    prefix lands first in the given order, every other key keeps its
+    relative registration order, nothing is added or dropped, and an
+    unknown key fails loudly (a silent miss would shrink the driver
+    sample)."""
+    before = list(registry.QUERIES)
+    try:
+        prefix = [before[7], before[3], before[11]]
+        registry.promote(prefix)
+        after = list(registry.QUERIES)
+        assert after[:3] == prefix
+        assert after[3:] == [k for k in before if k not in set(prefix)]
+        assert set(after) == set(before) and len(after) == len(before)
+        with pytest.raises(KeyError):
+            registry.promote(["no_such_key_xyz"])
+        # the failed call must not have mutated the registry
+        assert list(registry.QUERIES) == after
+    finally:
+        registry.promote(before)  # restore insertion order for other tests
+    assert list(registry.QUERIES) == before
