@@ -34,6 +34,12 @@ def promote(prefix: list[str]) -> None:
     missing = [k for k in prefix if k not in QUERIES]
     if missing:
         raise KeyError(f"promote(): unknown query keys {missing}")
+    if len(set(prefix)) != len(prefix):
+        dupes = sorted({k for k in prefix if prefix.count(k) > 1})
+        raise ValueError(
+            f"promote(): duplicate keys {dupes} would silently shrink the "
+            "driver sample"
+        )
     rest = [k for k in QUERIES if k not in set(prefix)]
     reordered = {k: QUERIES[k] for k in [*prefix, *rest]}
     QUERIES.clear()

@@ -231,7 +231,15 @@ def udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") < 2000)
         .select("o_orderkey", "o_totalprice")
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    # r13 (guide §4): project lineitem to the two columns `reconcile`
+    # reads BEFORE the cogroup — Spark cannot see inside the Python
+    # function, so without this every lineitem column is scanned, shuffled
+    # on the key, and shipped through Arrow into the worker.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_quantity")
+    )
     out = o.groupBy("o_orderkey").cogroup(li.groupBy("l_orderkey")).applyInPandas(
         reconcile,
         schema="o_orderkey BIGINT, price DOUBLE, n_lines BIGINT, qty_total DOUBLE",

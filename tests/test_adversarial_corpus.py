@@ -705,13 +705,19 @@ def test_incremental_keys_on_batch_template_corpus(name, spark, batch_template_d
         assert 0 < byhow.get("near", 0) < 12
 
 
-def test_incremental_salted_is_subset_with_identical_attribution(
+def test_incremental_salted_is_subset_with_consistent_attribution(
     spark, batch_template_dir
 ):
-    """Salting only removes NEAR rows; every surviving salted row must
-    appear in the unsalted output verbatim (same how, same dup_of —
-    min-over-verified-base-hits may differ only if the minimal hit was
-    salted away, which the subset check catches as a value mismatch)."""
+    """Salting only removes NEAR rows (ADVICE r12: the old name promised
+    'identical attribution' the body never checked). The sound invariants
+    of the salt mechanism, asserted per layer:
+
+    - exact layer is salt-independent: identical (doc_id, dup_of) tuples;
+    - every salted near doc_id also appears as a near row unsalted (the
+      salt can only REMOVE candidate hits, never create a near doc);
+    - a salted near row's dup_of is >= the unsalted row's dup_of for the
+      same doc — min-over-verified-base-hits can only RISE when the
+      minimal hit was salted away, never fall or change arbitrarily."""
     unsalted = registry.QUERIES["llm_incremental_dedup"](
         spark, batch_template_dir
     ).toPandas()
@@ -720,9 +726,14 @@ def test_incremental_salted_is_subset_with_identical_attribution(
     ).toPandas()
     u = {(r.doc_id, r.how, r.dup_of) for r in unsalted.itertuples()}
     s = {(r.doc_id, r.how, r.dup_of) for r in salted.itertuples()}
-    # same doc may survive with a LARGER dup_of if its minimal base hit
-    # was salted away — compare per-doc against the unsalted hit SET
-    assert {d for d, h, _ in s} <= {d for d, h, _ in u}
     exact_u = {(d, o) for d, h, o in u if h == "exact"}
     exact_s = {(d, o) for d, h, o in s if h == "exact"}
     assert exact_u == exact_s
+    near_u = {d: o for d, h, o in u if h == "near"}
+    near_s = {d: o for d, h, o in s if h == "near"}
+    assert set(near_s) <= set(near_u)
+    for d, o in near_s.items():
+        assert o >= near_u[d], (
+            f"salted near dup_of for doc {d} fell below the unsalted min "
+            f"({o} < {near_u[d]}) — salting must only remove hits"
+        )
