@@ -426,10 +426,16 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("brs_status_stats", StatusStats)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_udtf")
+    # r13 (guide §4.1): pass only the two columns eval() reads. A bare
+    # TABLE(orders_udtf) ships every orders column through the partition
+    # shuffle and the pickled-row boundary; the engine cannot prune what
+    # the Python class touches.
     return spark.sql(
         """
         SELECT status, n, total, biggest
-        FROM brs_status_stats(TABLE(orders_udtf) PARTITION BY o_orderstatus)
+        FROM brs_status_stats(
+            TABLE(SELECT o_orderstatus, o_totalprice FROM orders_udtf)
+            PARTITION BY o_orderstatus)
         """
     )
 
