@@ -64,6 +64,22 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # r13 codec pass (optimization guide §2.3/§6), measured by
+        # tools/codec_probe.py at the 50x dedup corpus: zstd shuffle
+        # halves shuffle bytes (1248 -> 588 MB, -53%) for ~+14% executor
+        # CPU — the right trade on a NIC-bound cluster, the wrong one on
+        # this CPU-rich single box, so the local default stays lz4 (the
+        # Spark default) and production sets SPARK_GRAFT_IO_CODEC=zstd.
+        # Parquet zstd is strictly better locally too (lineitem sf0.1:
+        # 10.26 -> 8.24 MB, no scan penalty), so it IS the default.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
