@@ -87,7 +87,15 @@ def _exact_pairs(shingles: DataFrame, tau: float) -> DataFrame:
     (da, db, jaccard[double, unrounded]). The equi-self-join on `sh`
     computes |A∩B| without materializing the pair space; quadratic in the
     hottest shingle's doc frequency, so at 100 TB it runs on LSH
-    candidates or a planning sample, never the full corpus."""
+    candidates or a planning sample, never the full corpus.
+
+    Shape note (r13, measured): attaching the per-doc set size map-side
+    at explode time (to drop the `sizes` groupBy + join-backs, the
+    `_jaccard_verify` trick) REGRESSES this all-pairs form +70% at the
+    10x octave (tools/sized_shingles_probe.py) — the extra column rides
+    the quadratic sh-keyed self-join and its pair-mass aggregate, while
+    the `sizes` join-backs it would save are broadcast-cheap at the
+    sample scales these diagnostics are scoped to. Kept as-is."""
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = shingles.alias("a"), shingles.alias("b")
     inter = (
@@ -154,28 +162,39 @@ def _collapse(d: DataFrame):
     return mem, repdocs
 
 
-def _jaccard_verify(cand: DataFrame, shingles: DataFrame, tau: float = 0.5) -> DataFrame:
+def _jaccard_verify(cand: DataFrame, repdocs: DataFrame, tau: float = 0.5) -> DataFrame:
     """Exact shingle-Jaccard verification of CANDIDATE pairs (da, db):
     returns (da, db, jaccard[double, unrounded]) for pairs at >= tau.
-    Linear in candidate-pair x shared-shingle mass — the post-LSH step,
-    never an all-pairs join. Single implementation shared by the banded
-    pipeline, the salt arm, and the salt planner/eval audits."""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(shingles.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .join(
-            shingles.alias("sb"),
-            (F.col("db") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
-        )
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    The post-LSH step, never an all-pairs join. Single implementation
+    shared by the banded pipeline, the salt arm, the ml-LSH parity key,
+    the incremental nightly path, and the salt planner/eval audits.
+
+    Array formulation (r13, optimization guide §2.3/§2.4): the per-doc
+    DISTINCT shingle set already exists map-side as `_shingle3_arr` over
+    the representative rows, so |A∩B| = size(array_intersect(a, b)) and
+    |A| = size(a) — two doc_id-keyed joins of the candidate list against
+    ONE array relation (ReusedExchange shares its exchange), no exploded
+    pair x shared-shingle intermediate, no `sizes` groupBy, no join-backs.
+    Values are bit-identical to the exploded form the DuckDB oracles
+    spell (tools/verify_probe.py asserts exact tuple equality; pinned by
+    test_adversarial_corpus.py::test_jaccard_verify_matches_exploded_form
+    ): both arrays are distinct, so size(array_intersect) is the
+    same integer the (doc_id, sh) equi-join counts, and i*1.0/(na+nb-i)
+    over equal integers is the same double. Pairs sharing zero shingles
+    surface as jaccard=0 here (vs dropping out of the old inner join) and
+    are removed by the same >= tau filter (tau > 0 always). Measured at
+    the 50x template octave (tools/verify_probe.py, interleaved, noop
+    sink): full banded pipeline 37.5 s -> 28.3 s, -24.7%."""
+    arrs = repdocs.select("doc_id", _shingle3_arr().alias("arr"))
+    va, vb = arrs.alias("va"), arrs.alias("vb")
+    i = F.size(F.array_intersect(F.col("va.arr"), F.col("vb.arr")))
+    jac = i * 1.0 / (F.size(F.col("va.arr")) + F.size(F.col("vb.arr")) - i)
     return (
-        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
-        .filter(jac >= tau)
-        .select("da", "db", jac.alias("jaccard"))
+        cand.join(va, F.col("da") == F.col("va.doc_id"))
+        .join(vb, F.col("db") == F.col("vb.doc_id"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= tau)
+        .select("da", "db", "jaccard")
     )
 
 
@@ -268,7 +287,7 @@ def _banded_rep_pairs(d: DataFrame, salt_cap: int | None = None):
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    rep_pairs = _jaccard_verify(cand, shingles).select(
+    rep_pairs = _jaccard_verify(cand, repdocs).select(
         "da", "db", F.round("jaccard", 4).alias("jaccard")
     )
     # "has ≥1 shingle" ⟺ "has ≥3 tokens" (the slice emits len-2 shingles
@@ -572,23 +591,8 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    shingles = docs.select("doc_id", F.explode("shingles").alias("sh"))
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(shingles.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .join(
-            shingles.alias("sb"),
-            (F.col("db") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
-        )
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    rep_pairs = (
-        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
-        .filter(jac >= 0.5)
-        .select("da", "db", F.round(jac, 4).alias("jaccard"))
+    rep_pairs = _jaccard_verify(cand, repdocs).select(
+        "da", "db", F.round("jaccard", 4).alias("jaccard")
     )
     return _expand_rep_pairs(
         rep_pairs, mem, docs.select(F.col("doc_id").alias("rep"))
@@ -1489,7 +1493,7 @@ def llm_lsh_salt_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _verified(cand: DataFrame) -> DataFrame:
-        return _jaccard_verify(cand, shingles).select("da", "db")
+        return _jaccard_verify(cand, repdocs).select("da", "db")
 
     cand0, cand1 = _cands(bands, False), _cands(sbands, True)
     n_cand = cand0.agg(F.count(F.lit(1)).alias("n_cand"))
@@ -1635,8 +1639,8 @@ def llm_lsh_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you plan on a sample, then launch `llm_dedup_salted_band`
     with the chosen cap. All hashes are the shipped salted-md5 family,
     so DuckDB reproduces every number."""
-    cob, sb, shingles = salt_plan_cob(spark, sf_dir)
-    return salt_plan_stats(cob, sb, shingles)
+    cob, sb, repdocs = salt_plan_cob(spark, sf_dir)
+    return salt_plan_stats(cob, sb, repdocs)
 
 
 # --- stage builders -------------------------------------------------------
@@ -1651,7 +1655,7 @@ def salt_plan_cob(spark, sf_dir: str):
     """Stage 1 — the co-bucket relation: collapse → shingle → sig → band,
     band self-join carrying both ends' raw salts and the bucket size m.
     This is the unsalted join's candidate mass and the planner's only
-    data-sized join. Returns (cob, sb, shingles)."""
+    data-sized join. Returns (cob, sb, repdocs)."""
     d = load_table(spark, sf_dir, "documents")
     _, repdocs = _collapse(d)
     shingles = _shingles3(repdocs)
@@ -1682,10 +1686,10 @@ def salt_plan_cob(spark, sf_dir: str):
         F.col("a.salt").alias("salta"),
         F.col("b.salt").alias("saltb"),
     )
-    return cob, sb, shingles
+    return cob, sb, repdocs
 
 
-def salt_plan_stats(cob, sb, shingles) -> DataFrame:
+def salt_plan_stats(cob, sb, repdocs) -> DataFrame:
     """Stage 2 — the per-cap arithmetic: map-side conditional aggregates
     over the co-bucket relation (survival per cap), one Jaccard verify on
     the unsalted superset, the 5-cap sub-bucket histogram, and the
@@ -1705,7 +1709,7 @@ def salt_plan_stats(cob, sb, shingles) -> DataFrame:
             for c in _SALT_PLAN_CAPS
         ]
     )
-    vp = _jaccard_verify(cob.select("da", "db").distinct(), shingles).select(
+    vp = _jaccard_verify(cob.select("da", "db").distinct(), repdocs).select(
         "da", "db"
     )
     hits = surv.join(vp, ["da", "db"])
@@ -2244,25 +2248,12 @@ def _incremental_dedup(
             bb,
             [F.col(f"ib.{c}") == F.col(f"bb.{c}") for c in key_cols],
         )
-        .select(F.col("ib.doc_id").alias("di"), F.col("bb.doc_id").alias("db"))
+        .select(F.col("ib.doc_id").alias("da"), F.col("bb.doc_id").alias("db"))
         .distinct()
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(shingles.alias("sa"), F.col("di") == F.col("sa.doc_id"))
-        .join(
-            shingles.alias("sb"),
-            (F.col("db") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
-        )
-        .groupBy("di", "db")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
     near_rep = (
-        inter.join(sizes.alias("sa"), F.col("di") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
-        .filter(jac >= 0.5)
-        .groupBy(F.col("di").alias("rep"))
+        _jaccard_verify(cand, repdocs)
+        .groupBy(F.col("da").alias("rep"))
         .agg(F.min("db").alias("dup_of"))
     )
     near = (

@@ -737,3 +737,71 @@ def test_incremental_salted_is_subset_with_consistent_attribution(
             f"salted near dup_of for doc {d} fell below the unsalted min "
             f"({o} < {near_u[d]}) — salting must only remove hits"
         )
+
+
+def test_jaccard_verify_matches_exploded_form(spark, template_dir, adv_dir):
+    """The r13 array-intersect `_jaccard_verify` (guide §2.3/§2.4 — no
+    pair x shared-shingle intermediate, no sizes groupBy) must produce
+    BIT-identical rows to the exploded-join form the DuckDB oracles
+    spell: both arrays are distinct, so size(array_intersect) is the
+    same integer the (doc_id, sh) equi-join counts, and i*1.0/(na+nb-i)
+    over equal integers is the same double. Asserted on the template
+    family (real near-dup pairs across hot buckets) and the adversarial
+    corpus (empty/tiny/dup/unicode docs), unrounded doubles compared
+    exactly."""
+    from backup_repo_spark.llm.dedup import (
+        _bands42,
+        _collapse,
+        _jaccard_verify,
+        _shingles3,
+        _sig8,
+    )
+    from backup_repo_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    for sdir in (template_dir, adv_dir):
+        d = load_table(spark, sdir, "documents")
+        _, repdocs = _collapse(d)
+        shingles = _shingles3(repdocs)
+        a, b = _bands42(_sig8(shingles)).alias("a"), _bands42(
+            _sig8(shingles)
+        ).alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+            .distinct()
+        )
+        # exploded reference form (the oracle's shape), inline
+        sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        inter = (
+            cand.join(shingles.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+            .join(
+                shingles.alias("sb"),
+                (F.col("db") == F.col("sb.doc_id"))
+                & (F.col("sa.sh") == F.col("sb.sh")),
+            )
+            .groupBy("da", "db")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+        exploded = (
+            inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+            .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+            .filter(jac >= 0.5)
+            .select("da", "db", jac.alias("jaccard"))
+        )
+        ref = {(r.da, r.db, r.jaccard) for r in exploded.collect()}
+        got = {(r.da, r.db, r.jaccard) for r in _jaccard_verify(cand, repdocs).collect()}
+        assert got == ref, (
+            f"array verify diverges from exploded form at {sdir}: "
+            f"only-exploded={sorted(ref - got)[:5]} only-array={sorted(got - ref)[:5]}"
+        )
+        if sdir == template_dir:
+            # the template family must yield real pairs — a silently empty
+            # candidate set would make the equivalence vacuous
+            assert ref, "equivalence test vacuous: template corpus has no pairs"

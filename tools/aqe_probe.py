@@ -87,7 +87,7 @@ def pipeline(spark: SparkSession, sf_dir: str) -> None:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    D._jaccard_verify(cand, shingles).write.mode("overwrite").format("noop").save()
+    D._jaccard_verify(cand, repdocs).write.mode("overwrite").format("noop").save()
 
 
 def main() -> None:

@@ -72,7 +72,7 @@ def incremental_run(d, persist: bool) -> int:
         .select(F.col("ib.doc_id").alias("da"), F.col("bb.doc_id").alias("db"))
         .distinct()
     )
-    n = D._jaccard_verify(cand, shingles).count()
+    n = D._jaccard_verify(cand, repdocs).count()
     if persist:
         bands.unpersist(False)
     return n

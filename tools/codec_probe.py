@@ -101,7 +101,7 @@ def banded_pipeline(spark: SparkSession, sf_dir: str) -> None:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    D._jaccard_verify(cand, shingles).write.mode("overwrite").format(
+    D._jaccard_verify(cand, repdocs).write.mode("overwrite").format(
         "noop"
     ).save()
 

@@ -114,7 +114,7 @@ def banded_pipeline(d: DataFrame, fn) -> int:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    rep_pairs = D._jaccard_verify(cand, shingles).select(
+    rep_pairs = D._jaccard_verify(cand, repdocs).select(
         "da", "db", F.round("jaccard", 4).alias("jaccard")
     )
     cp = rep_pairs.localCheckpoint()

@@ -75,10 +75,10 @@ def _stages_once(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
 
     t0 = time.perf_counter()
-    cob, sb, shingles = dedup.salt_plan_cob(spark, sf_dir)
+    cob, sb, repdocs = dedup.salt_plan_cob(spark, sf_dir)
     cob = cob.localCheckpoint()
     sb = sb.localCheckpoint()
-    shingles = shingles.localCheckpoint()
+    repdocs = repdocs.localCheckpoint()
     out["cob"] = time.perf_counter() - t0
     # candidate mass the stats stage actually scans (ADVICE r12: on a
     # hot-bucket corpus this grows faster than the data, so the verdict
@@ -87,7 +87,7 @@ def _stages_once(spark, sf_dir: str) -> dict[str, float]:
     out["n_cand"] = float(cob.count())
 
     t0 = time.perf_counter()
-    dedup.salt_plan_stats(cob, sb, shingles).collect()
+    dedup.salt_plan_stats(cob, sb, repdocs).collect()
     out["stats"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
