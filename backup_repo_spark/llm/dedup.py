@@ -928,21 +928,22 @@ def _component_labels(pairs: DataFrame) -> DataFrame:
             .groupBy(edges.u)
             .agg(F.min("label").alias("nmin"))
         )
+        # The change flag rides the checkpointed row (nmin < old label ⟺
+        # least() lowered it), so convergence is a metadata-cheap count
+        # over the checkpoint blocks instead of re-joining the new labels
+        # against the old ones — one join and two exchanges fewer per
+        # iteration (r13, guide §2.4); labels are byte-identical.
         updated = (
             labels.join(neigh_min, labels.node == neigh_min.u, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                (F.coalesce("nmin", F.col("label")) < F.col("label")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = updated
+        changed = updated.filter("chg").count()
+        labels = updated.select("node", "label")
         if changed == 0:
             break
     return labels
