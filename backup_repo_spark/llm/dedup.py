@@ -53,7 +53,21 @@ def _shingles3(d: DataFrame) -> DataFrame:
 
 def _sig8(shingles: DataFrame) -> DataFrame:
     """THE shipped 8-hash salted-md5 MinHash family (salts b1..b8):
-    (doc_id, h1..h8). Engine-independent, so oracles verify the values."""
+    (doc_id, h1..h8). Engine-independent, so oracles verify the values.
+
+    Shape note (r13, measured, tools/sig_probe.py): a map-side
+    formulation — array_min(transform(shingle_arr, s -> md5(salt||s)))
+    per hash, no explode / no Exchange / no aggregate — produces
+    identical rows but was REJECTED at the 50x octave: +15.3% on the
+    full banded pipeline (the sig aggregation's Exchange is the
+    ReusedExchange point that lets the band self-join read the hashes
+    once; map-side, each join side recomputes every md5), and still
+    +5-14% on single-consumer shapes (higher-order functions are
+    CodegenFallback — interpreted per element — while explode +
+    min-aggregate runs whole-stage-codegen'd, and the Exchange it pays
+    carries only one partially-aggregated row per doc). The exploded
+    groupBy below is the measured-fastest form on BOTH single- and
+    multi-reader shapes."""
     return shingles.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"b{i}-"), F.col("sh")))).alias(f"h{i}")
