@@ -16,10 +16,20 @@ the exchange), zero groupBys, no pair-mass intermediate. Same integers
 -> bit-identical doubles -> identical rows.
 
 The probe asserts result equality (exact set of (da, db, jaccard)
-tuples) before timing, then interleaves A/B within one session at the
-template-octave corpus. Medians carry the verdict. r13 record
-(50x corpus, 5 rounds, noop sink, full banded pipeline per arm):
-A median 37.53 s, B median 28.28 s — B wins -24.7%.
+tuples; at the 250x octave an order-insensitive dual-checksum witness,
+because the ~28M-pair set is past maxResultSize) before timing, then
+interleaves A/B within one session at the template-octave corpus.
+Medians carry the verdict. r13 records:
+
+- 50x corpus, 5 rounds, noop sink, full banded pipeline per arm:
+  A median 37.53 s, B median 28.28 s — B wins **-24.7%**.
+- 250x corpus (OCTAVE_r13_verify250.json): at the default 8g profile
+  arm A CANNOT COMPLETE (Java heap space in the ~2e9-row pair x
+  shared-shingle aggregation) while B runs in 257.7 s median; with
+  SPARK_DRIVER_MEM=48g, interleaved A 935.6 s vs B 324.2 s — **-65%**.
+  The gap WIDENS with scale (-24.7% -> -65%), as the shuffle-mass
+  analysis predicts. Running --octave 250 unsalted needs
+  SPARK_DRIVER_MEM>=48g for the A arm.
 
     python tools/verify_probe.py [--octave 50] [--rounds 5] [--salted]
 """
@@ -105,16 +115,35 @@ def main() -> None:
         _gen(spark, corpus, n_docs, fam)
 
     # --- equality gate (sf0.01 and the octave corpus) ----------------------
+    # At the 250x octave the unsalted verified-pair set is ~28M rows (every
+    # pair of the 7,500-doc template family is a true near-dup), far past
+    # spark.driver.maxResultSize — switch the witness from a driver collect
+    # to an order-insensitive dual-checksum aggregate (row count + two
+    # independent xxhash64 sums over (da, db, round(jaccard, 4))). The
+    # OCTAVE_r13_verify250.json record was produced with this witness.
+    checksum = args.octave >= 250 and not args.salted
+
+    def _summary(df: DataFrame):
+        h1 = F.xxhash64("da", "db", F.round("jaccard", 4))
+        h2 = F.xxhash64(F.round("jaccard", 4), "db", "da", F.lit(7))
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(h1.cast("decimal(38,0)")).alias("s1"),
+            F.sum(h2.cast("decimal(38,0)")).alias("s2"),
+        ).collect()[0]
+        return (r.n, r.s1, r.s2)
+
     for eq_dir in ("/root/testdata/sf0.01", corpus):
         cand, shingles, repdocs = build(spark, eq_dir, args.salted)
-        rows_a = {
-            (r.da, r.db, round(r.jaccard, 4))
-            for r in verify_exploded(cand, shingles).collect()
-        }
-        rows_b = {
-            (r.da, r.db, round(r.jaccard, 4))
-            for r in D._jaccard_verify(cand, repdocs).collect()
-        }
+        va = verify_exploded(cand, shingles)
+        vb = D._jaccard_verify(cand, repdocs)
+        if checksum and eq_dir == corpus:
+            sa, sb = _summary(va), _summary(vb)
+            assert sa == sb, f"verify variants disagree at {eq_dir}: {sa} vs {sb}"
+            print(f"equality (checksum) OK at {eq_dir}: {sa[0]} pairs", flush=True)
+            continue
+        rows_a = {(r.da, r.db, round(r.jaccard, 4)) for r in va.collect()}
+        rows_b = {(r.da, r.db, round(r.jaccard, 4)) for r in vb.collect()}
         assert rows_a == rows_b, (
             f"verify variants disagree at {eq_dir}: "
             f"only-A={sorted(rows_a - rows_b)[:5]} only-B={sorted(rows_b - rows_a)[:5]}"
