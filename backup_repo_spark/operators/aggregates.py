@@ -49,7 +49,14 @@ def agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exercises the engine spine: parquet scan with the shipdate predicate
     pushed to row-group stats, column pruning to 7 of 11 columns, partial
-    (map-side) aggregation, 2-key shuffle, final aggregation, global sort.
+    (map-side) aggregation, 2-key shuffle, final aggregation, sort.
+
+    r14 (guide §2.4): the output is bounded at |returnflag|x|linestatus|
+    (≤8 rows at ANY scale), so the final total order needs no
+    rangepartitioning exchange — ``coalesce(1)`` before the sort makes
+    the sort input SinglePartition, deleting the range-sampling job that
+    re-ran the final aggregate (plans/r14/agg_tpch_q1_{before,after}.txt:
+    2 jobs → 1, Exchange 2 → 1). Rows and order are byte-identical.
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -67,6 +74,7 @@ def agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        .coalesce(1)
         .orderBy("l_returnflag", "l_linestatus")
     )
 
@@ -79,11 +87,17 @@ def agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B21: distinct aggregation (two-phase: dedup shuffle, then agg)."""
+    """B21: distinct aggregation (two-phase: dedup shuffle, then agg).
+
+    Output is one row per event_type (bounded, single digits at any
+    scale), so the deterministic final order is a SinglePartition sort
+    (``coalesce(1)`` — guide §2.4), not a rangepartitioning exchange
+    with its sampling job (r14; same shape as agg_tpch_q1)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("du"), F.count(F.lit(1)).alias("n"))
+        .coalesce(1)
         .orderBy("event_type")
     )
 

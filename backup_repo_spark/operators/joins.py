@@ -208,9 +208,24 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B17: TPC-H Q5-style 6-table star join. Dims (supplier/nation/region)
-    broadcast; the one unavoidable shuffle is lineitem⋈orders on orderkey.
-    AQE reorders/re-plans at runtime from real sizes."""
+    """B17: TPC-H Q5-style 6-table star join.
+
+    r14 join-order fix (guide §3.1, measured by
+    tools/headline_shapes_probe.py): the old ``c⋈o`` -first order made
+    Catalyst's size estimate for the joined side blow past the broadcast
+    threshold, so the planner picked LINEITEM — the fact table — as the
+    broadcast build (600k rows x 4 cols, a 0.34 s single-thread hash
+    build on the critical path; plans/r13/join_star_5way_r13.txt node
+    13). Reordered ``li⋈o⋈c⋈s⋈n⋈r`` the fact table streams through one
+    codegen stage and every build side is a base table whose broadcast
+    is THRESHOLD-GOVERNED (no hint on scale-growing tables: at cluster
+    scale orders/customer/supplier exceed the threshold and the planner
+    falls back to shuffle joins — the canonical Q5 plan). Only the
+    cardinality-bounded dims (nation 25, region 5) keep explicit hints.
+    Inner-join reorder + same predicates → identical results (equality
+    asserted at sf0.01/sf0.1 by the probe, rows AND order). Final
+    ≤25-row total order is a SinglePartition sort (coalesce(1), §2.4).
+    """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -218,13 +233,14 @@ def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(s), (F.col("l_suppkey") == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        li.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (F.col("l_suppkey") == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .coalesce(1)
         .orderBy(F.desc("revenue"), "n_name")
     )
 

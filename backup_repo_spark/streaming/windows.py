@@ -35,7 +35,14 @@ _FMT = "yyyy-MM-dd HH:mm:ss"
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1/C2: tumbling 1-hour window aggregation (BASELINE.md
     q_events_window). ``F.window`` is the same operator the streaming plan
-    uses; in batch it's a plain group-by on the derived window."""
+    uses; in batch it's a plain group-by on the derived window.
+
+    r14 (guide §2.4): output cardinality is hour-buckets x event_types —
+    time-span-bounded (744 x 5 at the fixture's one-month span), far too
+    small to need a rangepartitioning sort exchange, so the final
+    deterministic order is a SinglePartition sort (coalesce(1)): the
+    range-sampling job and its re-run of the window aggregate go away
+    (plans/r14/stream_tumbling_{before,after}.txt)."""
     ev = load_events(spark, sf_dir)
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -46,6 +53,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "sv",
         )
+        .coalesce(1)
         .orderBy("hour_s", "event_type")
     )
 
