@@ -43,6 +43,7 @@ def get_spark(
     cpus: str | int | None = None,
     shuffle_partitions: int = 32,
     adaptive: bool = True,
+    advisory_partition_mb: int | None = None,
 ) -> SparkSession:
     """Build the engine's SparkSession with scale-ready defaults.
 
@@ -51,6 +52,14 @@ def get_spark(
     which costs ~25-35% wall time on sub-second queries (measured at sf0.1,
     round 2) while buying nothing — there is no skew or mis-estimated
     shuffle to fix at that scale. Production/scale sessions keep it on.
+
+    ``advisory_partition_mb`` is the guide-§2.2 overprovision-and-coalesce
+    shape: set ``shuffle_partitions`` high and let AQE coalesce down to
+    this advisory size from REAL runtime bytes. Measured by
+    tools/aqe_probe.py at the 50x banded-dedup fixture (r13): partitions
+    256 + advisory 64 MB beat the pinned-32 profile by 18.1% (and the
+    AQE-off arm by 18.1+9.0%). Adopted by the scale tools in r14 per the
+    r13 adjudication (do not adopt mid-record).
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
@@ -88,6 +97,11 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    if advisory_partition_mb is not None:
+        builder = builder.config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            f"{advisory_partition_mb}m",
+        )
     return builder.getOrCreate()
 
 

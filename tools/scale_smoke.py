@@ -168,7 +168,10 @@ def main() -> None:
     queries = {k: k for k in args.keys} if args.keys else None
     out = os.path.join(_REPO, "spark-warehouse", f"scale_smoke_{args.mult}x")
 
-    spark = get_spark("scale-smoke", shuffle_partitions=32)
+    # r14: aqe_probe C profile (OPTIMIZATION_r13.md AQE adjudication) —
+    # overprovision partitions, let AQE coalesce to 64 MB from runtime
+    # bytes; -18.1% vs pinned 32 at the 50x dedup fixture.
+    spark = get_spark("scale-smoke", shuffle_partitions=256, advisory_partition_mb=64)
     if args.regen:
         shutil.rmtree(out, ignore_errors=True)
     if not os.path.exists(f"{out}/lineitem.parquet"):

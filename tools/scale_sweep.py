@@ -475,7 +475,10 @@ def main() -> None:
         "after a full sweep",
     )
     args = ap.parse_args()
-    spark = get_spark("scale-sweep", shuffle_partitions=32)
+    # r14: aqe_probe C profile (OPTIMIZATION_r13.md AQE adjudication) —
+    # overprovision partitions, let AQE coalesce to 64 MB from runtime
+    # bytes; -18.1% vs pinned 32 at the 50x dedup fixture.
+    spark = get_spark("scale-sweep", shuffle_partitions=256, advisory_partition_mb=64)
 
     def fixture_dir(mult: int) -> str:
         d = os.path.join(_REPO, "spark-warehouse", f"scale_smoke_{mult}x")

@@ -54,6 +54,7 @@ from backup_repo_spark.llm import dedup as D  # noqa: E402
 from backup_repo_spark.session import get_spark, load_table  # noqa: E402
 import backup_repo_spark.session as _session  # noqa: E402
 from tools.template_scale_probe import _gen, _OCTAVES  # noqa: E402
+from tools.verify_probe import pair_summary  # noqa: E402
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -139,6 +140,17 @@ def main() -> None:
             f"only-A={sorted(rows_a - rows_b)[:3]} only-B={sorted(rows_b - rows_a)[:3]}"
         )
         print(f"sig equality OK at {eq_dir}: {len(rows_a)} docs", flush=True)
+        if eq_dir != "/root/testdata/sf0.01":
+            # Octave corpora: the verified pair set can exceed
+            # spark.driver.maxResultSize (~28M pairs at 250x — ADVICE r13),
+            # so the witness is verify_probe's order-insensitive
+            # dual-checksum aggregate (count + two unrelated hash sums),
+            # which is collect-safe at any pair count.
+            sa = pair_summary(build(spark, eq_dir, "a"))
+            sb = pair_summary(build(spark, eq_dir, "b"))
+            assert sa == sb, f"pipeline pair sets disagree at {eq_dir}: {sa} vs {sb}"
+            print(f"pipeline equality (checksum) OK at {eq_dir}: {sa[0]} pairs", flush=True)
+            continue
         pairs_a = {
             (r.da, r.db, round(r.jaccard, 4))
             for r in build(spark, eq_dir, "a").collect()

@@ -223,7 +223,10 @@ def main() -> None:
         "split-family corpus instead of the self-join keys",
     )
     args = ap.parse_args()
-    spark = get_spark("template-scale-probe", shuffle_partitions=32)
+    # r14: aqe_probe C profile (OPTIMIZATION_r13.md AQE adjudication) —
+    # overprovision partitions, let AQE coalesce to 64 MB from runtime
+    # bytes; -18.1% vs pinned 32 at the 50x dedup fixture.
+    spark = get_spark("template-scale-probe", shuffle_partitions=256, advisory_partition_mb=64)
 
     lo, hi = args.mults
     keys = args.keys or (_INC_KEYS if args.incremental else _KEYS)

@@ -53,6 +53,33 @@ from tools.template_scale_probe import _gen, _OCTAVES  # noqa: E402
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Above this many candidate pairs the equality witness switches from a
+# driver collect to the checksum aggregate: the verified set is a subset
+# of the candidates, and 2M 3-tuples is comfortably inside the default
+# 1g spark.driver.maxResultSize while 28M (the 250x unsalted set) is not
+# (ADVICE r13: gate on measured size, not on the octave/salt combination).
+COLLECT_WITNESS_MAX_PAIRS = 2_000_000
+
+
+def pair_summary(df: DataFrame):
+    """Order-insensitive equality witness for a (da, db, jaccard) relation:
+    row count plus two checksum sums over the rounded tuple. The two hash
+    constructions are deliberately DIFFERENT at the byte level — h1 hashes
+    the three typed columns, h2 hashes one concat_ws STRING rendering
+    (different input encoding, not just a permuted column order), so a
+    collision would have to survive two unrelated preimage structures as
+    well as the row count (ADVICE r13: the previous h2 was the same
+    xxhash64 family over permuted columns — a correlated construction)."""
+    j4 = F.round("jaccard", 4)
+    h1 = F.xxhash64("da", "db", j4)
+    h2 = F.xxhash64(F.concat_ws("|", F.col("db"), j4.cast("string"), F.col("da")))
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(h1.cast("decimal(38,0)")).alias("s1"),
+        F.sum(h2.cast("decimal(38,0)")).alias("s2"),
+    ).collect()[0]
+    return (r.n, r.s1, r.s2)
+
 
 def verify_exploded(cand: DataFrame, shingles: DataFrame, tau: float = 0.5) -> DataFrame:
     """The pre-r13 exploded-join `_jaccard_verify` (variant A), kept here
@@ -117,28 +144,20 @@ def main() -> None:
     # --- equality gate (sf0.01 and the octave corpus) ----------------------
     # At the 250x octave the unsalted verified-pair set is ~28M rows (every
     # pair of the 7,500-doc template family is a true near-dup), far past
-    # spark.driver.maxResultSize — switch the witness from a driver collect
-    # to an order-insensitive dual-checksum aggregate (row count + two
-    # independent xxhash64 sums over (da, db, round(jaccard, 4))). The
-    # OCTAVE_r13_verify250.json record was produced with this witness.
-    checksum = args.octave >= 250 and not args.salted
-
-    def _summary(df: DataFrame):
-        h1 = F.xxhash64("da", "db", F.round("jaccard", 4))
-        h2 = F.xxhash64(F.round("jaccard", 4), "db", "da", F.lit(7))
-        r = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(h1.cast("decimal(38,0)")).alias("s1"),
-            F.sum(h2.cast("decimal(38,0)")).alias("s2"),
-        ).collect()[0]
-        return (r.n, r.s1, r.s2)
-
+    # spark.driver.maxResultSize — the witness switches from a driver
+    # collect to the order-insensitive dual-checksum aggregate whenever the
+    # MEASURED candidate count exceeds COLLECT_WITNESS_MAX_PAIRS (the
+    # verified set is a subset of the candidates, so the cheap pre-verify
+    # count bounds the collect; ADVICE r13: a hotter corpus or a future
+    # octave must not fail with a maxResultSize error just because the
+    # old octave/salt gate didn't anticipate it). OCTAVE_r13_verify250.json
+    # was produced with the checksum witness (earlier h2 construction).
     for eq_dir in ("/root/testdata/sf0.01", corpus):
         cand, shingles, repdocs = build(spark, eq_dir, args.salted)
         va = verify_exploded(cand, shingles)
         vb = D._jaccard_verify(cand, repdocs)
-        if checksum and eq_dir == corpus:
-            sa, sb = _summary(va), _summary(vb)
+        if eq_dir == corpus and cand.count() > COLLECT_WITNESS_MAX_PAIRS:
+            sa, sb = pair_summary(va), pair_summary(vb)
             assert sa == sb, f"verify variants disagree at {eq_dir}: {sa} vs {sb}"
             print(f"equality (checksum) OK at {eq_dir}: {sa[0]} pairs", flush=True)
             continue
