@@ -638,47 +638,52 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document fingerprints (see :func:`_simhash16_expr`); docs
-    grouped by fingerprint. Map-only per doc — zero shuffle before the
-    final fingerprint group — which is what makes SimHash the O(n) near-dup
-    signal at corpus scale."""
+    """SimHash document fingerprints; docs grouped by fingerprint.
+
+    r14 rewrite (guide §2.3/§2.4, tools/simhash_probe.py: −61% at the
+    10× template corpus, every sample): through r13 the 16-bit
+    fingerprint was a map-only expression — 16 ``F.aggregate`` passes
+    over a per-token md5 ``transform`` array. Higher-order functions are
+    CodegenFallback (interpreted, per element, per bit), so the zero
+    shuffles it saved were paid back ~16× in interpretation — the same
+    mechanism `llm_dedup_simhash_hamming` already measured for its
+    64-bit fingerprint ("64 array scans per doc, 27 s at sf0.1").
+    Now: explode tokens once, hash each token ONCE inside whole-stage
+    codegen, and take the 16 bit-majority counts in one two-phase
+    groupBy — exploded tokens of a doc never span partitions, so partial
+    aggregation collapses them map-side and the exchange carries one
+    17-int row per doc (linear at 100 TB). ``explode_outer`` keeps
+    NULL-text docs on a NULL token, degrading the vote to fingerprint 0
+    exactly like the HOF form did (equality asserted doc-for-doc on
+    sf0.01/sf0.1/10× and a NULL/empty edge corpus by the probe, which
+    retains the old expression as its reference arm)."""
     d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ex = d.select(
+        "doc_id", F.size(toks).alias("_nt"), F.explode_outer(toks).alias("_tok")
+    )
+    h = F.conv(F.substring(F.md5("_tok"), 1, 4), 16, 10).cast("int")
+    ones = ex.groupBy("doc_id").agg(
+        F.max("_nt").alias("_nt"),
+        *[
+            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
+            for b in range(16)
+        ],
+    )
+    fp = sum(
+        (
+            F.when(F.col(f"_o{b}") * 2 > F.col("_nt"), F.lit(1 << b))
+            .otherwise(F.lit(0))
+            .cast("long")
+            for b in range(16)
+        ),
+        start=F.lit(0),
+    )
     return (
-        d.select("doc_id", _simhash16_expr().alias("simhash16"))
+        ones.select("doc_id", fp.alias("simhash16"))
         .groupBy("simhash16")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
     )
-
-
-def _simhash16_expr(hex_pos: int = 1):
-    """16-bit SimHash over whitespace tokens: per-token hash = 4 hex chars
-    of md5 starting at `hex_pos` (deterministic, engine-independent);
-    fingerprint bit b set when more than half the tokens have bit b set.
-    `hex_pos` selects an independent md5 chunk, letting callers compose a
-    wider fingerprint (llm_dedup_simhash_hamming's 4×16-bit bands) from
-    the same majority-vote machinery."""
-    toks = F.split(F.col("text"), " ")
-    hashes = F.transform(
-        toks,
-        lambda x: F.conv(F.substring(F.md5(x), hex_pos, 4), 16, 10).cast("int"),
-    )
-    # majority vote per bit position: twice the ones-count exceeds n_tokens
-    bits = [
-        F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
-            )
-            * 2
-            > F.size(toks),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        for b in range(16)
-    ]
-    return sum((bits[b] * F.lit(1 << b) for b in range(16)), start=F.lit(0))
 
 
 # 64-bit fingerprint for the Hamming-band key: four INDEPENDENT 16-bit
