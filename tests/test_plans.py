@@ -698,3 +698,48 @@ def test_udtf_table_arg_projects_before_boundary(spark):
     assert "o_orderstatus" in read_schema and "o_totalprice" in read_schema
     for col in ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]:
         assert col not in read_schema
+
+
+# ---- round-14 optimization shapes (OPTIMIZATION_r14.md) -------------------
+
+
+def test_bounded_sorts_have_no_range_exchange(spark):
+    """r14: the four headline queries whose final ORDER BY output is
+    cardinality-bounded sort a single coalesced partition — the plan must
+    carry Coalesce and NO rangepartitioning exchange (whose sampling job
+    re-ran the final aggregate: headline diag, jobs 2 -> 1)."""
+    for key in ("agg_tpch_q1", "agg_distinct", "stream_tumbling", "join_star_5way"):
+        plan = plan_of(registry.QUERIES[key](spark, SF_DIR))
+        assert "Coalesce" in plan, key
+        assert "rangepartitioning" not in plan, f"{key} re-grew a range exchange"
+
+
+def test_star_join_streams_fact_table(spark):
+    """r14: join_star_5way must stream lineitem (the fact table), never
+    broadcast it — the first scan in the formatted plan (node 1, the
+    streamed side of the innermost join) is the lineitem parquet, and all
+    five joins are BHJ."""
+    plan = plan_of(registry.QUERIES["join_star_5way"](spark, SF_DIR))
+    first_scan_loc = plan.split("Location:")[1].splitlines()[0]
+    assert "lineitem.parquet" in first_scan_loc, first_scan_loc
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_simhash_is_exploded_codegen_not_hof(spark):
+    """r14: llm_dedup_simhash's fingerprint is an exploded two-phase
+    aggregate (Generate + partial-aggregable bit sums), not interpreted
+    higher-order lambdas (simhash_probe: -61%)."""
+    plan = plan_of(registry.QUERIES["llm_dedup_simhash"](spark, SF_DIR))
+    # explode_outer may print as plain explode when the optimizer proves
+    # text non-nullable from the parquet schema (values identical).
+    assert "Generate" in plan and "explode" in plan
+    assert "lambdafunction" not in plan, "HOF lambda back in the simhash plan"
+
+
+def test_winnowing_trigrams_ride_the_min_window(spark):
+    """r14: llm_winnowing forms trigrams with lead() on the same
+    (doc_id, i0) window the sliding min pays for — one doc-keyed exchange
+    below the window group, no interpreted transform (winnow_probe: -67%)."""
+    plan = plan_of(registry.QUERIES["llm_winnowing"](spark, SF_DIR))
+    assert "lambdafunction" not in plan, "HOF lambda back in the winnowing plan"
+    assert plan.count("Window") >= 3  # lead + sliding min + per-doc count
