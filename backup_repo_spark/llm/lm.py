@@ -77,23 +77,39 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrasing, high = gibberish or boilerplate-noise; pipelines keep the
     middle band. p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V).
 
-    Distributed shape: bigram explode is map-only; the count tables are
-    |vocab|/|distinct-bigram|-sized aggregates; scoring is an equi-join of
-    doc bigrams against the counts (never a per-doc model broadcast), then
-    one per-doc average. At 100 TB the count tables would be bucketed on
-    their join key and the explode pipelined — no stage holds the corpus.
+    Distributed shape: bigram explode is map-only; the per-row bigram and
+    unigram counts ride window aggregates over the exploded relation; only
+    the 1-row vocab aggregate keeps its own branch and broadcasts. At
+    100 TB no stage holds the corpus and the count skew (hot stopword
+    pairs) colocates exactly as the old count-table join's shuffle did.
     Determinism: the ln() values average in arbitrary order but rounding
-    to 4 decimals absorbs the ~1e-13 float reassociation noise."""
+    to 4 decimals absorbs the ~1e-13 float reassociation noise.
+
+    r14 (guide §2.4): through r13 cu/cb were groupBy aggregates equi-
+    joined back onto the exploded relation — four interpreted bigram
+    Generates (one scan branch per consumer: join input, bic, uni, vocab)
+    and, past the broadcast threshold, one exploded-mass shuffle per
+    join. ``count(*) OVER (PARTITION BY w1)`` / ``(PARTITION BY w1, w2)``
+    are the same integers per row; the w1 window runs FIRST so its
+    hash(w1) exchange also satisfies the (w1, w2) window's clustering
+    (subset partitioning — one exchange, two sorts). Two Generates (the
+    vocab branch keeps one), no joins. Measured interleaved at the noop
+    sink (tools/lmscore_probe.py, equality exact at sf0.01/sf0.1/50×):
+    sf0.1 3.29 → 2.09 s median (−37%), 50× corpus 18.21 → 9.14 s
+    (−50%)."""
+    from pyspark.sql.window import Window
+
     d = load_table(spark, sf_dir, "documents")
     bg = _bigrams(d)
-    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
-    bic = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     vocab = bg.agg(F.countDistinct("w2").alias("vocab"))
+    counted = bg.select(
+        "doc_id",
+        F.count(F.lit(1)).over(Window.partitionBy("w1")).alias("cu"),
+        F.count(F.lit(1)).over(Window.partitionBy("w1", "w2")).alias("cb"),
+    )
     nll = -F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("vocab")))
     return (
-        bg.join(bic, ["w1", "w2"])
-        .join(uni, "w1")
-        .crossJoin(F.broadcast(vocab))
+        counted.crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
@@ -131,10 +147,26 @@ def llm_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair crosses a Jaccard threshold — the signal that catches boilerplate
     families pairwise dedup misses.
 
-    Shape: shingle explode (map-only) → shingle document-frequency
-    aggregate (|distinct-shingle|-sized) → equi-join back on the shingle →
+    Shape: shingle explode (map-only) → per-shingle document frequency →
     per-doc ratio. Never any doc×doc pair space. Since shingles are
-    distinct per doc, nd >= 2 exactly means 'appears in another doc'."""
+    distinct per doc, nd >= 2 exactly means 'appears in another doc'.
+
+    r14 (guide §2.4): through r13 the document frequency was a groupBy(g)
+    aggregate equi-joined back onto the exploded relation — which planned
+    the interpreted 5-gram Generate TWICE (one scan branch per consumer)
+    and, past the broadcast threshold, shuffled the exploded relation a
+    second time for the join. ``count(*) OVER (PARTITION BY g)`` is the
+    same integer per row (the count of a row's g-group IS the document
+    frequency, and the inner join kept every row since dpf was built from
+    the same relation) with ONE Generate and ONE exchange of the exploded
+    mass. Measured interleaved at the noop sink (tools/dupcov_probe.py,
+    equality exact at sf0.01/sf0.1/50×): sf0.1 11.21 → 5.68 s median
+    (−49%), 50× template corpus 49.51 → 24.78 s (−50%). Skew note: a
+    globally hot shingle lands its rows in one window group — the same
+    single-partition colocation the sort-merge join paid; the window
+    buffer spills where the join's sort spilled, so no new 100 TB cliff."""
+    from pyspark.sql.window import Window
+
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     sh_arr = F.array_distinct(
@@ -151,10 +183,11 @@ def llm_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sh = d.select("doc_id", F.explode(sh_arr).alias("g"))
-    dpf = sh.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    nd = sh.select(
+        "doc_id", F.count(F.lit(1)).over(Window.partitionBy("g")).alias("nd")
+    )
     return (
-        sh.join(dpf, "g")
-        .groupBy("doc_id")
+        nd.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
             F.round(

@@ -700,7 +700,19 @@ def llm_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-zero for reposts and template copies even when exact/near dedup
     misses them, high for genuinely new text. Streaming-corpus analog:
     first_seen is the persisted bigram registry, each batch anti-joins
-    against it. Exact integers + one division."""
+    against it. Exact integers + one division.
+
+    r14 (guide §2.4): through r13 first_doc was a groupBy(bg) min
+    equi-joined back onto the exploded relation — two interpreted bigram
+    Generates and, past the broadcast threshold, a second exploded-mass
+    shuffle. ``min(doc_id) OVER (PARTITION BY bg)`` is the same value per
+    row with ONE Generate and ONE exchange (the window min over a row's
+    bg-group IS the aggregate's min; the inner join kept every row).
+    Measured interleaved at the noop sink (tools/novelty_probe.py,
+    equality exact at sf0.01/sf0.1/50×): sf0.1 3.19 → 2.14 s median
+    (−33%), 50× template corpus 18.16 → 7.70 s (−58%)."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     bg_arr = F.array_distinct(
@@ -710,16 +722,14 @@ def llm_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     big = d.select("doc_id", F.explode(bg_arr).alias("bg"))
-    first_seen = big.groupBy("bg").agg(F.min("doc_id").alias("first_doc"))
+    fd = big.select(
+        "doc_id", F.min("doc_id").over(Window.partitionBy("bg")).alias("first_doc")
+    )
     novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
-    return (
-        big.join(first_seen, "bg")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(novel).cast("bigint").alias("n_novel"),
-            (F.sum(novel) * 1.0 / F.count(F.lit(1))).alias("novelty"),
-        )
+    return fd.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(novel).cast("bigint").alias("n_novel"),
+        (F.sum(novel) * 1.0 / F.count(F.lit(1))).alias("novelty"),
     )
 
 

@@ -743,3 +743,26 @@ def test_winnowing_trigrams_ride_the_min_window(spark):
     plan = plan_of(registry.QUERIES["llm_winnowing"](spark, SF_DIR))
     assert "lambdafunction" not in plan, "HOF lambda back in the winnowing plan"
     assert plan.count("Window") >= 3  # lead + sliding min + per-doc count
+
+
+def test_corpus_count_joinbacks_are_windows(spark):
+    """r14: llm_dup_coverage / llm_novelty_score / llm_lm_score compute
+    their per-gram corpus statistics as window aggregates over the one
+    exploded relation, not groupBy tables joined back — which planned the
+    interpreted gram Generate once PER CONSUMER and re-shuffled the
+    exploded mass for each join (dupcov/novelty/lmscore probes: -49/-58/
+    -50% at 50x). A Generate node prints twice in formatted explain
+    (tree + detail), so counts are 2 per node."""
+    for key, n_gen in (
+        ("llm_dup_coverage", 2),  # one Generate, window df, no join
+        ("llm_novelty_score", 2),  # one Generate, window min, no join
+        ("llm_lm_score", 4),  # windowed counts + the 1-row vocab branch
+    ):
+        plan = plan_of(registry.QUERIES[key](spark, SF_DIR))
+        assert "Window" in plan, key
+        assert plan.count("Generate") == n_gen, (key, plan.count("Generate"))
+        assert "SortMergeJoin" not in plan, key
+    # the gram relations are never equi-joined back; lm_score keeps only
+    # the whitelisted 1-row vocab cross join
+    dup = plan_of(registry.QUERIES["llm_dup_coverage"](spark, SF_DIR))
+    assert "BroadcastHashJoin" not in dup

@@ -1,18 +1,24 @@
-"""Round-13 optimization probe (guide §2.3): llm_dup_coverage's join-back.
+"""Optimization probe (guide §2.3/§2.4): llm_dup_coverage's join-back.
 
-Variant A (shipped): explode 5-gram shingles -> document-frequency
-aggregate over ALL distinct grams -> join the full df relation back on
-the gram -> per-doc groupBy over the FULL shingle mass.
+Variant A (shipped through r13): explode 5-gram shingles -> document-
+frequency aggregate over ALL distinct grams -> join the full df relation
+back on the gram -> per-doc groupBy over the FULL shingle mass. The
+physical plan evaluates the interpreted 5-gram Generate TWICE (one scan
+branch per consumer) and, past the broadcast threshold, shuffles the
+exploded relation twice.
 
-Variant B: per-doc totals come map-side (size of the distinct gram
-array), the join-back carries only the grams with nd >= 2 (the duplicated
-minority on organic corpora), and the per-doc groupBy runs over the HIT
-mass only, left-joined back to the map-side totals. Same integers ->
-same doubles.
+Variant B (r13, measured +169%, rejected): per-doc totals map-side,
+join-back only the nd >= 2 subset — recomputes the gram array a third
+time. Kept for the record.
 
-Equality asserted exactly, then interleaved timing at sf0.1 and the
-octave corpus. NOTE the octave corpus is template-heavy (hit mass ~=
-full mass) — the organic case is sf0.1.
+Variant C (r14): nd as ``count(*) OVER (PARTITION BY g)`` — one Generate,
+one exchange+sort of the exploded relation, no join, no second scan.
+Exactly equivalent (per-row count of its g-group IS the document
+frequency; every row joins in A since dpf is built from the same rows).
+
+Equality asserted exactly across all three, then interleaved A-vs-C
+timing at sf0.1 and the octave corpus. NOTE the octave corpus is
+template-heavy (hit mass ~= full mass) — the organic case is sf0.1.
 
     python tools/dupcov_probe.py [--octave 50] [--rounds 5]
 """
@@ -98,6 +104,25 @@ def dupcov_hits(d: DataFrame) -> DataFrame:
     )
 
 
+def dupcov_window(d: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    sh = d.select("doc_id", F.explode(_sh5_arr()).alias("g"))
+    nd = sh.select(
+        "doc_id", F.count(F.lit(1)).over(Window.partitionBy("g")).alias("nd")
+    )
+    return (
+        nd.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.round(
+                F.count_if(F.col("nd") >= 2) * 1.0 / F.count(F.lit(1)), 4
+            ).alias("dup_coverage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--octave", type=int, default=50, choices=[10, 50])
@@ -115,7 +140,9 @@ def main() -> None:
         d = load_table(spark, eq_dir, "documents")
         ra = [tuple(r) for r in dupcov_shipped(d).collect()]
         rb = [tuple(r) for r in dupcov_hits(d).collect()]
-        assert ra == rb, f"variants disagree at {eq_dir}"
+        rc = [tuple(r) for r in dupcov_window(d).collect()]
+        assert ra == rb, f"variants A/B disagree at {eq_dir}"
+        assert ra == rc, f"variants A/C disagree at {eq_dir}"
         print(f"equality OK at {eq_dir}: {len(ra)} rows", flush=True)
 
     for tdir in ("/root/testdata/sf0.1", corpus):
@@ -126,22 +153,22 @@ def main() -> None:
             fn(d).write.mode("overwrite").format("noop").save()
 
         run(dupcov_shipped)
-        run(dupcov_hits)
-        ta, tb = [], []
+        run(dupcov_window)
+        ta, tc = [], []
         for i in range(args.rounds):
             for label, fn, sink in (
-                ("A/shipped", dupcov_shipped, ta),
-                ("B/hits", dupcov_hits, tb),
+                ("A/join", dupcov_shipped, ta),
+                ("C/window", dupcov_window, tc),
             ):
                 t0 = time.perf_counter()
                 run(fn)
                 dt = time.perf_counter() - t0
                 sink.append(dt)
                 print(f"[{tdir}] round {i} {label}: {dt:6.2f}s", flush=True)
-        ma, mb = statistics.median(ta), statistics.median(tb)
+        ma, mc = statistics.median(ta), statistics.median(tc)
         print(
-            f"[{tdir}] A(shipped) median {ma:.2f}s  B(hits) median {mb:.2f}s  "
-            f"delta {100 * (mb - ma) / ma:+.1f}%",
+            f"[{tdir}] A(join) median {ma:.2f}s  C(window) median {mc:.2f}s  "
+            f"delta {100 * (mc - ma) / ma:+.1f}%",
             flush=True,
         )
     spark.stop()
