@@ -757,6 +757,7 @@ def test_corpus_count_joinbacks_are_windows(spark):
         ("llm_dup_coverage", 2),  # one Generate, window df, no join
         ("llm_novelty_score", 2),  # one Generate, window min, no join
         ("llm_lm_score", 4),  # windowed counts + the 1-row vocab branch
+        ("llm_tfidf", 2),  # one Generate, window df over tf, no join
     ):
         plan = plan_of(registry.QUERIES[key](spark, SF_DIR))
         assert "Window" in plan, key
